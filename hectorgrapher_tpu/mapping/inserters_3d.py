@@ -1,0 +1,324 @@
+"""3D range-data insertion kernels.
+
+TPU-native replacement for:
+  * OccupancyGridRangeDataInserter3D (ref: mapping/3d/
+    range_data_inserter_3d.cc — per-hit odds update + last-N free-space
+    voxels along each ray)
+  * TSDFRangeDataInserter3D (ref: mapping/3d/tsdf_range_data_inserter_3d.cc
+    — the HectorGrapher core: TSDF integration with structured-cloud
+    normals (CLOUD_STRUCTURE, :503), normal-directed truncation-band
+    updates (InsertHitWithNormal, :197), ray-directed updates (InsertHit,
+    :294) with exponential weight drop-off behind the surface (:333-341),
+    weighted-average cell update (UpdateCell, :725), insertion_ratio
+    subsampling.)
+
+Design: all per-point loops become batched array ops; the sequential
+weighted-average UpdateCell is replaced by scatter-add of (sum w, sum w*d)
+followed by one combined update — algebraically identical to applying the
+reference's UpdateCell sequentially for every sample of the scan (the
+running weighted mean is order-independent), except that the weight cap is
+applied once at scan end rather than mid-scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hectorgrapher_tpu.mapping import probability_values as pv
+from hectorgrapher_tpu.mapping.grids import (
+    ProbabilityGrid,
+    TSDFGrid,
+    cell_center,
+    cell_index,
+    flat_index,
+)
+from hectorgrapher_tpu.sensor.types import PointCloud, RangeData
+
+
+def insertion_ratio_mask(valid, ratio: float):
+    """Deterministic subsampling: keep point when the running kept-count
+    stays <= ratio * processed-count (ref: tsdf_range_data_inserter_3d.cc
+    :503-519 insertion_ratio gate), vectorized over the valid sequence."""
+    if ratio >= 1.0:
+        return valid
+    c = jnp.cumsum(valid.astype(jnp.int32))  # processed count including self
+    kept_before = jnp.floor(ratio * (c - 1).astype(jnp.float32))
+    kept_incl = jnp.floor(ratio * c.astype(jnp.float32))
+    return valid & (kept_incl > kept_before)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy 3D
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_free_space_voxels",))
+def insert_probability_3d(
+    grid: ProbabilityGrid,
+    range_data: RangeData,
+    hit_log_odds,
+    miss_log_odds,
+    num_free_space_voxels: int = 2,
+) -> ProbabilityGrid:
+    """(ref: range_data_inserter_3d.cc Insert + InsertMissesIntoGrid)
+
+    Hits: one odds update per hit cell. Misses: only the last
+    `num_free_space_voxels` sample positions before each hit. Hits take
+    priority over misses in the same scan.
+    """
+    shape = grid.shape
+    hits = range_data.returns.positions
+    valid = range_data.returns.mask
+    origin = range_data.origin
+
+    hit_idx = cell_index(grid.meta, hits)
+    hit_mask = _scatter_mask3(shape, flat_index(hit_idx, shape), valid)
+
+    if num_free_space_voxels > 0:
+        origin_cell = cell_index(grid.meta, origin[None, :])[0]
+        delta = hit_idx - origin_cell[None, :]
+        num_samples = jnp.max(jnp.abs(delta), axis=-1)  # (P,)
+        # positions max(0, n-k) .. n-1  ->  cells origin + delta * pos / n
+        offsets = jnp.arange(num_free_space_voxels, dtype=jnp.int32)  # (K,)
+        pos = num_samples[:, None] - num_free_space_voxels + offsets[None, :]
+        pos_valid = (pos >= 0) & (pos < num_samples[:, None]) & valid[:, None]
+        n_safe = jnp.maximum(num_samples, 1)[:, None, None]
+        miss_cells = origin_cell[None, None, :] + (
+            delta[:, None, :] * pos[:, :, None]
+        ) // n_safe
+        miss_mask = _scatter_mask3(
+            shape, flat_index(miss_cells, shape).reshape(-1), pos_valid.reshape(-1)
+        )
+        miss_mask = miss_mask & ~hit_mask
+    else:
+        miss_mask = jnp.zeros(shape, dtype=bool)
+
+    delta_lo = jnp.where(hit_mask, hit_log_odds, 0.0) + jnp.where(miss_mask, miss_log_odds, 0.0)
+    touched = hit_mask | miss_mask
+    return grid._replace(
+        log_odds=jnp.where(touched, pv.clamp_log_odds(grid.log_odds + delta_lo), grid.log_odds),
+        known=grid.known | touched,
+    )
+
+
+def _scatter_mask3(shape, flat_idx, valid):
+    size = 1
+    for s in shape:
+        size *= s
+    grid = jnp.zeros((size + 1,), dtype=bool)
+    grid = grid.at[jnp.where(valid, flat_idx, size)].set(True)
+    return grid[:size].reshape(shape)
+
+
+def make_probability_inserter_3d(options):
+    """Bind ProbabilityGridRangeDataInserterOptions3D."""
+    import math
+
+    hit_lo = math.log(options.hit_probability / (1 - options.hit_probability))
+    miss_lo = math.log(options.miss_probability / (1 - options.miss_probability))
+
+    def insert(grid: ProbabilityGrid, range_data: RangeData) -> ProbabilityGrid:
+        return insert_probability_3d(
+            grid, range_data, hit_lo, miss_lo, num_free_space_voxels=int(options.num_free_space_voxels)
+        )
+
+    return insert
+
+
+# ---------------------------------------------------------------------------
+# Structured-cloud normals (CLOUD_STRUCTURE)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("width", "vertical_stride", "horizontal_stride"))
+def structured_cloud_normals(
+    cloud: PointCloud,
+    origin,
+    width: int,
+    vertical_stride: int = 1,
+    horizontal_stride: int = 5,
+    resolution=0.1,
+):
+    """Surface normals from an organized cloud's neighbor structure.
+
+    (ref: tsdf_range_data_inserter_3d.cc:503-607 CLOUD_STRUCTURE — for
+    each point, find the nearest valid neighbor at index offsets up to
+    +-vertical_stride (adjacent points) and +-horizontal_stride*width
+    (adjacent scan lines) whose range differs by < resolution/0.05; the
+    normal is the normalized cross product of the two neighbor
+    differences.)
+
+    Returns (normals (N, 3), normal_valid (N,)).
+    """
+    pts = cloud.positions
+    n = pts.shape[0]
+    r = jnp.linalg.norm(pts - origin[None, :], axis=-1)
+    max_range_delta = resolution / 0.05
+
+    def find_neighbor(offsets):
+        """First valid offset per point (offsets tried in order), else 0."""
+        best = jnp.zeros((n,), jnp.int32)
+        found = jnp.zeros((n,), dtype=bool)
+        base = jnp.arange(n, dtype=jnp.int32)
+        for off in offsets:
+            j = base + off
+            ok = (j >= 0) & (j < n)
+            jc = jnp.clip(j, 0, n - 1)
+            ok = ok & cloud.mask[jc] & (jnp.abs(r - r[jc]) <= max_range_delta)
+            best = jnp.where(~found & ok, j, best)
+            found = found | ok
+        return best, found
+
+    up_offsets = list(range(vertical_stride, 0, -1))
+    down_offsets = [-o for o in up_offsets]
+    h = max(1, horizontal_stride) * max(1, width)
+    right_offsets = list(range(h, 0, -max(1, width)))
+    left_offsets = [-o for o in right_offsets]
+
+    i_vu, f_vu = find_neighbor(up_offsets)
+    i_vl, f_vl = find_neighbor(down_offsets)
+    i_hu, f_hu = find_neighbor(right_offsets)
+    i_hl, f_hl = find_neighbor(left_offsets)
+
+    p_vu, p_vl = pts[i_vu], pts[i_vl]
+    p_hu, p_hl = pts[i_hu], pts[i_hl]
+    dv = p_vl - p_vu
+    dh = p_hl - p_hu
+    normal = jnp.cross(dh, dv)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    ok = (
+        cloud.mask
+        & (f_vu | f_vl)
+        & (f_hu | f_hl)
+        & (i_vu != i_vl)
+        & (i_hu != i_hl)
+        & (norm[:, 0] > 1e-9)
+    )
+    normal = normal / jnp.maximum(norm, 1e-9)
+    return normal, ok
+
+
+# ---------------------------------------------------------------------------
+# TSDF 3D
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_band_samples", "use_normals"))
+def insert_tsdf_3d(
+    grid: TSDFGrid,
+    hits,
+    valid,
+    origin,
+    normals,
+    num_band_samples: int,
+    use_normals: bool,
+    weight_epsilon,
+    weight_sigma,
+) -> TSDFGrid:
+    """Core TSDF integration.
+
+    With use_normals (ref InsertHitWithNormal :197): the truncation band
+    is swept along the normal through the hit; update distance is
+    (cell_center - hit) . normal (sign chosen so the free side is
+    positive).
+
+    Without (ref InsertHit :294): the band is swept along the ray;
+    update distance is range - |cell_center - origin| with exponential
+    weight drop-off behind the surface (:333-341).
+    """
+    shape = grid.shape
+    td = grid.truncation_distance
+    ray = hits - origin[None, :]
+    ranges = jnp.linalg.norm(ray, axis=-1)
+    ray_dir = ray / jnp.maximum(ranges[:, None], 1e-9)
+    valid = valid & (ranges > td)
+
+    s = jnp.linspace(-1.0, 1.0, num_band_samples)  # band parameter
+
+    if use_normals:
+        # Orient the normal against the ray (:210-211).
+        nd = jnp.where(jnp.sum(normals * ray, axis=-1) > 0, -1.0, 1.0)
+        n_oriented = nd[:, None] * normals
+        band_pts = hits[:, None, :] + (s[None, :, None] * td) * n_oriented[:, None, :]
+        idx = cell_index(grid.meta, band_pts)
+        centers = cell_center(grid.meta, idx)
+        d = jnp.sum((centers - hits[:, None, :]) * n_oriented[:, None, :], axis=-1)
+        d = jnp.clip(d, -td, td)
+        w = jnp.ones_like(d)
+    else:
+        band_pts = hits[:, None, :] + (s[None, :, None] * td) * ray_dir[:, None, :]
+        idx = cell_index(grid.meta, band_pts)
+        centers = cell_center(grid.meta, idx)
+        d = ranges[:, None] - jnp.linalg.norm(centers - origin[None, None, :], axis=-1)
+        d = jnp.clip(d, -td, td)
+        nd_norm = d / td
+        w = jnp.where(
+            nd_norm < -weight_epsilon,
+            jnp.exp(-weight_sigma * (-nd_norm - weight_epsilon) ** 2),
+            1.0,
+        )
+
+    flat = flat_index(idx, shape)
+    vmask = jnp.broadcast_to(valid[:, None], flat.shape)
+    size = grid.tsd.size
+    slot = jnp.where(vmask, flat, size).reshape(-1)
+    w_flat = jnp.where(vmask, w, 0.0).reshape(-1)
+    wd_flat = jnp.where(vmask, w * d, 0.0).reshape(-1)
+
+    w_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(w_flat)[:size].reshape(shape)
+    wd_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(wd_flat)[:size].reshape(shape)
+
+    new_w_raw = grid.weight + w_sum
+    new_tsd = jnp.where(
+        w_sum > 0,
+        (grid.tsd * grid.weight + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
+        grid.tsd,
+    )
+    return grid._replace(tsd=new_tsd, weight=jnp.minimum(new_w_raw, grid.max_weight))
+
+
+def make_tsdf_inserter_3d(options, resolution: float):
+    """Bind TSDFRangeDataInserterOptions3D into an insert fn.
+
+    options.normal_computation_method selects the normal backend:
+    CLOUD_STRUCTURE uses organized-cloud neighbors (the config default,
+    ref trajectory_builder_3d.lua:89); anything else falls back to
+    ray-directed updates (InsertHit path).
+    """
+    td = options.relative_truncation_distance * resolution
+    num_band_samples = max(4, int(2.0 * options.relative_truncation_distance / 0.5) + 1)
+    use_normals = options.normal_computation_method == "CLOUD_STRUCTURE"
+
+    def insert(grid: TSDFGrid, range_data: RangeData) -> TSDFGrid:
+        hits = range_data.returns.positions
+        valid = range_data.returns.mask
+        r = jnp.linalg.norm(hits - range_data.origin[None, :], axis=-1)
+        valid = valid & (r >= options.min_range) & (r <= options.max_range)
+        valid = insertion_ratio_mask(valid, float(options.insertion_ratio))
+        if use_normals and range_data.width > 0:
+            normals, n_ok = structured_cloud_normals(
+                range_data.returns,
+                range_data.origin,
+                width=range_data.width,
+                vertical_stride=int(options.normal_computation_vertical_stride),
+                horizontal_stride=int(options.normal_computation_horizontal_stride),
+                resolution=resolution,
+            )
+            return insert_tsdf_3d(
+                grid, hits, valid & n_ok, range_data.origin, normals,
+                num_band_samples=num_band_samples, use_normals=True,
+                weight_epsilon=options.weight_function_epsilon,
+                weight_sigma=options.weight_function_sigma,
+            )
+        dummy_normals = jnp.zeros_like(hits)
+        return insert_tsdf_3d(
+            grid, hits, valid, range_data.origin, dummy_normals,
+            num_band_samples=num_band_samples, use_normals=False,
+            weight_epsilon=options.weight_function_epsilon,
+            weight_sigma=options.weight_function_sigma,
+        )
+
+    return insert

@@ -1,0 +1,206 @@
+"""Grid insertion tests
+(ref: probability_grid_range_data_inserter_2d_test.cc,
+tsdf_range_data_inserter_2d_test.cc, range_data_inserter_3d_test.cc,
+tsdf_range_data_inserter_3d (no test in ref; golden checks here))."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.common.config import (
+    ProbabilityGridRangeDataInserterOptions2D,
+    ProbabilityGridRangeDataInserterOptions3D,
+    TSDFRangeDataInserterOptions2D,
+    TSDFRangeDataInserterOptions3D,
+)
+from hectorgrapher_tpu.mapping.grids import (
+    cell_index,
+    make_probability_grid,
+    make_tsdf_grid,
+)
+from hectorgrapher_tpu.mapping.inserters_2d import (
+    make_probability_inserter_2d,
+    make_tsdf_inserter_2d,
+)
+from hectorgrapher_tpu.mapping.inserters_3d import (
+    insertion_ratio_mask,
+    make_probability_inserter_3d,
+    make_tsdf_inserter_3d,
+    structured_cloud_normals,
+)
+from hectorgrapher_tpu.sensor.types import PointCloud, RangeData, pad_cloud
+
+
+def make_range_data_2d(origin_xy, hits_xy, capacity=64):
+    origin = jnp.asarray([origin_xy[0], origin_xy[1], 0.0], jnp.float32)
+    pts = np.array([[x, y, 0.0] for x, y in hits_xy], dtype=np.float32)
+    return RangeData(
+        origin=origin,
+        returns=pad_cloud(pts, capacity),
+        misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+    )
+
+
+class TestProbabilityInserter2D:
+    def test_hit_and_miss_cells(self):
+        grid = make_probability_grid(0.1, (64, 64))
+        opts = ProbabilityGridRangeDataInserterOptions2D()
+        insert = make_probability_inserter_2d(opts, max_range=5.0, resolution=0.1)
+        rd = make_range_data_2d((0.0, 0.0), [(2.03, 0.0)])
+        grid = insert(grid, rd)
+        prob = np.asarray(grid.probability())
+        hit_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, 0.0]])))[0]
+        mid_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[1.03, 0.0]])))[0]
+        far_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[3.0, 0.0]])))[0]
+        assert prob[hit_idx[0], hit_idx[1]] > 0.5
+        assert prob[mid_idx[0], mid_idx[1]] < 0.5
+        # beyond the hit: untouched -> unknown -> min probability
+        assert prob[far_idx[0], far_idx[1]] == 0.1
+        assert not bool(grid.known[far_idx[0], far_idx[1]])
+
+    def test_repeated_hits_saturate(self):
+        grid = make_probability_grid(0.1, (32, 32))
+        opts = ProbabilityGridRangeDataInserterOptions2D()
+        insert = make_probability_inserter_2d(opts, max_range=5.0, resolution=0.1)
+        rd = make_range_data_2d((0.0, 0.0), [(1.03, 0.0)])
+        for _ in range(40):
+            grid = insert(grid, rd)
+        prob = np.asarray(grid.probability())
+        hit_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[1.03, 0.0]])))[0]
+        np.testing.assert_allclose(prob[hit_idx[0], hit_idx[1]], 0.9, atol=1e-3)
+
+    def test_single_update_per_scan(self):
+        """Two hits in the same cell must apply the odds update once
+        (reference update-marker semantics)."""
+        grid = make_probability_grid(0.1, (32, 32))
+        opts = ProbabilityGridRangeDataInserterOptions2D(hit_probability=0.7, miss_probability=0.4)
+        insert = make_probability_inserter_2d(opts, max_range=5.0, resolution=0.1)
+        rd = make_range_data_2d((0.0, 0.0), [(1.03, 0.0), (1.04, 0.01)])
+        grid = insert(grid, rd)
+        prob = np.asarray(grid.probability())
+        hit_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[1.03, 0.0]])))[0]
+        np.testing.assert_allclose(prob[hit_idx[0], hit_idx[1]], 0.7, atol=1e-3)
+
+
+class TestTSDFInserter2D:
+    def test_band_signs(self):
+        grid = make_tsdf_grid(0.05, (128, 128), truncation_distance=0.3, max_weight=10.0)
+        opts = TSDFRangeDataInserterOptions2D(project_sdf_distance_to_scan_normal=False)
+        insert = make_tsdf_inserter_2d(opts, resolution=0.05)
+        # Vertical wall at x=2: several hits along it so normals are sane.
+        hits = [(2.0, y) for y in np.linspace(-0.5, 0.5, 21)]
+        rd = make_range_data_2d((0.0, 0.0), hits)
+        grid = insert(grid, rd)
+        tsd = np.asarray(grid.tsd)
+        w = np.asarray(grid.weight)
+        hit_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, 0.0]])))[0]
+        before_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[1.85, 0.0]])))[0]
+        behind_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[2.15, 0.0]])))[0]
+        assert w[hit_idx[0], hit_idx[1]] > 0
+        assert abs(tsd[hit_idx[0], hit_idx[1]]) < 0.05
+        assert tsd[before_idx[0], before_idx[1]] > 0.05  # free side positive
+        assert tsd[behind_idx[0], behind_idx[1]] < -0.05  # occluded side negative
+
+    def test_weight_capped(self):
+        grid = make_tsdf_grid(0.05, (64, 64), truncation_distance=0.3, max_weight=10.0)
+        opts = TSDFRangeDataInserterOptions2D()
+        insert = make_tsdf_inserter_2d(opts, resolution=0.05)
+        rd = make_range_data_2d((0.0, 0.0), [(1.03, y) for y in np.linspace(-0.3, 0.3, 13)])
+        for _ in range(30):
+            grid = insert(grid, rd)
+        assert float(jnp.max(grid.weight)) <= 10.0 + 1e-5
+
+
+class TestProbabilityInserter3D:
+    def test_hit_and_free_space(self):
+        grid = make_probability_grid(0.1, (64, 64, 32))
+        opts = ProbabilityGridRangeDataInserterOptions3D()
+        insert = make_probability_inserter_3d(opts)
+        pts = np.array([[2.03, 0.0, 0.0]], dtype=np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 16),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        grid = insert(grid, rd)
+        prob = np.asarray(grid.probability())
+        hit_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, 0.0, 0.0]])))[0]
+        # cell just before the hit (within num_free_space_voxels=2)
+        near_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[1.87, 0.0, 0.0]])))[0]
+        origin_idx = np.asarray(cell_index(grid.meta, jnp.asarray([[0.2, 0.0, 0.0]])))[0]
+        assert prob[tuple(hit_idx)] > 0.5
+        assert prob[tuple(near_idx)] < 0.5
+        # far from hit: not updated (only last 2 voxels get misses)
+        assert not bool(grid.known[tuple(origin_idx)])
+
+
+class TestTSDFInserter3D:
+    def test_ray_based_insert(self):
+        grid = make_tsdf_grid(0.1, (64, 64, 32), truncation_distance=0.25, max_weight=1000.0)
+        opts = TSDFRangeDataInserterOptions3D(normal_computation_method="NONE", min_range=0.4, max_range=15.0)
+        insert = make_tsdf_inserter_3d(opts, resolution=0.1)
+        pts = np.array([[2.03, 0.0, 0.0]], dtype=np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 16),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        grid = insert(grid, rd)
+        tsd = np.asarray(grid.tsd)
+        w = np.asarray(grid.weight)
+        hit_idx = tuple(np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, 0.0, 0.0]])))[0])
+        free_idx = tuple(np.asarray(cell_index(grid.meta, jnp.asarray([[1.87, 0.0, 0.0]])))[0])
+        behind_idx = tuple(np.asarray(cell_index(grid.meta, jnp.asarray([[2.19, 0.0, 0.0]])))[0])
+        assert w[hit_idx] > 0
+        assert abs(tsd[hit_idx]) < 0.1
+        assert tsd[free_idx] > 0.0
+        assert tsd[behind_idx] < 0.0
+
+    def test_structured_normals_flat_wall(self):
+        # Organized cloud of a wall at x=2, rows scan z, cols scan y.
+        width = 8
+        ys = np.linspace(-0.7, 0.7, width)
+        zs = np.linspace(-0.3, 0.3, 4)
+        pts = np.array([[2.03, y, z] for z in zs for y in ys], dtype=np.float32)
+        cloud = pad_cloud(pts, 32)
+        normals, ok = structured_cloud_normals(
+            cloud, jnp.zeros(3, jnp.float32), width=width, vertical_stride=1, horizontal_stride=1
+        )
+        normals = np.asarray(normals)
+        ok = np.asarray(ok)
+        assert ok[: len(pts)].sum() > len(pts) // 2
+        for i in range(len(pts)):
+            if ok[i]:
+                assert abs(abs(normals[i, 0]) - 1.0) < 1e-4  # +-x normal
+
+    def test_insertion_ratio_mask(self):
+        valid = jnp.ones(100, dtype=bool)
+        kept = np.asarray(insertion_ratio_mask(valid, 0.1)).sum()
+        assert 8 <= kept <= 12
+
+    def test_normal_based_insert_wall(self):
+        grid = make_tsdf_grid(0.1, (64, 64, 32), truncation_distance=0.25, max_weight=1000.0)
+        opts = TSDFRangeDataInserterOptions3D(min_range=0.4, max_range=15.0)
+        insert = make_tsdf_inserter_3d(opts, resolution=0.1)
+        width = 16
+        ys = np.linspace(-0.7, 0.7, width)
+        zs = np.linspace(-0.3, 0.3, 4)
+        pts = np.array([[2.03, y, z] for z in zs for y in ys], dtype=np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 64),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+            width=width,
+        )
+        grid = insert(grid, rd)
+        tsd = np.asarray(grid.tsd)
+        w = np.asarray(grid.weight)
+        # probe at an interior point of the wall (row 1, col 8)
+        probe = pts[width + 8]
+        hit_idx = tuple(np.asarray(cell_index(grid.meta, jnp.asarray(probe[None])))[0])
+        free = probe - np.array([0.16, 0.0, 0.0], np.float32)
+        free_idx = tuple(np.asarray(cell_index(grid.meta, jnp.asarray(free[None])))[0])
+        assert w[hit_idx] > 0
+        assert abs(tsd[hit_idx]) < 0.1
+        assert tsd[free_idx] > 0.0
