@@ -1,0 +1,108 @@
+"""2D submaps: two overlapping fixed-extent dense grids.
+
+(ref: cartographer/mapping/2d/submap_2d.{h,cc} — ActiveSubmaps2D keeps two
+submaps; a new one is started every num_range_data inserts and the old one
+is finished after 2*num_range_data.)
+
+TPU design: each submap's grid is a fixed dense array centered on the
+submap origin (the tracking position at creation), so insertion and
+matching are static-shape kernels; there is no grow-by-doubling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid, make_probability_grid, make_tsdf_grid
+from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d, make_tsdf_inserter_2d
+from hectorgrapher_tpu.sensor.types import RangeData, transform_range_data
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+from hectorgrapher_tpu.transform.rigid import Rigid3
+
+
+@dataclass
+class Submap2D:
+    """(ref: submap_2d.h Submap2D; local_pose is the submap frame in the
+    local SLAM frame)"""
+
+    local_pose: NpRigid3
+    grid: object  # ProbabilityGrid | TSDFGrid
+    num_range_data: int = 0
+    insertion_finished: bool = False
+
+    def insert(self, range_data_in_submap: RangeData, inserter) -> None:
+        assert not self.insertion_finished
+        self.grid = inserter(self.grid, range_data_in_submap)
+        self.num_range_data += 1
+
+    def finish(self) -> None:
+        self.insertion_finished = True
+
+
+class ActiveSubmaps2D:
+    """(ref: submap_2d.cc ActiveSubmaps2D::InsertRangeData/AddSubmap)"""
+
+    def __init__(self, options):
+        self._options = options
+        self._submaps: List[Submap2D] = []
+        resolution = options.grid_options_2d.resolution
+        size = options.grid_size
+        grid_type = options.grid_options_2d.grid_type
+        ins_opts = options.range_data_inserter
+        if grid_type == "TSDF":
+            tsdf_opts = ins_opts.tsdf_range_data_inserter
+            self._make_grid = lambda: make_tsdf_grid(
+                resolution,
+                (size, size),
+                truncation_distance=tsdf_opts.truncation_distance,
+                max_weight=tsdf_opts.maximum_weight,
+            )
+            self._inserter = make_tsdf_inserter_2d(tsdf_opts, resolution)
+        else:
+            pg_opts = ins_opts.probability_grid_range_data_inserter
+            max_range = size * resolution  # rays are clipped to the grid anyway
+            self._make_grid = lambda: make_probability_grid(resolution, (size, size))
+            self._inserter = make_probability_inserter_2d(pg_opts, max_range=max_range, resolution=resolution)
+
+    @property
+    def submaps(self) -> List[Submap2D]:
+        return list(self._submaps)
+
+    def insert_range_data(self, range_data_in_local: RangeData, origin_local: np.ndarray) -> List[Submap2D]:
+        """Insert into both active submaps; manage spawn/finish.
+
+        range_data_in_local: scan already transformed into the local SLAM
+        frame. origin_local: scan origin (used as new submap center).
+        Returns the current submap list (after possible finish/spawn).
+        """
+        if not self._submaps or self._submaps[-1].num_range_data == self._options.num_range_data:
+            self._add_submap(origin_local)
+        for submap in self._submaps:
+            # Submap grids are stored in the local SLAM frame (the grid's
+            # min_corner is shifted to center the array on the submap
+            # origin), so no per-insert transform is needed.
+            submap.insert(range_data_in_local, self._inserter)
+        if self._submaps[0].num_range_data == 2 * self._options.num_range_data:
+            self._submaps[0].finish()
+        return list(self._submaps)
+
+    def _add_submap(self, origin_local: np.ndarray) -> None:
+        if len(self._submaps) >= 2:
+            self._submaps[0].finish()
+            self._submaps.pop(0)
+        grid = self._make_grid()
+        # Center the fixed grid on the new submap origin.
+        center = np.array([origin_local[0], origin_local[1]], dtype=np.float32)
+        meta = grid.meta._replace(min_corner=grid.meta.min_corner + jnp.asarray(center))
+        grid = grid._replace(meta=meta)
+        self._submaps.append(
+            Submap2D(local_pose=NpRigid3(np.array([origin_local[0], origin_local[1], 0.0])), grid=grid)
+        )
+
+    @property
+    def matching_submap(self) -> Optional[Submap2D]:
+        return self._submaps[0] if self._submaps else None

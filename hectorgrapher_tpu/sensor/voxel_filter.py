@@ -21,42 +21,43 @@ import jax.numpy as jnp
 from hectorgrapher_tpu.sensor.types import PointCloud, TimedPointCloud
 
 
-def _cell_keys(positions, mask, resolution):
-    """Integer cell coordinates packed into a single int64 key.
+_INVALID_CELL = jnp.int32(1 << 24)
 
-    Invalid points get the maximal key so they sort to the end.
-    """
-    cells = jnp.floor(positions / resolution).astype(jnp.int64)
-    # Pack 3 x 21-bit signed cell coords into one int64 (range +-2^20 cells,
-    # i.e. +-50km at 5cm resolution — far beyond the reference's +-8192).
-    offset = jnp.int64(1 << 20)
-    packed = (
-        ((cells[..., 0] + offset) << 42)
-        | ((cells[..., 1] + offset) << 21)
-        | (cells[..., 2] + offset)
+
+def _cell_coords(positions, mask, resolution):
+    """Integer cell coordinates (N, 3) in int32; invalid points get a
+    sentinel so they sort to the end. int32 keeps the filter TPU-friendly
+    (no x64 requirement); range +-2^23 cells is far beyond the reference's
+    +-8192 (hybrid_grid.h:40-45)."""
+    cells = jnp.floor(positions / resolution).astype(jnp.int32)
+    return jnp.where(mask[..., None], cells, _INVALID_CELL)
+
+
+def _dedup_order(cells):
+    """Lexicographic sort order plus first-occurrence mask per voxel."""
+    order = jnp.lexsort((cells[:, 2], cells[:, 1], cells[:, 0]))
+    s = cells[order]
+    first = jnp.concatenate(
+        [jnp.array([True]), jnp.any(s[1:] != s[:-1], axis=-1)]
     )
-    return jnp.where(mask, packed, jnp.int64(0x7FFFFFFFFFFFFFFF))
+    return order, first
 
 
 @functools.partial(jax.jit, static_argnames=())
 def voxel_filter(cloud: PointCloud, resolution) -> PointCloud:
     """Keep one point per voxel of edge `resolution` (ref: voxel_filter.h)."""
-    keys = _cell_keys(cloud.positions, cloud.mask, resolution)
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
-    first = jnp.concatenate([jnp.array([True]), sorted_keys[1:] != sorted_keys[:-1]])
-    valid_sorted = cloud.mask[order]
-    new_mask = first & valid_sorted
+    cells = _cell_coords(cloud.positions, cloud.mask, resolution)
+    order, first = _dedup_order(cells)
+    new_mask = first & cloud.mask[order]
     return PointCloud(positions=cloud.positions[order], mask=new_mask)
 
 
 @jax.jit
 def voxel_filter_count(cloud: PointCloud, resolution):
     """Number of surviving points without materializing the output."""
-    keys = _cell_keys(cloud.positions, cloud.mask, resolution)
-    sorted_keys = jnp.sort(keys)
-    first = jnp.concatenate([jnp.array([True]), sorted_keys[1:] != sorted_keys[:-1]])
-    valid = sorted_keys != jnp.int64(0x7FFFFFFFFFFFFFFF)
+    cells = _cell_coords(cloud.positions, cloud.mask, resolution)
+    order, first = _dedup_order(cells)
+    valid = cloud.mask[order]
     return jnp.sum(first & valid)
 
 
@@ -124,10 +125,8 @@ def adaptive_voxel_filter(cloud: PointCloud, options) -> PointCloud:
 @jax.jit
 def voxel_filter_timed(cloud: TimedPointCloud, resolution) -> TimedPointCloud:
     """Voxel filter preserving per-point times."""
-    keys = _cell_keys(cloud.positions, cloud.mask, resolution)
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
-    first = jnp.concatenate([jnp.array([True]), sorted_keys[1:] != sorted_keys[:-1]])
+    cells = _cell_coords(cloud.positions, cloud.mask, resolution)
+    order, first = _dedup_order(cells)
     new_mask = first & cloud.mask[order]
     return TimedPointCloud(
         positions=cloud.positions[order], times=cloud.times[order], mask=new_mask

@@ -1,0 +1,74 @@
+"""2D scan matcher tests: perturb a pose and assert recovery
+(ref: real_time_correlative_scan_matcher_2d_test.cc,
+ceres_scan_matcher_2d_test.cc)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions2D
+from hectorgrapher_tpu.mapping.grids import make_probability_grid
+from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+    make_search_window,
+    match_correlative_2d,
+)
+from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_probability
+from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+from hectorgrapher_tpu.transform.rigid import Rigid2, apply2
+
+
+def build_room_grid_and_scan():
+    """Insert one scan from the origin into a grid; return (grid, cloud)."""
+    grid = make_probability_grid(0.05, (512, 512))
+    opts = ProbabilityGridRangeDataInserterOptions2D()
+    insert = make_probability_inserter_2d(opts, max_range=12.0, resolution=0.05)
+    pts = raycast_rect_room_2d(np.zeros(2), 0.0, num_rays=720)
+    valid = ~np.isnan(pts[:, 0])
+    cloud = pad_cloud(pts[valid].astype(np.float32), 1024)
+    rd = RangeData(origin=jnp.zeros(3, jnp.float32), returns=cloud, misses=pad_cloud(np.zeros((0, 3), np.float32), 8))
+    for _ in range(5):
+        grid = insert(grid, rd)
+    return grid, cloud
+
+
+class TestCorrelative2D:
+    def test_recovers_translation_offset(self):
+        grid, cloud = build_room_grid_and_scan()
+        window = make_search_window(0.3, np.radians(10.0), 0.05, 10.0)
+        initial = Rigid2(translation=jnp.array([0.15, -0.1], jnp.float32), angle=jnp.asarray(0.0, jnp.float32))
+        score, pose = match_correlative_2d(grid, cloud, initial, window, 0.0, 0.0)
+        assert float(score) > 0.3
+        np.testing.assert_allclose(np.asarray(pose.translation), [0.0, 0.0], atol=0.06)
+        np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.02)
+
+    def test_recovers_rotation_offset(self):
+        grid, cloud = build_room_grid_and_scan()
+        window = make_search_window(0.2, np.radians(12.0), 0.05, 10.0)
+        initial = Rigid2(translation=jnp.zeros(2, jnp.float32), angle=jnp.asarray(0.12, jnp.float32))
+        score, pose = match_correlative_2d(grid, cloud, initial, window, 0.0, 0.0)
+        np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.02)
+
+
+class TestGaussNewton2D:
+    def test_refines_small_offset(self):
+        grid, cloud = build_room_grid_and_scan()
+        initial = Rigid2(translation=jnp.array([0.06, -0.04], jnp.float32), angle=jnp.asarray(0.02, jnp.float32))
+        pose, cost = match_gn_2d_probability(
+            grid, cloud, initial, initial.translation,
+            occupied_space_weight=1.0, translation_weight=0.1, rotation_weight=0.1,
+            num_iterations=20,
+        )
+        np.testing.assert_allclose(np.asarray(pose.translation), [0.0, 0.0], atol=0.03)
+        np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.01)
+
+    def test_stays_at_optimum(self):
+        grid, cloud = build_room_grid_and_scan()
+        initial = Rigid2.identity()
+        pose, _ = match_gn_2d_probability(
+            grid, cloud, initial, initial.translation,
+            occupied_space_weight=1.0, translation_weight=10.0, rotation_weight=40.0,
+            num_iterations=10,
+        )
+        np.testing.assert_allclose(np.asarray(pose.translation), [0.0, 0.0], atol=0.02)
+        np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.005)
