@@ -77,17 +77,35 @@ def match_correlative_2d(
     rotated = rot2(angles[:, None], pts[None, :, :]) + initial_pose.translation[None, None, :]
     base_idx = cell_index(grid.meta, rotated)  # (T, N, 2)
 
+    # TPU layout: instead of an element gather per (point, offset), build a
+    # shifted-grid matrix Gshift (cells+1, D*D) once (cheap strided slices
+    # of a padded grid) and fetch one CONTIGUOUS row per (angle, point) —
+    # coalesced reads, then a dense reduction. Out-of-bounds points hit the
+    # appended pad row (probability 0.1, matching unknown cells).
     k = window.num_linear
-    offs = jnp.arange(-k, k + 1, dtype=jnp.int32)
-    # (T, N, Dx, Dy) gather of probabilities
-    ix = base_idx[..., 0][:, :, None, None] + offs[None, None, :, None]
-    iy = base_idx[..., 1][:, :, None, None] + offs[None, None, None, :]
-    ok = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & valid[None, :, None, None]
-    v = jnp.where(ok, prob[jnp.clip(ix, 0, nx - 1), jnp.clip(iy, 0, ny - 1)], 0.1)
-    v = jnp.where(valid[None, :, None, None], v, 0.0)
-    scores = jnp.sum(v, axis=1) / n_valid  # (T, Dx, Dy)
+    d = 2 * k + 1
+    pad = jnp.pad(prob, k, constant_values=0.1)
+    shifts = [
+        jax.lax.dynamic_slice(pad, (dx + k, dy + k), (nx, ny)).reshape(-1)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+    ]
+    gshift = jnp.stack(shifts, axis=-1)  # (nx*ny, D*D)
+    gshift = jnp.concatenate([gshift, jnp.full((1, d * d), 0.1, prob.dtype)], axis=0)
+
+    ok = (
+        (base_idx[..., 0] >= 0)
+        & (base_idx[..., 0] < nx)
+        & (base_idx[..., 1] >= 0)
+        & (base_idx[..., 1] < ny)
+    )
+    flat = jnp.where(ok, base_idx[..., 0] * ny + base_idx[..., 1], nx * ny)  # (T, N)
+    rows = jnp.take(gshift, flat, axis=0)  # (T, N, D*D)
+    rows = jnp.where(valid[None, :, None], rows, 0.0)
+    scores = (jnp.sum(rows, axis=1) / n_valid).reshape(n_th, d, d)  # (T, Dx, Dy)
 
     # Candidate penalty (ref: real_time_correlative_scan_matcher_2d.cc:140-146).
+    offs = jnp.arange(-k, k + 1, dtype=jnp.int32)
     dxy = offs.astype(jnp.float32) * res
     dist = jnp.sqrt(dxy[:, None] ** 2 + dxy[None, :] ** 2)  # (Dx, Dy)
     penalty = jnp.exp(
