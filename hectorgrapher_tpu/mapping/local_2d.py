@@ -89,7 +89,14 @@ class LocalTrajectoryBuilder2D:
 
     def add_odometry_data(self, time: float, pose: NpRigid3) -> None:
         if self._extrapolator is None:
-            return
+            if self._options.use_imu_data:
+                return  # wait for IMU to initialize (reference behavior)
+            # Without IMU, bootstrap from the first odometry sample so the
+            # velocity estimate is available from the second scan on
+            # (the reference drops pre-extrapolator odometry, which costs
+            # one scan period of unrecoverable lag in odometry-only runs).
+            self._extrapolator = PoseExtrapolator(0.001, self._options.imu_gravity_time_constant)
+            self._extrapolator.add_pose(time, NpRigid3.identity())
         self._extrapolator.add_odometry_data(time, pose)
 
     def add_range_data(self, data: TimedPointCloudData) -> Optional[MatchingResult]:

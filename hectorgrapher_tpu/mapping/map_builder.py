@@ -1,0 +1,127 @@
+"""MapBuilder: the top-level facade.
+
+(ref: cartographer/mapping/map_builder.{h,cc} MapBuilder +
+internal/global_trajectory_builder.cc GlobalTrajectoryBuilder — wires a
+local trajectory builder to the pose graph, routes sensor data, exposes
+trajectory lifecycle and serialization.)
+
+Round-1 scope: single-process, synchronous (the reference's work-queue
+concurrency is replaced by batched device launches); 2D pipeline wired to
+LocalTrajectoryBuilder2D + PoseGraph2D; 3D wired to
+OptimizingLocalTrajectoryBuilder + PoseGraph3D (the reference also always
+uses the optimizing builder for 3D, map_builder.cc:126-140).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from hectorgrapher_tpu.mapping.ct.builder import OptimizingLocalTrajectoryBuilder
+from hectorgrapher_tpu.mapping.local_2d import LocalTrajectoryBuilder2D
+from hectorgrapher_tpu.mapping.pose_graph.pose_graph import (
+    PgNode,
+    PoseGraph2D,
+    PoseGraph3D,
+    TrajectoryState,
+)
+from hectorgrapher_tpu.sensor.types import TimedPointCloudData
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+
+class TrajectoryBuilder:
+    """Glue equivalent to GlobalTrajectoryBuilder: feeds local SLAM results
+    into the pose graph (ref: global_trajectory_builder.cc:34-138)."""
+
+    def __init__(self, trajectory_id: int, local_builder, pose_graph, use_3d: bool, callback=None):
+        self.trajectory_id = trajectory_id
+        self._local = local_builder
+        self._pose_graph = pose_graph
+        self._use_3d = use_3d
+        self._callback = callback
+        self._known_finished: set = set()
+
+    def add_range_data(self, data: TimedPointCloudData):
+        result = self._local.add_range_data(data)
+        if result is None or result.insertion_result is None:
+            return result
+        ir = result.insertion_result
+        if self._use_3d:
+            node = PgNode(
+                time=result.time,
+                local_pose=result.local_pose,
+                global_pose=NpRigid3.identity(),
+                trajectory_id=self.trajectory_id,
+                high_cloud=ir.high_resolution_cloud,
+                low_cloud=ir.low_resolution_cloud,
+                histogram=ir.rotational_histogram,
+                gravity_alignment=ir.gravity_alignment,
+            )
+        else:
+            node = PgNode(
+                time=result.time,
+                local_pose=result.local_pose,
+                global_pose=NpRigid3.identity(),
+                trajectory_id=self.trajectory_id,
+                cloud=ir.filtered_gravity_aligned_point_cloud,
+                gravity_alignment=ir.gravity_alignment,
+            )
+        newly_finished = []
+        for submap in ir.insertion_submaps:
+            if submap.insertion_finished and id(submap) not in self._known_finished:
+                self._known_finished.add(id(submap))
+                newly_finished.append(submap)
+        self._pose_graph.add_node(node, ir.insertion_submaps, newly_finished)
+        if self._callback is not None:
+            self._callback(self.trajectory_id, result)
+        return result
+
+    def add_imu_data(self, time: float, linear_acceleration, angular_velocity) -> None:
+        self._local.add_imu_data(time, linear_acceleration, angular_velocity)
+
+    def add_odometry_data(self, time: float, pose: NpRigid3) -> None:
+        self._local.add_odometry_data(time, pose)
+
+
+class MapBuilder:
+    """(ref: map_builder.cc MapBuilder)"""
+
+    def __init__(self, options):
+        """options: MapBuilderOptions."""
+        self._options = options
+        self._trajectory_builders: List[TrajectoryBuilder] = []
+        if options.use_trajectory_builder_3d:
+            self.pose_graph = PoseGraph3D(
+                options.pose_graph,
+                histogram_size=options.trajectory_builder_3d.rotational_histogram_size,
+                max_scan_range=options.trajectory_builder_3d.submaps.high_resolution_max_range,
+            )
+        else:
+            self.pose_graph = PoseGraph2D(
+                options.pose_graph, max_scan_range=options.trajectory_builder_2d.max_range
+            )
+
+    def add_trajectory_builder(self, callback=None) -> int:
+        """(ref: map_builder.cc AddTrajectoryBuilder:120-177)"""
+        trajectory_id = len(self._trajectory_builders)
+        if self._options.use_trajectory_builder_3d:
+            local = OptimizingLocalTrajectoryBuilder(self._options.trajectory_builder_3d)
+            use_3d = True
+        else:
+            local = LocalTrajectoryBuilder2D(self._options.trajectory_builder_2d)
+            use_3d = False
+        builder = TrajectoryBuilder(trajectory_id, local, self.pose_graph, use_3d, callback)
+        self._trajectory_builders.append(builder)
+        self.pose_graph._trajectory_states.setdefault(trajectory_id, TrajectoryState.ACTIVE)
+        return trajectory_id
+
+    def get_trajectory_builder(self, trajectory_id: int) -> TrajectoryBuilder:
+        return self._trajectory_builders[trajectory_id]
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self.pose_graph.finish_trajectory(trajectory_id)
+
+    def num_trajectory_builders(self) -> int:
+        return len(self._trajectory_builders)

@@ -100,13 +100,11 @@ class PoseExtrapolator:
         dt = t_new - t_old
         if dt <= 0:
             return
-        delta = p_new.inverse().compose(p_old)
+        # Forward delta old -> new in the old body frame.
+        delta = p_old.inverse().compose(p_new)
         self._angular_velocity_from_odometry = nq.quat_to_axis_angle(delta.q) / dt
         if not self._timed_pose_queue:
             return
-        # Linear velocity in the tracking frame at the newest odometry time.
-        velocity_in_tracking = p_new.apply(np.zeros(3)) - p_old.apply(np.zeros(3))
-        velocity_in_tracking = (p_old.t - p_new.t) / dt  # odometry frame
         orientation_newest = self._extrapolate_rotation(t_new, self._odometry_imu_tracker) if self._odometry_imu_tracker else nq.quat_identity()
         newest_pose_q = nq.quat_multiply(self._timed_pose_queue[-1][1].q, orientation_newest)
         # odometry-frame velocity -> world frame using current orientation

@@ -1,0 +1,533 @@
+"""Pose graph back-end: constraints, loop closure, global optimization.
+
+TPU-native replacement for PoseGraph2D/PoseGraph3D
+(ref: mapping/internal/2d/pose_graph_2d.cc, internal/3d/pose_graph_3d.cc +
+internal/constraints/constraint_builder_{2d,3d}.cc). The reference runs an
+asynchronous work queue on a thread pool; here the same decisions run
+synchronously and the *computation* is batched on device ("batch, don't
+queue", SURVEY.md section 2.12): loop-closure searches are dense top-k
+matcher launches, and the SPA solve is one jitted block-GN program.
+
+Bookkeeping (node/submap tables, constraint lists, sampling and distance
+gates, trajectory lifecycle) lives on the host.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.common.math import normalize_angle_difference
+from hectorgrapher_tpu.mapping.pose_graph.optimization import (
+    SpaProblem2D,
+    SpaProblem3D,
+    solve_spa_2d,
+    solve_spa_3d,
+)
+from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+    make_fast_search_config,
+    match_fast_2d,
+)
+from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+    FastCorrelativeScanMatcher3D,
+)
+from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_probability, match_gn_2d_tsdf
+from hectorgrapher_tpu.mapping.scan_matching.gn_3d import match_gn_3d
+from hectorgrapher_tpu.mapping.grids import TSDFGrid
+from hectorgrapher_tpu.sensor.types import PointCloud
+from hectorgrapher_tpu.transform import np_quat as nq
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+from hectorgrapher_tpu.transform.rigid import Rigid2, Rigid3
+
+
+class TrajectoryState(Enum):
+    """(ref: pose_graph_interface.h:85)"""
+
+    ACTIVE = 0
+    FINISHED = 1
+    FROZEN = 2
+    DELETED = 3
+
+
+@dataclass
+class Constraint:
+    """(ref: pose_graph_interface.h:33-53 Constraint)"""
+
+    submap_index: int
+    node_index: int
+    zbar: NpRigid3  # relative pose submap <- node (3D); 2D packs (x,y,theta)
+    translation_weight: float
+    rotation_weight: float
+    tag: str  # "INTRA" | "INTER"
+
+
+@dataclass
+class PgNode:
+    time: float
+    local_pose: NpRigid3
+    global_pose: NpRigid3
+    trajectory_id: int = 0
+    # constant data for loop closure:
+    cloud: Optional[PointCloud] = None  # 2D: gravity-aligned filtered cloud
+    high_cloud: Optional[PointCloud] = None  # 3D
+    low_cloud: Optional[PointCloud] = None
+    histogram: Optional[np.ndarray] = None
+    gravity_alignment: Optional[np.ndarray] = None
+
+
+@dataclass
+class PgSubmap:
+    submap: object  # Submap2D | Submap3D
+    global_pose: NpRigid3
+    trajectory_id: int = 0
+    finished: bool = False
+    matcher: object = None  # lazily built loop-closure matcher
+
+
+class _SamplerState:
+    """(ref: common/fixed_ratio_sampler.h FixedRatioSampler)"""
+
+    def __init__(self, ratio: float):
+        self.ratio = ratio
+        self.num_pulses = 0
+        self.num_samples = 0
+
+    def pulse(self) -> bool:
+        self.num_pulses += 1
+        if self.num_samples * 1.0 < self.ratio * self.num_pulses:
+            self.num_samples += 1
+            return True
+        return False
+
+
+class PoseGraphBase:
+    """Shared bookkeeping for 2D/3D pose graphs."""
+
+    def __init__(self, options):
+        self._options = options  # PoseGraphOptions
+        self.nodes: List[PgNode] = []
+        self.submaps: List[PgSubmap] = []
+        self.constraints: List[Constraint] = []
+        self._submap_ids: Dict[int, int] = {}  # id(submap object) -> index
+        self._num_nodes_since_last_optimization = 0
+        self._sampler = _SamplerState(options.constraint_builder.sampling_ratio)
+        self._trajectory_states: Dict[int, TrajectoryState] = {0: TrajectoryState.ACTIVE}
+        self.num_optimizations = 0
+
+    # -- submap bookkeeping -------------------------------------------------
+
+    def _get_or_add_submap(self, submap, trajectory_id: int) -> int:
+        key = id(submap)
+        if key not in self._submap_ids:
+            # Initialize the global pose from the local pose corrected by the
+            # current local-to-global transform of the trajectory.
+            local_to_global = self.local_to_global(trajectory_id)
+            self._submap_ids[key] = len(self.submaps)
+            self.submaps.append(
+                PgSubmap(
+                    submap=submap,
+                    global_pose=local_to_global.compose(submap.local_pose),
+                    trajectory_id=trajectory_id,
+                )
+            )
+        idx = self._submap_ids[key]
+        if getattr(submap, "insertion_finished", False) and not self.submaps[idx].finished:
+            self.submaps[idx].finished = True
+            self._on_submap_finished(idx)
+        return idx
+
+    def local_to_global(self, trajectory_id: int = 0) -> NpRigid3:
+        """Correction mapping local SLAM frame -> global frame
+        (ref: pose_graph GetLocalToGlobalTransform)."""
+        for node in reversed(self.nodes):
+            if node.trajectory_id == trajectory_id:
+                return node.global_pose.compose(node.local_pose.inverse())
+        return NpRigid3.identity()
+
+    def freeze_trajectory(self, trajectory_id: int) -> None:
+        self._trajectory_states[trajectory_id] = TrajectoryState.FROZEN
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self._trajectory_states[trajectory_id] = TrajectoryState.FINISHED
+
+    def is_frozen(self, trajectory_id: int) -> bool:
+        return self._trajectory_states.get(trajectory_id) == TrajectoryState.FROZEN
+
+    # -- hooks implemented by 2D/3D subclasses ------------------------------
+
+    def _on_submap_finished(self, submap_index: int) -> None:
+        raise NotImplementedError
+
+    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
+        raise NotImplementedError
+
+    def _run_optimization(self, num_iterations: int) -> None:
+        raise NotImplementedError
+
+    # -- main entry ---------------------------------------------------------
+
+    def add_node(self, node: PgNode, insertion_submaps, newly_finished=()) -> int:
+        """(ref: pose_graph_3d.cc AddNode:142-160 +
+        ComputeConstraintsForNode:313-395, executed synchronously.)"""
+        local_to_global = self.local_to_global(node.trajectory_id)
+        node.global_pose = local_to_global.compose(node.local_pose)
+        node_index = len(self.nodes)
+        self.nodes.append(node)
+
+        # INTRA constraints against the submaps the node was inserted into.
+        for submap in insertion_submaps:
+            si = self._get_or_add_submap(submap, node.trajectory_id)
+            zbar = submap.local_pose.inverse().compose(node.local_pose)
+            self.constraints.append(
+                Constraint(
+                    submap_index=si,
+                    node_index=node_index,
+                    zbar=zbar,
+                    translation_weight=self._options.matcher_translation_weight,
+                    rotation_weight=self._options.matcher_rotation_weight,
+                    tag="INTRA",
+                )
+            )
+
+        # INTER constraints: this node vs all finished submaps.
+        inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
+        for si, pg_submap in enumerate(self.submaps):
+            if si in inserted or not pg_submap.finished:
+                continue
+            self._maybe_add_constraint(node_index, si)
+
+        # Newly finished submaps vs all old nodes.
+        for submap in newly_finished:
+            key = id(submap)
+            if key not in self._submap_ids:
+                continue
+            si = self._submap_ids[key]
+            for ni in range(len(self.nodes) - 1):
+                node_submaps = {
+                    c.submap_index for c in self.constraints if c.node_index == ni and c.tag == "INTRA"
+                }
+                if si not in node_submaps:
+                    self._maybe_add_constraint(ni, si)
+
+        self._num_nodes_since_last_optimization += 1
+        if self._num_nodes_since_last_optimization >= self._options.optimize_every_n_nodes > 0:
+            self.run_final_optimization(self._options.optimization_problem.ceres_solver_options.max_num_iterations)
+        return node_index
+
+    def _maybe_add_constraint(self, node_index: int, submap_index: int) -> None:
+        """Distance + sampling gates (ref: pose_graph ComputeConstraint
+        :248-311 local-search branch; MaybeAddConstraint in the builder)."""
+        node = self.nodes[node_index]
+        pg_submap = self.submaps[submap_index]
+        d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
+        if d > self._options.constraint_builder.max_constraint_distance:
+            return
+        if not self._sampler.pulse():
+            return
+        constraint = self._compute_constraint(node_index, submap_index)
+        if constraint is not None:
+            self.constraints.append(constraint)
+
+    def run_final_optimization(self, num_iterations: Optional[int] = None) -> None:
+        """(ref: RunFinalOptimization — used both periodically and at end)"""
+        if num_iterations is None:
+            num_iterations = self._options.max_num_final_iterations
+        if not self.nodes or not self.submaps:
+            return
+        self._run_optimization(num_iterations)
+        self.num_optimizations += 1
+        self._num_nodes_since_last_optimization = 0
+
+    # -- shared SPA writeback helpers ---------------------------------------
+
+    @staticmethod
+    def _pad_to(n: int) -> int:
+        """Pad capacities to limit recompiles of the jitted SPA solve."""
+        p = 8
+        while p < n:
+            p *= 2
+        return p
+
+
+def _pose2_of(p: NpRigid3) -> np.ndarray:
+    return np.array([p.t[0], p.t[1], nq.quat_yaw(p.q)], np.float32)
+
+
+def _rigid_of_pose2(v) -> NpRigid3:
+    return NpRigid3(
+        np.array([v[0], v[1], 0.0]), nq.quat_from_axis_angle(np.array([0.0, 0.0, float(v[2])]))
+    )
+
+
+class PoseGraph2D(PoseGraphBase):
+    """(ref: mapping/internal/2d/pose_graph_2d.cc)"""
+
+    def __init__(self, options, max_scan_range: float = 30.0):
+        super().__init__(options)
+        self._max_scan_range = max_scan_range
+
+    def _on_submap_finished(self, submap_index: int) -> None:
+        pass  # pyramid built lazily inside match_fast_2d
+
+    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
+        """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
+        gated by min_score, then Ceres refinement.)"""
+        node = self.nodes[node_index]
+        pg_submap = self.submaps[submap_index]
+        submap = pg_submap.submap
+        cb = self._options.constraint_builder
+
+        # Initial pose of the node in the submap's grid frame via global
+        # poses: the grid lives in the local SLAM frame the submap was
+        # built in, where the submap origin is submap.local_pose.
+        init = pg_submap.global_pose.inverse().compose(node.global_pose)
+        node_in_grid = pg_submap.submap.local_pose.compose(init)
+        initial = Rigid2(
+            translation=jnp.asarray(node_in_grid.t[:2], jnp.float32),
+            angle=jnp.asarray(nq.quat_yaw(node_in_grid.q), jnp.float32),
+        )
+
+        config = make_fast_search_config(
+            cb.fast_correlative_scan_matcher.linear_search_window,
+            cb.fast_correlative_scan_matcher.angular_search_window,
+            float(submap.grid.meta.resolution),
+            self._max_scan_range,
+            cb.fast_correlative_scan_matcher.branch_and_bound_depth,
+        )
+        score, pose = match_fast_2d(submap.grid, node.cloud, initial, config)
+        if float(score) < cb.min_score:
+            return None
+
+        cm = cb.ceres_scan_matcher
+        is_tsdf = isinstance(submap.grid, TSDFGrid)
+        refine = match_gn_2d_tsdf if is_tsdf else match_gn_2d_probability
+        refined, _ = refine(
+            submap.grid,
+            node.cloud,
+            pose,
+            pose.translation,
+            cm.occupied_space_weight,
+            cm.translation_weight,
+            cm.rotation_weight,
+            num_iterations=cm.ceres_solver_options.max_num_iterations,
+        )
+        # zbar: submap-frame pose of the node = grid-frame pose relative to
+        # submap.local_pose.
+        refined_np = _rigid_of_pose2(np.asarray(jnp.concatenate([refined.translation, refined.angle[None]])))
+        zbar = pg_submap.submap.local_pose.inverse().compose(refined_np)
+        return Constraint(
+            submap_index=submap_index,
+            node_index=node_index,
+            zbar=zbar,
+            translation_weight=cb.loop_closure_translation_weight,
+            rotation_weight=cb.loop_closure_rotation_weight,
+            tag="INTER",
+        )
+
+    def _run_optimization(self, num_iterations: int) -> None:
+        """(ref: optimization_problem_2d.cc Solve)"""
+        S = self._pad_to(len(self.submaps))
+        N = self._pad_to(len(self.nodes))
+        C = self._pad_to(max(len(self.constraints), 1))
+
+        submap_pose = np.zeros((S, 3), np.float32)
+        node_pose = np.zeros((N, 3), np.float32)
+        submap_fixed = np.ones(S, bool)
+        node_fixed = np.ones(N, bool)
+        for i, s in enumerate(self.submaps):
+            submap_pose[i] = _pose2_of(s.global_pose)
+            submap_fixed[i] = i == 0 or self.is_frozen(s.trajectory_id)
+        for i, n in enumerate(self.nodes):
+            node_pose[i] = _pose2_of(n.global_pose)
+            node_fixed[i] = self.is_frozen(n.trajectory_id)
+
+        cs = np.zeros(C, np.int32)
+        cn = np.zeros(C, np.int32)
+        cm = np.zeros(C, bool)
+        crel = np.zeros((C, 3), np.float32)
+        cwt = np.zeros(C, np.float32)
+        cwr = np.zeros(C, np.float32)
+        chub = np.full(C, 1e6, np.float32)
+        huber = self._options.optimization_problem.huber_scale
+        for i, c in enumerate(self.constraints):
+            cs[i] = c.submap_index
+            cn[i] = c.node_index
+            cm[i] = True
+            crel[i] = _pose2_of(c.zbar)
+            cwt[i] = c.translation_weight
+            cwr[i] = c.rotation_weight
+            if c.tag == "INTER":
+                chub[i] = huber
+
+        problem = SpaProblem2D(
+            submap_pose=jnp.asarray(submap_pose),
+            node_pose=jnp.asarray(node_pose),
+            submap_fixed=jnp.asarray(submap_fixed),
+            node_fixed=jnp.asarray(node_fixed),
+            c_submap=jnp.asarray(cs),
+            c_node=jnp.asarray(cn),
+            c_mask=jnp.asarray(cm),
+            c_rel_pose=jnp.asarray(crel),
+            c_translation_weight=jnp.asarray(cwt),
+            c_rotation_weight=jnp.asarray(cwr),
+            c_huber_scale=jnp.asarray(chub),
+        )
+        sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
+        sub_out = np.asarray(sub_out)
+        node_out = np.asarray(node_out)
+        for i, s in enumerate(self.submaps):
+            s.global_pose = _rigid_of_pose2(sub_out[i])
+        for i, n in enumerate(self.nodes):
+            n.global_pose = _rigid_of_pose2(node_out[i])
+
+
+class PoseGraph3D(PoseGraphBase):
+    """(ref: mapping/internal/3d/pose_graph_3d.cc)"""
+
+    def __init__(self, options, histogram_size: int = 120, max_scan_range: float = 20.0):
+        super().__init__(options)
+        self._histogram_size = histogram_size
+        self._max_scan_range = max_scan_range
+
+    def _on_submap_finished(self, submap_index: int) -> None:
+        """Build the per-submap loop-closure matcher lazily (ref:
+        constraint_builder_3d.cc DispatchScanMatcherConstruction:162-189)."""
+        pg = self.submaps[submap_index]
+        pg.matcher = FastCorrelativeScanMatcher3D(
+            self._options.constraint_builder.fast_correlative_scan_matcher_3d,
+            pg.submap.high_resolution_grid,
+            pg.submap.low_resolution_grid,
+            pg.submap.rotational_histogram,
+            self._histogram_size,
+        )
+
+    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
+        """(ref: constraint_builder_3d.cc ComputeConstraint:191-296)"""
+        node = self.nodes[node_index]
+        pg_submap = self.submaps[submap_index]
+        cb = self._options.constraint_builder
+        if pg_submap.matcher is None:
+            self._on_submap_finished(submap_index)
+
+        init = pg_submap.global_pose.inverse().compose(node.global_pose)
+        node_in_grid = pg_submap.submap.local_pose.compose(init)
+        initial = Rigid3(
+            translation=jnp.asarray(node_in_grid.t, jnp.float32),
+            rotation=jnp.asarray(node_in_grid.q, jnp.float32),
+        )
+        initial_yaw = float(nq.quat_yaw(node_in_grid.q))
+
+        score, low_score, rot_score, pose = pg_submap.matcher.match(
+            initial,
+            node.high_cloud,
+            node.low_cloud,
+            jnp.asarray(node.histogram),
+            initial_yaw,
+            max_scan_range=self._max_scan_range,
+        )
+        fc = cb.fast_correlative_scan_matcher_3d
+        if float(score) < cb.min_score:
+            return None
+        if float(low_score) < fc.min_low_resolution_score:
+            return None
+
+        cm = cb.ceres_scan_matcher_3d
+        is_tsdf = isinstance(pg_submap.submap.high_resolution_grid, TSDFGrid)
+        refined, _ = match_gn_3d(
+            pg_submap.submap.high_resolution_grid,
+            pg_submap.submap.low_resolution_grid,
+            node.high_cloud,
+            node.low_cloud,
+            pose,
+            pose.translation,
+            cm.occupied_space_weight_0,
+            cm.occupied_space_weight_1,
+            cm.translation_weight,
+            cm.rotation_weight,
+            is_tsdf=is_tsdf,
+            num_iterations=cm.ceres_solver_options.max_num_iterations,
+        )
+        refined_np = NpRigid3(
+            np.asarray(refined.translation, np.float64), np.asarray(refined.rotation, np.float64)
+        )
+        zbar = pg_submap.submap.local_pose.inverse().compose(refined_np)
+        return Constraint(
+            submap_index=submap_index,
+            node_index=node_index,
+            zbar=zbar,
+            translation_weight=cb.loop_closure_translation_weight,
+            rotation_weight=cb.loop_closure_rotation_weight,
+            tag="INTER",
+        )
+
+    def _run_optimization(self, num_iterations: int) -> None:
+        """(ref: optimization_problem_3d.cc Solve:257-530; round-1 scope:
+        SPA constraints; IMU/odometry/fixed-frame residuals land with the
+        full back-end in a later round.)"""
+        S = self._pad_to(len(self.submaps))
+        N = self._pad_to(len(self.nodes))
+        C = self._pad_to(max(len(self.constraints), 1))
+
+        st = np.zeros((S, 3), np.float32)
+        sq = np.tile(np.array([1, 0, 0, 0], np.float32), (S, 1))
+        nt = np.zeros((N, 3), np.float32)
+        nqr = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
+        s_fixed = np.ones(S, bool)
+        n_fixed = np.ones(N, bool)
+        for i, s in enumerate(self.submaps):
+            st[i] = s.global_pose.t
+            sq[i] = s.global_pose.q
+            s_fixed[i] = i == 0 or self.is_frozen(s.trajectory_id)
+        for i, n in enumerate(self.nodes):
+            nt[i] = n.global_pose.t
+            nqr[i] = n.global_pose.q
+            n_fixed[i] = self.is_frozen(n.trajectory_id)
+
+        cs = np.zeros(C, np.int32)
+        cn = np.zeros(C, np.int32)
+        cmask = np.zeros(C, bool)
+        crt = np.zeros((C, 3), np.float32)
+        crq = np.tile(np.array([1, 0, 0, 0], np.float32), (C, 1))
+        cwt = np.zeros(C, np.float32)
+        cwr = np.zeros(C, np.float32)
+        chub = np.full(C, 1e6, np.float32)
+        huber = self._options.optimization_problem.huber_scale
+        for i, c in enumerate(self.constraints):
+            cs[i] = c.submap_index
+            cn[i] = c.node_index
+            cmask[i] = True
+            crt[i] = c.zbar.t
+            crq[i] = c.zbar.q
+            cwt[i] = c.translation_weight
+            cwr[i] = c.rotation_weight
+            if c.tag == "INTER":
+                chub[i] = huber
+
+        problem = SpaProblem3D(
+            submap_translation=jnp.asarray(st),
+            submap_rotation=jnp.asarray(sq),
+            node_translation=jnp.asarray(nt),
+            node_rotation=jnp.asarray(nqr),
+            submap_fixed=jnp.asarray(s_fixed),
+            node_fixed=jnp.asarray(n_fixed),
+            c_submap=jnp.asarray(cs),
+            c_node=jnp.asarray(cn),
+            c_mask=jnp.asarray(cmask),
+            c_rel_translation=jnp.asarray(crt),
+            c_rel_rotation=jnp.asarray(crq),
+            c_translation_weight=jnp.asarray(cwt),
+            c_rotation_weight=jnp.asarray(cwr),
+            c_huber_scale=jnp.asarray(chub),
+        )
+        st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
+        st_o, sq_o = np.asarray(st_o), np.asarray(sq_o)
+        nt_o, nq_o = np.asarray(nt_o), np.asarray(nq_o)
+        for i, s in enumerate(self.submaps):
+            s.global_pose = NpRigid3(st_o[i].astype(np.float64), sq_o[i].astype(np.float64))
+        for i, n in enumerate(self.nodes):
+            n.global_pose = NpRigid3(nt_o[i].astype(np.float64), nq_o[i].astype(np.float64))
