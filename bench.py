@@ -1,23 +1,25 @@
-"""Benchmark: scan-matcher throughput on the real TPU chip.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark on the real TPU chip. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric (BASELINE.json): scan-matches/s/chip for the online
 matcher (dense correlative + Gauss-Newton refinement, the reference's
 RealTimeCorrelativeScanMatcher2D + CeresScanMatcher2D pair, ref:
-local_trajectory_builder_2d.cc ScanMatch:65-102).
+local_trajectory_builder_2d.cc ScanMatch:65-102). Secondary numbers (CT
+window solves/s — the 3D flagship step — and SPA solve time) go to
+stderr.
 
 Baseline: the reference publishes no numbers (BASELINE.md). Until the
 C++ pipeline is run on this machine, vs_baseline is computed against a
 documented estimate of the C++ online matcher: Cartographer's RTCSM+Ceres
 on one CPU core handles roughly 50-100 scans/s at these window sizes
-(0.15 m / 10 deg window, ~500-point clouds, 20 GN iterations); we use
+(0.15 m / 10 deg window, ~500-point clouds, 10-20 GN iterations); we use
 100/s as a deliberately generous reference point.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,21 +27,46 @@ import numpy as np
 CPP_BASELINE_MATCHES_PER_S = 100.0
 
 
-def main() -> None:
+def bench_scan_matcher():
     import jax
-
-    from __graft_entry__ import entry
-
-    step, (grid, cloud, initial) = entry()
-    jit_step = jax.jit(step)
-
-    # Batch the matcher: many scans against the same submap, vmapped —
-    # this is how the TPU build amortizes launch overhead (SURVEY.md §7
-    # "batch, don't queue").
     import jax.numpy as jnp
 
-    from hectorgrapher_tpu.sensor.types import PointCloud
+    from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions2D
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+    from hectorgrapher_tpu.mapping.grids import make_probability_grid
+    from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+    from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+        make_search_window,
+        match_correlative_2d,
+    )
+    from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_probability
+    from hectorgrapher_tpu.sensor.types import PointCloud, RangeData, pad_cloud
     from hectorgrapher_tpu.transform.rigid import Rigid2
+
+    grid = make_probability_grid(0.05, (256, 256))
+    insert = make_probability_inserter_2d(
+        ProbabilityGridRangeDataInserterOptions2D(), max_range=12.8, resolution=0.05
+    )
+    pts = raycast_rect_room_2d(np.zeros(2), 0.0, half_width=4.02, half_height=3.41, num_rays=720)
+    pts = pts[~np.isnan(pts[:, 0])]
+    cloud = pad_cloud(pts.astype(np.float32), 512)
+    grid = insert(
+        grid,
+        RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=cloud,
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+        ),
+    )
+    initial = Rigid2(translation=jnp.array([0.07, -0.05], jnp.float32), angle=jnp.asarray(0.02, jnp.float32))
+    window = make_search_window(0.15, np.radians(10.0), 0.05, 20.0)
+
+    def step(grid, cloud, initial_pose):
+        score, coarse = match_correlative_2d(grid, cloud, initial_pose, window, 0.1, 0.1)
+        pose, cost = match_gn_2d_probability(
+            grid, cloud, coarse, initial_pose.translation, 1.0, 10.0, 40.0, num_iterations=10
+        )
+        return pose, score, cost
 
     batch = 128
     clouds = PointCloud(
@@ -50,10 +77,7 @@ def main() -> None:
         translation=jnp.broadcast_to(initial.translation, (batch, 2)),
         angle=jnp.broadcast_to(initial.angle, (batch,)),
     )
-
     batched = jax.jit(jax.vmap(step, in_axes=(None, 0, 0)))
-
-    # Warm up / compile.
     out = batched(grid, clouds, initials)
     jax.block_until_ready(out)
 
@@ -63,8 +87,77 @@ def main() -> None:
         out = batched(grid, clouds, initials)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    matches_per_s = batch * iters / dt
+
+def bench_ct_window():
+    import jax
+
+    from __graft_entry__ import entry
+
+    step, args = entry()
+    jit_step = jax.jit(step)
+    out = jit_step(*args)
+    jax.block_until_ready(out)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jit_step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_spa():
+    import jax
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.mapping.pose_graph.optimization import SpaProblem3D, solve_spa_3d
+
+    rng = np.random.default_rng(0)
+    S, N, C = 64, 512, 2048
+    qS = np.tile(np.array([1, 0, 0, 0], np.float32), (S, 1))
+    qN = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
+    qC = np.tile(np.array([1, 0, 0, 0], np.float32), (C, 1))
+    problem = SpaProblem3D(
+        submap_translation=jnp.asarray(rng.normal(0, 1, (S, 3)).astype(np.float32)),
+        submap_rotation=jnp.asarray(qS),
+        node_translation=jnp.asarray(rng.normal(0, 1, (N, 3)).astype(np.float32)),
+        node_rotation=jnp.asarray(qN),
+        submap_fixed=jnp.asarray([True] + [False] * (S - 1)),
+        node_fixed=jnp.zeros(N, bool),
+        c_submap=jnp.asarray((rng.integers(0, S, C)).astype(np.int32)),
+        c_node=jnp.asarray((rng.integers(0, N, C)).astype(np.int32)),
+        c_mask=jnp.ones(C, bool),
+        c_rel_translation=jnp.asarray(rng.normal(0, 1, (C, 3)).astype(np.float32)),
+        c_rel_rotation=jnp.asarray(qC),
+        c_translation_weight=jnp.full(C, 10.0, jnp.float32),
+        c_rotation_weight=jnp.full(C, 10.0, jnp.float32),
+        c_huber_scale=jnp.full(C, 10.0, jnp.float32),
+    )
+    out = solve_spa_3d(problem, num_iterations=50)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = solve_spa_3d(problem, num_iterations=50)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    matches_per_s = bench_scan_matcher()
+    try:
+        ct_per_s = bench_ct_window()
+        print(f"ct_window_solves_per_s: {ct_per_s:.1f}", file=sys.stderr)
+    except Exception as e:  # secondary metric must not kill the bench
+        print(f"ct bench failed: {e}", file=sys.stderr)
+    try:
+        spa_s = bench_spa()
+        print(f"spa_solve_50iters_64submaps_512nodes_s: {spa_s:.3f}", file=sys.stderr)
+    except Exception as e:
+        print(f"spa bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
