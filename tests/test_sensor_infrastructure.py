@@ -91,12 +91,11 @@ class TestCompression:
         stream, n = compress(pts)
         restored = decompress(stream, n)
         assert restored.shape == (500, 3)
-        # order may change (block grouping); compare quantized sets
-        a = np.round(pts / 0.001).astype(np.int64)
-        b = np.round(restored / 0.001).astype(np.int64)
-        a = a[np.lexsort(a.T)]
-        b = b[np.lexsort(b.T)]
-        np.testing.assert_array_equal(a, b)
+        # order may change (block grouping); nearest-neighbor distances
+        # must be within the quantization radius
+        d2 = np.sum((pts[:, None, :] - restored[None, :, :]) ** 2, axis=-1)
+        nn = np.sqrt(d2.min(axis=1))
+        assert nn.max() < 0.001 * np.sqrt(3) / 2 + 1e-4, nn.max()
 
     def test_compression_ratio(self):
         rng = np.random.default_rng(1)
