@@ -32,66 +32,114 @@ class _TimedItem:
     data: object
 
 
-class OrderedMultiQueue:
-    """(ref: ordered_multi_queue.h:44-99)"""
+def _load_native():
+    try:
+        from hectorgrapher_tpu.native import load
 
-    def __init__(self):
-        self._queues: Dict[QueueKey, Deque[_TimedItem]] = {}
-        self._callbacks: Dict[QueueKey, Callable[[float, object], None]] = {}
-        self._finished: Dict[QueueKey, bool] = {}
-        self._last_dispatched_time: Optional[float] = None
-
-    def add_queue(self, key: QueueKey, callback: Callable[[float, object], None]) -> None:
-        assert key not in self._queues
-        self._queues[key] = deque()
-        self._callbacks[key] = callback
-        self._finished[key] = False
-
-    def mark_queue_as_finished(self, key: QueueKey) -> None:
-        self._finished[key] = True
-        self.dispatch()
-
-    def add(self, key: QueueKey, time: float, data: object) -> None:
-        assert key in self._queues, f"unknown queue {key}"
-        self._queues[key].append(_TimedItem(time, data))
-        self.dispatch()
-
-    def flush(self) -> None:
-        """(ref: OrderedMultiQueue::Flush — finish all queues)"""
-        for key in list(self._queues):
-            self._finished[key] = True
-        self.dispatch()
-
-    def get_blocker(self) -> Optional[QueueKey]:
-        """The queue currently preventing dispatch (ref: GetBlocker)."""
-        for key, q in self._queues.items():
-            if not q and not self._finished[key]:
-                return key
+        return load()
+    except Exception:
         return None
 
-    def dispatch(self) -> None:
+
+_NATIVE = _load_native()
+
+
+class _PurePythonMultiQueue:
+    """Fallback queue core when the native extension is unavailable."""
+
+    def __init__(self):
+        self._queues: List[Deque[_TimedItem]] = []
+        self._finished: List[bool] = []
+        self._last_dispatched_time: Optional[float] = None
+
+    def add_queue(self) -> int:
+        self._queues.append(deque())
+        self._finished.append(False)
+        return len(self._queues) - 1
+
+    def add(self, qid: int, time: float, data: object) -> None:
+        self._queues[qid].append(_TimedItem(time, data))
+
+    def mark_finished(self, qid: int) -> None:
+        self._finished[qid] = True
+
+    def blocker(self) -> Optional[int]:
+        for i, q in enumerate(self._queues):
+            if not q and not self._finished[i]:
+                return i
+        return None
+
+    def dispatch(self):
+        out = []
         while True:
-            best_key = None
+            best = None
             best_time = None
-            for key, q in self._queues.items():
+            blocked = False
+            for i, q in enumerate(self._queues):
                 if not q:
-                    if not self._finished[key]:
-                        return  # must wait for this queue
+                    if not self._finished[i]:
+                        blocked = True
+                        break
                     continue
                 t = q[0].time
                 if best_time is None or t < best_time:
                     best_time = t
-                    best_key = key
-            if best_key is None:
-                return
-            item = self._queues[best_key].popleft()
-            # Monotonicity check as in the reference (out-of-order within a
-            # queue is a caller bug; across queues dispatch sorts).
+                    best = i
+            if blocked or best is None:
+                break
+            item = self._queues[best].popleft()
             if self._last_dispatched_time is not None and item.time < self._last_dispatched_time - 1e-9:
-                # Drop data older than the last dispatch (ref logs a warning).
-                continue
+                continue  # drop stale data (reference warns + skips)
             self._last_dispatched_time = item.time
-            self._callbacks[best_key](item.time, item.data)
+            out.append((best, item.time, item.data))
+        return out
+
+
+class OrderedMultiQueue:
+    """(ref: ordered_multi_queue.h:44-99). Merge core runs in the native
+    C++ extension when available (hectorgrapher_tpu/native/collator.cc),
+    callbacks dispatch in Python."""
+
+    def __init__(self, use_native: bool = True):
+        self._core = _NATIVE.MultiQueue() if (use_native and _NATIVE) else _PurePythonMultiQueue()
+        self._key_to_id: Dict[QueueKey, int] = {}
+        self._id_to_key: Dict[int, QueueKey] = {}
+        self._callbacks: Dict[int, Callable[[float, object], None]] = {}
+
+    @property
+    def is_native(self) -> bool:
+        return _NATIVE is not None and not isinstance(self._core, _PurePythonMultiQueue)
+
+    def add_queue(self, key: QueueKey, callback: Callable[[float, object], None]) -> None:
+        assert key not in self._key_to_id
+        qid = self._core.add_queue()
+        self._key_to_id[key] = qid
+        self._id_to_key[qid] = key
+        self._callbacks[qid] = callback
+
+    def mark_queue_as_finished(self, key: QueueKey) -> None:
+        self._core.mark_finished(self._key_to_id[key])
+        self.dispatch()
+
+    def add(self, key: QueueKey, time: float, data: object) -> None:
+        assert key in self._key_to_id, f"unknown queue {key}"
+        self._core.add(self._key_to_id[key], time, data)
+        self.dispatch()
+
+    def flush(self) -> None:
+        """(ref: OrderedMultiQueue::Flush — finish all queues)"""
+        for key in list(self._key_to_id):
+            self._core.mark_finished(self._key_to_id[key])
+        self.dispatch()
+
+    def get_blocker(self) -> Optional[QueueKey]:
+        """The queue currently preventing dispatch (ref: GetBlocker)."""
+        qid = self._core.blocker()
+        return self._id_to_key[qid] if qid is not None else None
+
+    def dispatch(self) -> None:
+        for qid, time, data in self._core.dispatch():
+            self._callbacks[qid](time, data)
 
 
 class Collator:

@@ -158,3 +158,32 @@ class TestMetrics:
             h.add(v)
         s = h.to_string(buckets=2)
         assert "Count: 3" in s
+
+
+class TestNativeBackend:
+    def test_native_and_python_agree(self):
+        """Native C++ core and pure-Python fallback dispatch identically."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        results = {}
+        for use_native in (True, False):
+            out = []
+            q = OrderedMultiQueue(use_native=use_native)
+            q.add_queue(QueueKey(0, "a"), lambda t, d: out.append(("a", t, d)))
+            q.add_queue(QueueKey(0, "b"), lambda t, d: out.append(("b", t, d)))
+            q.add_queue(QueueKey(0, "c"), lambda t, d: out.append(("c", t, d)))
+            rng2 = np.random.default_rng(42)
+            streams = {s: np.sort(rng2.uniform(0, 10, 20)) for s in "abc"}
+            idx = {s: 0 for s in "abc"}
+            order = list("abc") * 20
+            rng2.shuffle(order)
+            for s in order:
+                if idx[s] < 20:
+                    q.add(QueueKey(0, s), float(streams[s][idx[s]]), idx[s])
+                    idx[s] += 1
+            q.flush()
+            results[use_native] = out
+        assert results[True] == results[False]
+        times = [t for (_, t, _) in results[True]]
+        assert times == sorted(times)
