@@ -109,6 +109,8 @@ class PoseGraphBase:
     """Shared bookkeeping for 2D/3D pose graphs."""
 
     def __init__(self, options):
+        from hectorgrapher_tpu.mapping.pose_graph.connectivity import TrajectoryConnectivityState
+
         self._options = options  # PoseGraphOptions
         self.nodes: List[PgNode] = []
         self.submaps: List[PgSubmap] = []
@@ -116,7 +118,10 @@ class PoseGraphBase:
         self._submap_ids: Dict[int, int] = {}  # id(submap object) -> index
         self._num_nodes_since_last_optimization = 0
         self._sampler = _SamplerState(options.constraint_builder.sampling_ratio)
+        self._global_sampler = _SamplerState(options.global_sampling_ratio)
         self._trajectory_states: Dict[int, TrajectoryState] = {0: TrajectoryState.ACTIVE}
+        self.connectivity = TrajectoryConnectivityState()
+        self.trimmers: List[object] = []
         self.num_optimizations = 0
 
     # -- submap bookkeeping -------------------------------------------------
@@ -163,7 +168,7 @@ class PoseGraphBase:
     def _on_submap_finished(self, submap_index: int) -> None:
         raise NotImplementedError
 
-    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
+    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
         raise NotImplementedError
 
     def _run_optimization(self, num_iterations: int) -> None:
@@ -180,6 +185,7 @@ class PoseGraphBase:
         self.nodes.append(node)
 
         # INTRA constraints against the submaps the node was inserted into.
+        self.connectivity.add(node.trajectory_id)
         for submap in insertion_submaps:
             si = self._get_or_add_submap(submap, node.trajectory_id)
             zbar = submap.local_pose.inverse().compose(node.local_pose)
@@ -193,6 +199,7 @@ class PoseGraphBase:
                     tag="INTRA",
                 )
             )
+            self.connectivity.connect(node.trajectory_id, self.submaps[si].trajectory_id, node.time)
 
         # INTER constraints: this node vs all finished submaps.
         inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
@@ -220,18 +227,35 @@ class PoseGraphBase:
         return node_index
 
     def _maybe_add_constraint(self, node_index: int, submap_index: int) -> None:
-        """Distance + sampling gates (ref: pose_graph ComputeConstraint
-        :248-311 local-search branch; MaybeAddConstraint in the builder)."""
+        """Local-vs-global decision + distance/sampling gates
+        (ref: pose_graph ComputeConstraint :248-311 — recently-connected
+        trajectories search a local window; otherwise the global
+        localization sampler gates a full-submap search)."""
         node = self.nodes[node_index]
         pg_submap = self.submaps[submap_index]
-        d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
-        if d > self._options.constraint_builder.max_constraint_distance:
-            return
-        if not self._sampler.pulse():
-            return
-        constraint = self._compute_constraint(node_index, submap_index)
+        last = self.connectivity.last_connection_time(node.trajectory_id, pg_submap.trajectory_id)
+        recently_connected = (
+            node.trajectory_id == pg_submap.trajectory_id
+            or (
+                last is not None
+                and node.time - last < self._options.global_constraint_search_after_n_seconds
+            )
+            or not self._options.use_global_constraint_search
+        )
+        if recently_connected:
+            d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
+            if d > self._options.constraint_builder.max_constraint_distance:
+                return
+            if not self._sampler.pulse():
+                return
+            constraint = self._compute_constraint(node_index, submap_index, global_search=False)
+        else:
+            if not self._global_sampler.pulse():
+                return
+            constraint = self._compute_constraint(node_index, submap_index, global_search=True)
         if constraint is not None:
             self.constraints.append(constraint)
+            self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
 
     def run_final_optimization(self, num_iterations: Optional[int] = None) -> None:
         """(ref: RunFinalOptimization — used both periodically and at end)"""
@@ -242,6 +266,8 @@ class PoseGraphBase:
         self._run_optimization(num_iterations)
         self.num_optimizations += 1
         self._num_nodes_since_last_optimization = 0
+        for trimmer in self.trimmers:
+            trimmer.trim(self)
 
     # -- shared SPA writeback helpers ---------------------------------------
 
@@ -274,9 +300,10 @@ class PoseGraph2D(PoseGraphBase):
     def _on_submap_finished(self, submap_index: int) -> None:
         pass  # pyramid built lazily inside match_fast_2d
 
-    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
+    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
-        gated by min_score, then Ceres refinement.)"""
+        gated by min_score (global_localization_min_score for full-submap
+        searches), then Ceres refinement.)"""
         node = self.nodes[node_index]
         pg_submap = self.submaps[submap_index]
         submap = pg_submap.submap
@@ -292,15 +319,29 @@ class PoseGraph2D(PoseGraphBase):
             angle=jnp.asarray(nq.quat_yaw(node_in_grid.q), jnp.float32),
         )
 
-        config = make_fast_search_config(
-            cb.fast_correlative_scan_matcher.linear_search_window,
-            cb.fast_correlative_scan_matcher.angular_search_window,
-            float(submap.grid.meta.resolution),
-            self._max_scan_range,
-            cb.fast_correlative_scan_matcher.branch_and_bound_depth,
-        )
+        if global_search:
+            # Full-submap search (ref: MatchFullSubmap): window sized to
+            # the grid, full angular range.
+            res = float(submap.grid.meta.resolution)
+            config = make_fast_search_config(
+                submap.grid.shape[0] * res / 2.0,
+                math.pi,
+                res,
+                self._max_scan_range,
+                cb.fast_correlative_scan_matcher.branch_and_bound_depth,
+            )
+            min_score = cb.global_localization_min_score
+        else:
+            config = make_fast_search_config(
+                cb.fast_correlative_scan_matcher.linear_search_window,
+                cb.fast_correlative_scan_matcher.angular_search_window,
+                float(submap.grid.meta.resolution),
+                self._max_scan_range,
+                cb.fast_correlative_scan_matcher.branch_and_bound_depth,
+            )
+            min_score = cb.min_score
         score, pose = match_fast_2d(submap.grid, node.cloud, initial, config)
-        if float(score) < cb.min_score:
+        if float(score) < min_score:
             return None
 
         cm = cb.ceres_scan_matcher
@@ -406,8 +447,10 @@ class PoseGraph3D(PoseGraphBase):
             self._histogram_size,
         )
 
-    def _compute_constraint(self, node_index: int, submap_index: int) -> Optional[Constraint]:
-        """(ref: constraint_builder_3d.cc ComputeConstraint:191-296)"""
+    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
+        """(ref: constraint_builder_3d.cc ComputeConstraint:191-296;
+        global_search uses MatchFullSubmap with the global localization
+        score gate.)"""
         node = self.nodes[node_index]
         pg_submap = self.submaps[submap_index]
         cb = self._options.constraint_builder
@@ -422,7 +465,8 @@ class PoseGraph3D(PoseGraphBase):
         )
         initial_yaw = float(nq.quat_yaw(node_in_grid.q))
 
-        score, low_score, rot_score, pose = pg_submap.matcher.match(
+        match_fn = pg_submap.matcher.match_full_submap if global_search else pg_submap.matcher.match
+        score, low_score, rot_score, pose = match_fn(
             initial,
             node.high_cloud,
             node.low_cloud,
@@ -431,7 +475,8 @@ class PoseGraph3D(PoseGraphBase):
             max_scan_range=self._max_scan_range,
         )
         fc = cb.fast_correlative_scan_matcher_3d
-        if float(score) < cb.min_score:
+        min_score = cb.global_localization_min_score if global_search else cb.min_score
+        if float(score) < min_score:
             return None
         if float(low_score) < fc.min_low_resolution_score:
             return None
