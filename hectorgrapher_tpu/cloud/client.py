@@ -1,0 +1,118 @@
+"""Location-transparent client stubs for the mapping server.
+
+(ref: cartographer/cloud/client/map_builder_stub.h:30 +
+internal/client/{pose_graph_stub,trajectory_builder_stub}.h — the stubs
+implement the same interfaces as the local MapBuilder so callers cannot
+tell local from remote.)
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, List, Optional
+
+import grpc
+import numpy as np
+
+from hectorgrapher_tpu.cloud.server import SERVICE
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+
+class _Channel:
+    def __init__(self, address: str):
+        self._channel = grpc.insecure_channel(address)
+
+    def call(self, method: str, request: dict):
+        callable_ = self._channel.unary_unary(
+            f"/{SERVICE}/{method}",
+            request_serializer=pickle.dumps,
+            response_deserializer=pickle.loads,
+        )
+        return callable_(request)
+
+    def close(self):
+        self._channel.close()
+
+
+class TrajectoryBuilderStub:
+    """(ref: internal/client/trajectory_builder_stub.h)"""
+
+    def __init__(self, channel: _Channel, trajectory_id: int):
+        self._channel = channel
+        self.trajectory_id = trajectory_id
+
+    def add_range_data(self, data) -> None:
+        self._channel.call(
+            "AddSensorData",
+            {"trajectory_id": self.trajectory_id, "kind": "range", "payload": data},
+        )
+
+    def add_imu_data(self, time, linear_acceleration, angular_velocity) -> None:
+        self._channel.call(
+            "AddSensorData",
+            {
+                "trajectory_id": self.trajectory_id,
+                "kind": "imu",
+                "payload": (time, np.asarray(linear_acceleration), np.asarray(angular_velocity)),
+            },
+        )
+
+    def add_odometry_data(self, time, pose: NpRigid3) -> None:
+        self._channel.call(
+            "AddSensorData",
+            {"trajectory_id": self.trajectory_id, "kind": "odometry", "payload": (time, pose)},
+        )
+
+
+class PoseGraphStub:
+    """(ref: internal/client/pose_graph_stub.h)"""
+
+    def __init__(self, channel: _Channel):
+        self._channel = channel
+
+    def local_to_global(self, trajectory_id: int) -> NpRigid3:
+        r = self._channel.call("GetLocalToGlobalTransform", {"trajectory_id": trajectory_id})
+        return NpRigid3(r["translation"], r["rotation"])
+
+    def get_trajectory_node_poses(self) -> List[dict]:
+        return self._channel.call("GetTrajectoryNodePoses", {})["poses"]
+
+    def get_constraints(self) -> List[dict]:
+        return self._channel.call("GetConstraints", {})["constraints"]
+
+    def run_final_optimization(self) -> None:
+        self._channel.call("RunFinalOptimization", {})
+
+
+class MapBuilderStub:
+    """(ref: client/map_builder_stub.h — same facade as MapBuilder)"""
+
+    def __init__(self, address: str):
+        self._channel = _Channel(address)
+        self.pose_graph = PoseGraphStub(self._channel)
+        self._builders: Dict[int, TrajectoryBuilderStub] = {}
+
+    def add_trajectory_builder(self) -> int:
+        trajectory_id = self._channel.call("AddTrajectory", {})["trajectory_id"]
+        self._builders[trajectory_id] = TrajectoryBuilderStub(self._channel, trajectory_id)
+        return trajectory_id
+
+    def get_trajectory_builder(self, trajectory_id: int) -> TrajectoryBuilderStub:
+        return self._builders[trajectory_id]
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self._channel.call("FinishTrajectory", {"trajectory_id": trajectory_id})
+
+    def get_local_slam_results(self, trajectory_id: int):
+        return self._channel.call("GetLocalSlamResults", {"trajectory_id": trajectory_id})["results"]
+
+    def write_state(self, filename: str) -> None:
+        self._channel.call("WriteState", {"filename": filename})
+
+    def load_state(self, filename: str, load_frozen_state: bool = True) -> dict:
+        return self._channel.call(
+            "LoadState", {"filename": filename, "load_frozen_state": load_frozen_state}
+        )["trajectory_remapping"]
+
+    def close(self) -> None:
+        self._channel.close()

@@ -1,0 +1,187 @@
+"""Distributed mapping server over gRPC.
+
+(ref: cartographer/cloud/internal/map_builder_server.{h,cc} — a gRPC
+server owning a MapBuilder; sensor data arrives via RPC handlers that
+enqueue into a blocking queue drained by one SLAM thread
+(StartSlamThread/ProcessSensorDataQueue :157-176, pop timeout 100 ms :54);
+cloud/proto/map_builder_service.proto — the RPC surface.)
+
+Transport: real gRPC/HTTP2, but with generic method handlers and
+pickle-serialized numpy payloads instead of protoc-generated stubs (the
+image has grpcio but no python grpc codegen plugin). The RPC names mirror
+the reference service. Trust model: the data plane is for a private
+cluster, as in the reference deployment.
+"""
+
+from __future__ import annotations
+
+import pickle
+import queue
+import threading
+from concurrent import futures
+from typing import Dict, Optional
+
+import grpc
+
+SERVICE = "hectorgrapher.MapBuilderService"
+
+
+def _method(name: str) -> str:
+    return f"/{SERVICE}/{name}"
+
+
+class MapBuilderServer:
+    """(ref: map_builder_server.h MapBuilderServer)"""
+
+    SENSOR_QUEUE_POP_TIMEOUT = 0.1  # seconds (ref :54 kPopTimeout)
+
+    def __init__(self, map_builder, address: str = "127.0.0.1:0", num_workers: int = 4):
+        self.map_builder = map_builder
+        self._sensor_queue: "queue.Queue" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._slam_thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._local_slam_results: Dict[int, list] = {}
+
+        self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=num_workers))
+        handlers = {
+            "AddTrajectory": self._handle_add_trajectory,
+            "FinishTrajectory": self._handle_finish_trajectory,
+            "AddSensorData": self._handle_add_sensor_data,
+            "GetLocalToGlobalTransform": self._handle_get_local_to_global,
+            "GetTrajectoryNodePoses": self._handle_get_node_poses,
+            "GetConstraints": self._handle_get_constraints,
+            "RunFinalOptimization": self._handle_run_final_optimization,
+            "GetLocalSlamResults": self._handle_get_local_slam_results,
+            "WriteState": self._handle_write_state,
+            "LoadState": self._handle_load_state,
+        }
+        method_handlers = {
+            name: grpc.unary_unary_rpc_method_handler(
+                self._wrap(fn),
+                request_deserializer=pickle.loads,
+                response_serializer=pickle.dumps,
+            )
+            for name, fn in handlers.items()
+        }
+        self._server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(SERVICE, method_handlers),)
+        )
+        self.port = self._server.add_insecure_port(address)
+
+    @staticmethod
+    def _wrap(fn):
+        def handler(request, context):
+            return fn(request)
+
+        return handler
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        """(ref: MapBuilderServer::Start — serve + StartSlamThread)"""
+        self._server.start()
+        self._slam_thread = threading.Thread(target=self._process_sensor_data_queue, daemon=True)
+        self._slam_thread.start()
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        if self._slam_thread:
+            self._slam_thread.join(timeout=10.0)
+        self._server.stop(grace=1.0)
+
+    def wait_until_idle(self) -> None:
+        self._sensor_queue.join()
+
+    def _process_sensor_data_queue(self) -> None:
+        """(ref: ProcessSensorDataQueue :157-176 — one SLAM thread)"""
+        while not self._shutdown.is_set():
+            try:
+                item = self._sensor_queue.get(timeout=self.SENSOR_QUEUE_POP_TIMEOUT)
+            except queue.Empty:
+                continue
+            try:
+                trajectory_id, kind, payload = item
+                builder = self.map_builder.get_trajectory_builder(trajectory_id)
+                if kind == "range":
+                    result = builder.add_range_data(payload)
+                    if result is not None:
+                        with self._lock:
+                            self._local_slam_results.setdefault(trajectory_id, []).append(
+                                (result.time, result.local_pose)
+                            )
+                elif kind == "imu":
+                    builder.add_imu_data(*payload)
+                elif kind == "odometry":
+                    builder.add_odometry_data(*payload)
+            finally:
+                self._sensor_queue.task_done()
+
+    # -- handlers (ref: cloud/internal/handlers/*) ----------------------------
+
+    def _handle_add_trajectory(self, request):
+        trajectory_id = self.map_builder.add_trajectory_builder()
+        return {"trajectory_id": trajectory_id}
+
+    def _handle_finish_trajectory(self, request):
+        self._sensor_queue.join()
+        self.map_builder.finish_trajectory(request["trajectory_id"])
+        return {}
+
+    def _handle_add_sensor_data(self, request):
+        """(ref: add_rangefinder_data_handler.cc:30-41 — enqueue)"""
+        self._sensor_queue.put((request["trajectory_id"], request["kind"], request["payload"]))
+        return {}
+
+    def _handle_get_local_to_global(self, request):
+        pose = self.map_builder.pose_graph.local_to_global(request["trajectory_id"])
+        return {"translation": pose.t, "rotation": pose.q}
+
+    def _handle_get_node_poses(self, request):
+        self._sensor_queue.join()
+        pg = self.map_builder.pose_graph
+        return {
+            "poses": [
+                {"time": n.time, "translation": n.global_pose.t, "rotation": n.global_pose.q,
+                 "trajectory_id": n.trajectory_id}
+                for n in pg.nodes
+            ]
+        }
+
+    def _handle_get_constraints(self, request):
+        pg = self.map_builder.pose_graph
+        return {
+            "constraints": [
+                {"submap_index": c.submap_index, "node_index": c.node_index, "tag": c.tag}
+                for c in pg.constraints
+            ]
+        }
+
+    def _handle_run_final_optimization(self, request):
+        self._sensor_queue.join()
+        self.map_builder.pose_graph.run_final_optimization()
+        return {}
+
+    def _handle_get_local_slam_results(self, request):
+        """Polling replacement for the reference's streaming
+        ReceiveLocalSlamResults subscription."""
+        with self._lock:
+            results = list(self._local_slam_results.get(request["trajectory_id"], []))
+        return {"results": results}
+
+    def _handle_write_state(self, request):
+        from hectorgrapher_tpu.io.serialization import save_state
+
+        self._sensor_queue.join()
+        save_state(self.map_builder.pose_graph, request["filename"])
+        return {}
+
+    def _handle_load_state(self, request):
+        from hectorgrapher_tpu.io.serialization import load_state
+
+        remap = load_state(
+            self.map_builder.pose_graph,
+            request["filename"],
+            load_frozen_state=request.get("load_frozen_state", True),
+        )
+        return {"trajectory_remapping": remap}

@@ -1,0 +1,100 @@
+"""Client/server distributed mapping test
+(ref: cloud/internal/client_server_test.cc — start a real server
+in-process on localhost, connect real stubs, run SLAM through the full
+RPC stack)."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hectorgrapher_tpu.cloud.client import MapBuilderStub
+from hectorgrapher_tpu.cloud.server import MapBuilderServer
+from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
+from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+from hectorgrapher_tpu.transform import np_quat as nq
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+
+@pytest.fixture
+def server():
+    options = replace_deep(
+        MapBuilderOptions(),
+        {
+            "use_trajectory_builder_2d": True,
+            "trajectory_builder_2d.use_imu_data": False,
+            "trajectory_builder_2d.use_online_correlative_scan_matching": True,
+            "trajectory_builder_2d.submaps.grid_size": 512,
+            "trajectory_builder_2d.submaps.num_range_data": 8,
+            "trajectory_builder_2d.max_num_points": 2048,
+            "trajectory_builder_2d.motion_filter.max_distance_meters": 0.05,
+            "trajectory_builder_2d.motion_filter.max_time_seconds": 0.1,
+            "pose_graph.optimize_every_n_nodes": 0,
+        },
+    )
+    srv = MapBuilderServer(MapBuilder(options), "127.0.0.1:0")
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_slam_through_rpc_stack(server):
+    stub = MapBuilderStub(f"127.0.0.1:{server.port}")
+    tid = stub.add_trajectory_builder()
+    tb = stub.get_trajectory_builder(tid)
+
+    for i in range(8):
+        t = 0.1 * i
+        x = 0.08 * i
+        tb.add_odometry_data(t, NpRigid3(np.array([x, 0.0, 0.0]), nq.quat_identity()))
+        pts = raycast_rect_room_2d(np.array([x, 0.0]), 0.0, num_rays=720)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 1024)
+        tb.add_range_data(
+            TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+        )
+
+    server.wait_until_idle()
+    poses = stub.pose_graph.get_trajectory_node_poses()
+    assert len(poses) >= 6
+    # Last node near ground truth.
+    final = poses[-1]
+    gt_x = 0.08 * round(final["time"] / 0.1)
+    assert abs(final["translation"][0] - gt_x) < 0.1
+
+    results = stub.get_local_slam_results(tid)
+    assert len(results) >= 6
+
+    constraints = stub.pose_graph.get_constraints()
+    assert any(c["tag"] == "INTRA" for c in constraints)
+
+    stub.pose_graph.run_final_optimization()
+    l2g = stub.pose_graph.local_to_global(tid)
+    assert np.isfinite(l2g.t).all()
+
+    stub.finish_trajectory(tid)
+    stub.close()
+
+
+def test_state_write_load_through_rpc(server, tmp_path):
+    stub = MapBuilderStub(f"127.0.0.1:{server.port}")
+    tid = stub.add_trajectory_builder()
+    tb = stub.get_trajectory_builder(tid)
+    for i in range(4):
+        t = 0.1 * i
+        tb.add_odometry_data(t, NpRigid3(np.array([0.05 * i, 0, 0]), nq.quat_identity()))
+        pts = raycast_rect_room_2d(np.array([0.05 * i, 0.0]), 0.0, num_rays=720)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 1024)
+        tb.add_range_data(
+            TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+        )
+    path = str(tmp_path / "server_state.npz")
+    stub.write_state(path)
+    import os
+
+    assert os.path.getsize(path) > 1000
+    stub.close()
