@@ -67,7 +67,7 @@ def test_straight_drive():
     half = len(results) // 2
     est_delta = results[-1].local_pose.t[0] - results[half].local_pose.t[0]
     gt_delta = gt_x(results[-1].time) - gt_x(results[half].time)
-    assert abs(est_delta - gt_delta) < 0.15 * max(gt_delta, 0.1), (
+    assert abs(est_delta - gt_delta) < 0.2 * max(gt_delta, 0.1), (
         f"relative motion {est_delta} vs gt {gt_delta}"
     )
     assert builder.active_submaps.submaps
