@@ -82,7 +82,22 @@ class TrajectoryBuilder:
         self._local.add_imu_data(time, linear_acceleration, angular_velocity)
 
     def add_odometry_data(self, time: float, pose: NpRigid3) -> None:
+        """Routes to both local SLAM and the pose graph
+        (ref: global_trajectory_builder.cc AddSensorData(OdometryData))."""
         self._local.add_odometry_data(time, pose)
+        if hasattr(self._pose_graph, "add_odometry_data"):
+            self._pose_graph.add_odometry_data(self.trajectory_id, time, pose)
+
+    def add_fixed_frame_pose_data(self, time: float, pose: NpRigid3) -> None:
+        if hasattr(self._pose_graph, "add_fixed_frame_pose_data"):
+            self._pose_graph.add_fixed_frame_pose_data(self.trajectory_id, time, pose)
+
+    def add_landmark_data(self, time, landmark_id, landmark_to_tracking, translation_weight, rotation_weight) -> None:
+        if hasattr(self._pose_graph, "add_landmark_data"):
+            self._pose_graph.add_landmark_data(
+                self.trajectory_id, time, landmark_id, landmark_to_tracking,
+                translation_weight, rotation_weight,
+            )
 
 
 class MapBuilder:

@@ -191,6 +191,280 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
 
 
 # ---------------------------------------------------------------------------
+# 3D extras: odometry / consecutive-node, fixed-frame, landmarks
+# ---------------------------------------------------------------------------
+
+
+class SpaExtras3D(NamedTuple):
+    """Additional residual families of OptimizationProblem3D
+    (ref: optimization_problem_3d.cc Solve:353-530 — odometry and
+    consecutive-local-pose relative residuals between node pairs,
+    fixed-frame (GPS) pose residuals, landmark cost functions with
+    landmark poses as free variables; landmark_cost_function_3d.h).
+
+    All arrays are static-capacity with masks. Landmarks add L extra
+    6-dof parameters to the solve.
+    """
+
+    # node-node relative constraints (odometry / local SLAM consecutive)
+    nn_a: jax.Array  # (P,) int32 — earlier node
+    nn_b: jax.Array  # (P,) int32 — later node
+    nn_mask: jax.Array  # (P,)
+    nn_rel_translation: jax.Array  # (P, 3) — pose of b in a's frame
+    nn_rel_rotation: jax.Array  # (P, 4)
+    nn_translation_weight: jax.Array  # (P,)
+    nn_rotation_weight: jax.Array  # (P,)
+    # fixed-frame (GPS-like) priors on node translation
+    ff_mask: jax.Array  # (N,)
+    ff_translation: jax.Array  # (N, 3)
+    ff_translation_weight: jax.Array  # (N,)
+    # landmarks
+    landmark_translation: jax.Array  # (L, 3) initial landmark poses
+    landmark_rotation: jax.Array  # (L, 4)
+    landmark_mask: jax.Array  # (L,)
+    lm_node: jax.Array  # (O,) int32 observing node
+    lm_index: jax.Array  # (O,) int32 landmark index
+    lm_mask: jax.Array  # (O,)
+    lm_rel_translation: jax.Array  # (O, 3) landmark in tracking frame
+    lm_rel_rotation: jax.Array  # (O, 4)
+    lm_translation_weight: jax.Array  # (O,)
+    lm_rotation_weight: jax.Array  # (O,)
+
+
+def empty_extras_3d(num_nodes: int, p: int = 1, l: int = 1, o: int = 1) -> SpaExtras3D:
+    qI = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (p, 1))
+    qL = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (l, 1))
+    qO = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (o, 1))
+    return SpaExtras3D(
+        nn_a=jnp.zeros(p, jnp.int32),
+        nn_b=jnp.zeros(p, jnp.int32),
+        nn_mask=jnp.zeros(p, bool),
+        nn_rel_translation=jnp.zeros((p, 3), jnp.float32),
+        nn_rel_rotation=qI,
+        nn_translation_weight=jnp.zeros(p, jnp.float32),
+        nn_rotation_weight=jnp.zeros(p, jnp.float32),
+        ff_mask=jnp.zeros(num_nodes, bool),
+        ff_translation=jnp.zeros((num_nodes, 3), jnp.float32),
+        ff_translation_weight=jnp.zeros(num_nodes, jnp.float32),
+        landmark_translation=jnp.zeros((l, 3), jnp.float32),
+        landmark_rotation=qL,
+        landmark_mask=jnp.zeros(l, bool),
+        lm_node=jnp.zeros(o, jnp.int32),
+        lm_index=jnp.zeros(o, jnp.int32),
+        lm_mask=jnp.zeros(o, bool),
+        lm_rel_translation=jnp.zeros((o, 3), jnp.float32),
+        lm_rel_rotation=qO,
+        lm_translation_weight=jnp.zeros(o, jnp.float32),
+        lm_rotation_weight=jnp.zeros(o, jnp.float32),
+    )
+
+
+def _relative_residual_3d(a_t, a_q, b_t, b_q, rel_t, rel_q, wt, wr):
+    """Error of (a^-1 b) vs rel, 6-vector."""
+    inv_q = quat_conjugate(a_q)
+    h_t = quat_rotate(inv_q, b_t - a_t)
+    h_q = quat_multiply(inv_q, b_q)
+    err_q = quat_multiply(quat_conjugate(rel_q), h_q)
+    err_t = quat_rotate(quat_conjugate(rel_q), h_t - rel_t)
+    return jnp.concatenate([wt * err_t, wr * quat_to_axis_angle(err_q)])
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def solve_spa_3d_full(
+    problem: SpaProblem3D,
+    extras: SpaExtras3D,
+    num_iterations: int = 20,
+    init_lambda: float = 1e-4,
+):
+    """3D SPA with all residual families; returns (submap_t, submap_q,
+    node_t, node_q, landmark_t, landmark_q, final_cost)."""
+    S = problem.submap_translation.shape[0]
+    N = problem.node_translation.shape[0]
+    L = extras.landmark_translation.shape[0]
+    D = 6 * (S + N + L)
+
+    fixed = jnp.concatenate(
+        [
+            jnp.repeat(problem.submap_fixed, 6),
+            jnp.repeat(problem.node_fixed, 6),
+            jnp.repeat(~extras.landmark_mask, 6),
+        ]
+    )
+
+    def unpack(params):
+        st, sq, nt, nq, lt, lq = params
+        return st, sq, nt, nq, lt, lq
+
+    def retract(params, delta):
+        st, sq, nt, nq, lt, lq = params
+        ds = delta[: 6 * S].reshape(S, 6)
+        dn = delta[6 * S : 6 * (S + N)].reshape(N, 6)
+        dl = delta[6 * (S + N) :].reshape(L, 6)
+        return (
+            st + ds[:, :3],
+            quat_normalize(quat_multiply(sq, quat_from_axis_angle(ds[:, 3:]))),
+            nt + dn[:, :3],
+            quat_normalize(quat_multiply(nq, quat_from_axis_angle(dn[:, 3:]))),
+            lt + dl[:, :3],
+            quat_normalize(quat_multiply(lq, quat_from_axis_angle(dl[:, 3:]))),
+        )
+
+    def family_blocks(params):
+        """Per-family (J blocks, residuals, tangent indices)."""
+        st, sq, nt, nq, lt, lq = unpack(params)
+
+        # -- submap-node constraints (with Huber IRLS)
+        def c_one(ci):
+            si = problem.c_submap[ci]
+            ni = problem.c_node[ci]
+
+            def local(d12):
+                s_t = st[si] + d12[:3]
+                s_q = quat_normalize(quat_multiply(sq[si], quat_from_axis_angle(d12[3:6])))
+                n_t = nt[ni] + d12[6:9]
+                n_q = quat_normalize(quat_multiply(nq[ni], quat_from_axis_angle(d12[9:12])))
+                return _relative_residual_3d(
+                    s_t, s_q, n_t, n_q,
+                    problem.c_rel_translation[ci], problem.c_rel_rotation[ci],
+                    problem.c_translation_weight[ci], problem.c_rotation_weight[ci],
+                )
+
+            r0 = local(jnp.zeros(12, jnp.float32))
+            norm = jnp.linalg.norm(r0)
+            scale = problem.c_huber_scale[ci]
+            w = jnp.where(norm <= scale, 1.0, jnp.sqrt(scale / jnp.maximum(norm, 1e-12)))
+            J = jax.jacfwd(local)(jnp.zeros(12, jnp.float32)) * w
+            m = problem.c_mask[ci]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0 * w, 0.0)
+
+        cJ, cr = jax.vmap(c_one)(jnp.arange(problem.c_submap.shape[0]))
+        c_idx = jnp.concatenate(
+            [
+                (problem.c_submap * 6)[:, None] + jnp.arange(6)[None, :],
+                (6 * S + problem.c_node * 6)[:, None] + jnp.arange(6)[None, :],
+            ],
+            axis=1,
+        )
+
+        # -- node-node relative constraints
+        def nn_one(pi):
+            a = extras.nn_a[pi]
+            b = extras.nn_b[pi]
+
+            def local(d12):
+                a_t = nt[a] + d12[:3]
+                a_q = quat_normalize(quat_multiply(nq[a], quat_from_axis_angle(d12[3:6])))
+                b_t = nt[b] + d12[6:9]
+                b_q = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d12[9:12])))
+                return _relative_residual_3d(
+                    a_t, a_q, b_t, b_q,
+                    extras.nn_rel_translation[pi], extras.nn_rel_rotation[pi],
+                    extras.nn_translation_weight[pi], extras.nn_rotation_weight[pi],
+                )
+
+            r0 = local(jnp.zeros(12, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(12, jnp.float32))
+            m = extras.nn_mask[pi]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        nnJ, nnr = jax.vmap(nn_one)(jnp.arange(extras.nn_a.shape[0]))
+        nn_idx = jnp.concatenate(
+            [
+                (6 * S + extras.nn_a * 6)[:, None] + jnp.arange(6)[None, :],
+                (6 * S + extras.nn_b * 6)[:, None] + jnp.arange(6)[None, :],
+            ],
+            axis=1,
+        )
+
+        # -- fixed-frame priors (translation only; ref fix-frame residuals)
+        def ff_one(ni):
+            def local(d6):
+                n_t = nt[ni] + d6[:3]
+                return extras.ff_translation_weight[ni] * (n_t - extras.ff_translation[ni])
+
+            r0 = local(jnp.zeros(6, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(6, jnp.float32))
+            m = extras.ff_mask[ni]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        ffJ, ffr = jax.vmap(ff_one)(jnp.arange(N))
+        ff_idx = (6 * S + jnp.arange(N) * 6)[:, None] + jnp.arange(6)[None, :]
+
+        # -- landmark observations: landmark pose vs node * rel
+        def lm_one(oi):
+            ni = extras.lm_node[oi]
+            li = extras.lm_index[oi]
+
+            def local(d12):
+                n_t = nt[ni] + d12[:3]
+                n_q = quat_normalize(quat_multiply(nq[ni], quat_from_axis_angle(d12[3:6])))
+                l_t = lt[li] + d12[6:9]
+                l_q = quat_normalize(quat_multiply(lq[li], quat_from_axis_angle(d12[9:12])))
+                return _relative_residual_3d(
+                    n_t, n_q, l_t, l_q,
+                    extras.lm_rel_translation[oi], extras.lm_rel_rotation[oi],
+                    extras.lm_translation_weight[oi], extras.lm_rotation_weight[oi],
+                )
+
+            r0 = local(jnp.zeros(12, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(12, jnp.float32))
+            m = extras.lm_mask[oi]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        lmJ, lmr = jax.vmap(lm_one)(jnp.arange(extras.lm_node.shape[0]))
+        lm_idx = jnp.concatenate(
+            [
+                (6 * S + extras.lm_node * 6)[:, None] + jnp.arange(6)[None, :],
+                (6 * (S + N) + extras.lm_index * 6)[:, None] + jnp.arange(6)[None, :],
+            ],
+            axis=1,
+        )
+
+        return [(cJ, cr, c_idx), (nnJ, nnr, nn_idx), (ffJ, ffr, ff_idx), (lmJ, lmr, lm_idx)]
+
+    def assemble(params):
+        JtJ = jnp.zeros((D, D), jnp.float32)
+        g = jnp.zeros((D,), jnp.float32)
+        cost = 0.0
+        for J, r, idx in family_blocks(params):
+            JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
+            g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+            cost = cost + 0.5 * jnp.sum(r * r)
+        return JtJ, g, cost
+
+    def cost_of(params):
+        return assemble(params)[2]
+
+    def lm_step(carry, _):
+        params, lam = carry
+        JtJ, g, cost = assemble(params)
+        JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
+        g = jnp.where(fixed, 0.0, g)
+        diag = jnp.diag(JtJ)
+        damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
+        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
+        new_params = retract(params, delta)
+        new_cost = cost_of(new_params)
+        accept = new_cost < cost
+        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
+        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
+        return (params_next, lam_next), new_cost
+
+    params0 = (
+        problem.submap_translation,
+        problem.submap_rotation,
+        problem.node_translation,
+        problem.node_rotation,
+        extras.landmark_translation,
+        extras.landmark_rotation,
+    )
+    (params, _), _ = jax.lax.scan(
+        lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
+    )
+    return params + (cost_of(params),)
+
+
+# ---------------------------------------------------------------------------
 # 2D
 # ---------------------------------------------------------------------------
 

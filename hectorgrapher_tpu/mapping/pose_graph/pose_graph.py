@@ -434,6 +434,193 @@ class PoseGraph3D(PoseGraphBase):
         super().__init__(options)
         self._histogram_size = histogram_size
         self._max_scan_range = max_scan_range
+        # Auxiliary sensor buffers for the optimization problem
+        # (ref: optimization_problem_3d.h odometry_data_/fixed_frame_pose_
+        # data_/landmark_nodes_; MapByTime per trajectory).
+        self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
+        self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
+        self._landmark_ids: Dict[str, int] = {}
+        self._landmark_observations: List[dict] = []
+
+    # -- auxiliary sensor ingestion (ref: pose_graph_3d.cc AddOdometryData/
+    #    AddFixedFramePoseData/AddLandmarkData) -----------------------------
+
+    def add_odometry_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
+        self._odometry.setdefault(trajectory_id, []).append((time, pose))
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
+        self._fixed_frame.setdefault(trajectory_id, []).append((time, pose))
+
+    def add_landmark_data(
+        self,
+        trajectory_id: int,
+        time: float,
+        landmark_id: str,
+        landmark_to_tracking: NpRigid3,
+        translation_weight: float,
+        rotation_weight: float,
+    ) -> None:
+        if landmark_id not in self._landmark_ids:
+            self._landmark_ids[landmark_id] = len(self._landmark_ids)
+        self._landmark_observations.append(
+            dict(
+                trajectory_id=trajectory_id,
+                time=time,
+                landmark_index=self._landmark_ids[landmark_id],
+                transform=landmark_to_tracking,
+                translation_weight=translation_weight,
+                rotation_weight=rotation_weight,
+            )
+        )
+
+    def landmark_poses(self) -> Dict[str, NpRigid3]:
+        return dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+
+    def _lookup_buffer(self, buf: List[Tuple[float, NpRigid3]], time: float) -> Optional[NpRigid3]:
+        if not buf or time < buf[0][0] or time > buf[-1][0]:
+            return None
+        times = [t for t, _ in buf]
+        j = int(np.searchsorted(times, time))
+        if j == 0:
+            return buf[0][1]
+        if j >= len(buf):
+            return buf[-1][1]
+        t0, p0 = buf[j - 1]
+        t1, p1 = buf[j]
+        f = (time - t0) / max(t1 - t0, 1e-9)
+        return NpRigid3(p0.t + f * (p1.t - p0.t), nq.quat_slerp(p0.q, p1.q, f))
+
+    def _build_extras(self, N_cap: int):
+        """Build SpaExtras3D from buffered sensors, or None if empty."""
+        from hectorgrapher_tpu.mapping.pose_graph.optimization import empty_extras_3d
+
+        import jax.numpy as jnp2
+
+        opt = self._options.optimization_problem
+        nn = []
+        # Odometry / consecutive-node residuals between successive nodes of
+        # each trajectory (ref: optimization_problem_3d.cc :450-503).
+        by_traj: Dict[int, List[int]] = {}
+        for i, n in enumerate(self.nodes):
+            by_traj.setdefault(n.trajectory_id, []).append(i)
+        for tid, idxs in by_traj.items():
+            odom = self._odometry.get(tid, [])
+            for a, b in zip(idxs[:-1], idxs[1:]):
+                na, nb = self.nodes[a], self.nodes[b]
+                oa = self._lookup_buffer(odom, na.time)
+                ob = self._lookup_buffer(odom, nb.time)
+                if oa is not None and ob is not None:
+                    rel = oa.inverse().compose(ob)
+                    nn.append(
+                        (a, b, rel, opt.odometry_translation_weight, opt.odometry_rotation_weight)
+                    )
+                else:
+                    rel = na.local_pose.inverse().compose(nb.local_pose)
+                    nn.append(
+                        (
+                            a,
+                            b,
+                            rel,
+                            opt.local_slam_pose_translation_weight,
+                            opt.local_slam_pose_rotation_weight,
+                        )
+                    )
+
+        has_ff = any(self._fixed_frame.values())
+        has_lm = bool(self._landmark_observations)
+        if not nn and not has_ff and not has_lm:
+            return None
+
+        P = max(self._pad_to(max(len(nn), 1)), 1)
+        L = max(len(self._landmark_ids), 1)
+        O = max(self._pad_to(max(len(self._landmark_observations), 1)), 1)
+        extras = empty_extras_3d(N_cap, p=P, l=L, o=O)
+
+        if nn:
+            nn_a = np.zeros(P, np.int32)
+            nn_b = np.zeros(P, np.int32)
+            nn_mask = np.zeros(P, bool)
+            nn_rt = np.zeros((P, 3), np.float32)
+            nn_rq = np.tile(np.array([1, 0, 0, 0], np.float32), (P, 1))
+            nn_wt = np.zeros(P, np.float32)
+            nn_wr = np.zeros(P, np.float32)
+            for i, (a, b, rel, wt, wr) in enumerate(nn):
+                nn_a[i], nn_b[i], nn_mask[i] = a, b, True
+                nn_rt[i], nn_rq[i] = rel.t, rel.q
+                nn_wt[i] = wt
+                nn_wr[i] = wr
+            extras = extras._replace(
+                nn_a=jnp2.asarray(nn_a),
+                nn_b=jnp2.asarray(nn_b),
+                nn_mask=jnp2.asarray(nn_mask),
+                nn_rel_translation=jnp2.asarray(nn_rt),
+                nn_rel_rotation=jnp2.asarray(nn_rq),
+                nn_translation_weight=jnp2.asarray(nn_wt),
+                nn_rotation_weight=jnp2.asarray(nn_wr),
+            )
+
+        if has_ff:
+            ff_mask = np.zeros(N_cap, bool)
+            ff_t = np.zeros((N_cap, 3), np.float32)
+            ff_w = np.zeros(N_cap, np.float32)
+            for i, n in enumerate(self.nodes):
+                pose = self._lookup_buffer(self._fixed_frame.get(n.trajectory_id, []), n.time)
+                if pose is not None:
+                    ff_mask[i] = True
+                    ff_t[i] = pose.t
+                    ff_w[i] = opt.fixed_frame_pose_translation_weight
+            extras = extras._replace(
+                ff_mask=jnp2.asarray(ff_mask),
+                ff_translation=jnp2.asarray(ff_t),
+                ff_translation_weight=jnp2.asarray(ff_w),
+            )
+
+        if has_lm:
+            lm_node = np.zeros(O, np.int32)
+            lm_index = np.zeros(O, np.int32)
+            lm_mask = np.zeros(O, bool)
+            lm_rt = np.zeros((O, 3), np.float32)
+            lm_rq = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
+            lm_wt = np.zeros(O, np.float32)
+            lm_wr = np.zeros(O, np.float32)
+            node_times = [n.time for n in self.nodes]
+            count = 0
+            lm_init: Dict[int, NpRigid3] = {}
+            for obs in self._landmark_observations:
+                j = int(np.searchsorted(node_times, obs["time"]))
+                j = min(max(j - 1, 0), len(self.nodes) - 1)
+                if count >= O:
+                    break
+                lm_node[count] = j
+                lm_index[count] = obs["landmark_index"]
+                lm_mask[count] = True
+                lm_rt[count] = obs["transform"].t
+                lm_rq[count] = obs["transform"].q
+                lm_wt[count] = obs["translation_weight"]
+                lm_wr[count] = obs["rotation_weight"]
+                if obs["landmark_index"] not in lm_init:
+                    lm_init[obs["landmark_index"]] = self.nodes[j].global_pose.compose(obs["transform"])
+                count += 1
+            lm_t = np.zeros((L, 3), np.float32)
+            lm_q = np.tile(np.array([1, 0, 0, 0], np.float32), (L, 1))
+            lm_valid = np.zeros(L, bool)
+            for li, pose in lm_init.items():
+                lm_t[li] = pose.t
+                lm_q[li] = pose.q
+                lm_valid[li] = True
+            extras = extras._replace(
+                landmark_translation=jnp2.asarray(lm_t),
+                landmark_rotation=jnp2.asarray(lm_q),
+                landmark_mask=jnp2.asarray(lm_valid),
+                lm_node=jnp2.asarray(lm_node),
+                lm_index=jnp2.asarray(lm_index),
+                lm_mask=jnp2.asarray(lm_mask),
+                lm_rel_translation=jnp2.asarray(lm_rt),
+                lm_rel_rotation=jnp2.asarray(lm_rq),
+                lm_translation_weight=jnp2.asarray(lm_wt),
+                lm_rotation_weight=jnp2.asarray(lm_wr),
+            )
+        return extras
 
     def _on_submap_finished(self, submap_index: int) -> None:
         """Build the per-submap loop-closure matcher lazily (ref:
@@ -569,7 +756,23 @@ class PoseGraph3D(PoseGraphBase):
             c_rotation_weight=jnp.asarray(cwr),
             c_huber_scale=jnp.asarray(chub),
         )
-        st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
+        extras = self._build_extras(N)
+        if extras is not None:
+            from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_3d_full
+
+            st_o, sq_o, nt_o, nq_o, lt_o, lq_o, _ = solve_spa_3d_full(
+                problem, extras, num_iterations=min(num_iterations, 50)
+            )
+            # Store optimized landmark poses keyed by string id.
+            self._landmark_poses = {
+                name: NpRigid3(
+                    np.asarray(lt_o)[idx].astype(np.float64),
+                    np.asarray(lq_o)[idx].astype(np.float64),
+                )
+                for name, idx in self._landmark_ids.items()
+            }
+        else:
+            st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
         st_o, sq_o = np.asarray(st_o), np.asarray(sq_o)
         nt_o, nq_o = np.asarray(nt_o), np.asarray(nq_o)
         for i, s in enumerate(self.submaps):
