@@ -1,0 +1,108 @@
+"""Tests for RangeDataCollator, DetectFloors, DebugLogger,
+CollatedTrajectoryBuilder
+(ref: range_data_collator_test.cc, detect_floors behavior,
+collated_trajectory_builder usage)."""
+
+import numpy as np
+
+from hectorgrapher_tpu.mapping.collated_trajectory_builder import CollatedTrajectoryBuilder
+from hectorgrapher_tpu.mapping.ct.builder import ControlPoint, CpState
+from hectorgrapher_tpu.mapping.ct.debug_logger import DebugLogger
+from hectorgrapher_tpu.mapping.detect_floors import detect_floors
+from hectorgrapher_tpu.mapping.range_data_collator import RangeDataCollator, TimedCloudInput
+from hectorgrapher_tpu.sensor.collator import Collator
+from hectorgrapher_tpu.transform import np_quat as nq
+
+
+def make_chunk(t, n=10, dt=0.01, x=0.0):
+    times = np.linspace(-(n - 1) * dt, 0.0, n)
+    pts = np.tile(np.array([[x, 0.0, 0.0]]), (n, 1)) + times[:, None] * 0
+    return TimedCloudInput(time=t, origin=np.zeros(3), points=pts, times=times)
+
+
+class TestRangeDataCollator:
+    def test_single_sensor_passthrough(self):
+        c = RangeDataCollator(["a"])
+        out = c.add_range_data("a", make_chunk(1.0))
+        assert out is not None
+        assert len(out.points) == 10
+        assert out.time == 1.0
+        assert np.all(out.times <= 0)
+
+    def test_two_sensors_crop_to_common_interval(self):
+        c = RangeDataCollator(["a", "b"])
+        assert c.add_range_data("a", make_chunk(1.0)) is None  # waiting for b
+        out = c.add_range_data("b", make_chunk(1.05))
+        assert out is not None
+        # merged up to the oldest end (1.0): all of a, part of b
+        assert out.time == 1.0
+        abs_times = out.time + out.times
+        assert np.all(abs_times <= 1.0 + 1e-9)
+        # sorted by time
+        assert np.all(np.diff(out.times) >= -1e-9)
+        assert len(out.origins) == 2
+
+    def test_same_sensor_twice_flushes(self):
+        c = RangeDataCollator(["a", "b"])
+        c.add_range_data("a", make_chunk(1.0))
+        out = c.add_range_data("a", make_chunk(1.1))
+        assert out is not None  # flushed the older chunk
+
+
+class TestDetectFloors:
+    def test_two_floors(self):
+        times = np.arange(0, 60, 0.5)
+        z = np.where(times < 25, 0.0, np.where(times < 30, (times - 25) * 0.6, 3.0))
+        floors = detect_floors(times, z)
+        assert len(floors) == 2
+        assert abs(floors[0].z - 0.0) < 0.3
+        assert abs(floors[1].z - 3.0) < 0.3
+
+    def test_single_floor(self):
+        times = np.arange(0, 30, 0.5)
+        z = np.random.default_rng(0).normal(0, 0.05, len(times))
+        floors = detect_floors(times, z)
+        assert len(floors) == 1
+
+
+class TestDebugLogger:
+    def test_csv_output(self):
+        log = DebugLogger()
+        cp = ControlPoint(
+            time=1.5,
+            state=CpState(np.array([1.0, 2, 3]), nq.quat_identity(), np.zeros(3)),
+            translation_ratio=0.1,
+        )
+        log.add_entry(cp)
+        text = log.getvalue()
+        lines = text.strip().splitlines()
+        assert lines[0].startswith("time,tx")
+        assert lines[1].startswith("1.5,1.0")
+
+
+class _FakeBuilder:
+    def __init__(self):
+        self.calls = []
+
+    def add_range_data(self, payload):
+        self.calls.append(("range", payload))
+
+    def add_imu_data(self, *a):
+        self.calls.append(("imu", a))
+
+    def add_odometry_data(self, *a):
+        self.calls.append(("odometry", a))
+
+
+class TestCollatedTrajectoryBuilder:
+    def test_time_ordered_dispatch(self):
+        collator = Collator()
+        fake = _FakeBuilder()
+        ctb = CollatedTrajectoryBuilder(collator, 0, fake, ["lidar", "imu"])
+        ctb.add_sensor_data("imu", 0.00, "imu", (0.00, [0, 0, 9.8], [0, 0, 0]))
+        ctb.add_sensor_data("lidar", 0.05, "range", "scan0")
+        ctb.add_sensor_data("imu", 0.02, "imu", (0.02, [0, 0, 9.8], [0, 0, 0]))
+        ctb.add_sensor_data("imu", 0.07, "imu", (0.07, [0, 0, 9.8], [0, 0, 0]))
+        ctb.finish()
+        kinds = [k for k, _ in fake.calls]
+        assert kinds == ["imu", "imu", "range", "imu"]
