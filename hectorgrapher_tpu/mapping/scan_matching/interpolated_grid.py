@@ -31,6 +31,32 @@ def _cubic_weights(t):
     return jnp.stack([w0, w1, w2, w3], axis=-1)
 
 
+def _patch_matrix_2d(values, pad_value, taps):
+    """(nx*ny + 1, T) matrix of shifted copies: row c holds values at
+    c + tap for each tap, border/overflow reads = pad_value; the appended
+    last row is all pad_value for out-of-grid bases.
+
+    TPU layout trick (same as the correlative kernel): interpolation taps
+    become ONE contiguous row gather instead of T scattered element
+    gathers. The matrix is loop-invariant in GN solves, so XLA hoists its
+    construction out of the iteration loop.
+    """
+    nx, ny = values.shape
+    lo = min(t[0] for t in taps + [(0, 0)])
+    hi = max(t[0] for t in taps + [(0, 0)])
+    pad = max(-lo, hi, 1)
+    padded = jnp.pad(values, pad, constant_values=pad_value)
+    cols = [
+        jax.lax.dynamic_slice(padded, (pad + dx, pad + dy), (nx, ny)).reshape(-1)
+        for dx, dy in taps
+    ]
+    m = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([m, jnp.full((1, len(taps)), pad_value, values.dtype)], axis=0)
+
+
+_BICUBIC_TAPS_2D = [(dx, dy) for dx in range(-1, 3) for dy in range(-1, 3)]
+
+
 def interp_bicubic_2d(values, meta: GridMeta, points, pad_value):
     """Bicubic interpolation of a 2D array at world positions (..., 2).
 
@@ -44,19 +70,13 @@ def interp_bicubic_2d(values, meta: GridMeta, points, pad_value):
 
     wx = _cubic_weights(frac[..., 0])  # (..., 4)
     wy = _cubic_weights(frac[..., 1])
+    w = (wx[..., :, None] * wy[..., None, :]).reshape(points.shape[:-1] + (16,))
 
-    out = jnp.zeros(points.shape[:-1], values.dtype)
-    for dx in range(-1, 3):
-        ix = i0[..., 0] + dx
-        ok_x = (ix >= 0) & (ix < nx)
-        ixc = jnp.clip(ix, 0, nx - 1)
-        for dy in range(-1, 3):
-            iy = i0[..., 1] + dy
-            ok = ok_x & (iy >= 0) & (iy < ny)
-            iyc = jnp.clip(iy, 0, ny - 1)
-            v = jnp.where(ok, values[ixc, iyc], pad_value)
-            out = out + wx[..., dx + 1] * wy[..., dy + 1] * v
-    return out
+    patches = _patch_matrix_2d(values, pad_value, _BICUBIC_TAPS_2D)
+    ok = (i0[..., 0] >= 0) & (i0[..., 0] < nx) & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+    flat = jnp.where(ok, i0[..., 0] * ny + i0[..., 1], nx * ny)
+    rows = patches[flat]  # (..., 16) contiguous
+    return jnp.sum(rows * w, axis=-1)
 
 
 def interp_bilinear_2d(values, meta: GridMeta, points, pad_value):
@@ -80,35 +100,48 @@ def interp_bilinear_2d(values, meta: GridMeta, points, pad_value):
     return out
 
 
+def _patch_matrix_3d(values, pad_value):
+    """(nx*ny*nz + 1, 8) shifted-copy matrix for the trilinear taps."""
+    nx, ny, nz = values.shape
+    padded = jnp.pad(values, ((0, 1), (0, 1), (0, 1)), constant_values=pad_value)
+    cols = [
+        jax.lax.dynamic_slice(padded, (dx, dy, dz), (nx, ny, nz)).reshape(-1)
+        for dx in range(2)
+        for dy in range(2)
+        for dz in range(2)
+    ]
+    m = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([m, jnp.full((1, 8), pad_value, values.dtype)], axis=0)
+
+
 def interp_trilinear_3d(values, meta: GridMeta, points, pad_value):
     """Trilinear interpolation of a 3D array at world positions (..., 3).
 
     (ref: interpolated_grid.h InterpolatedGrid::GetProbability — trilinear
-    with autodiff-compatible types.)
+    with autodiff-compatible types.) Uses one contiguous 8-wide row gather
+    per point (see _patch_matrix_2d).
     """
     nx, ny, nz = values.shape
     u = (points - meta.min_corner) / meta.resolution - 0.5
     i0 = jnp.floor(u).astype(jnp.int32)
     frac = u - i0
-    out = jnp.zeros(points.shape[:-1], values.dtype)
-    for dx in range(2):
-        ix = i0[..., 0] + dx
-        okx = (ix >= 0) & (ix < nx)
-        ixc = jnp.clip(ix, 0, nx - 1)
-        wx = jnp.where(dx == 0, 1.0 - frac[..., 0], frac[..., 0])
-        for dy in range(2):
-            iy = i0[..., 1] + dy
-            oky = okx & (iy >= 0) & (iy < ny)
-            iyc = jnp.clip(iy, 0, ny - 1)
-            wy = jnp.where(dy == 0, 1.0 - frac[..., 1], frac[..., 1])
-            for dz in range(2):
-                iz = i0[..., 2] + dz
-                ok = oky & (iz >= 0) & (iz < nz)
-                izc = jnp.clip(iz, 0, nz - 1)
-                wz = jnp.where(dz == 0, 1.0 - frac[..., 2], frac[..., 2])
-                v = jnp.where(ok, values[ixc, iyc, izc], pad_value)
-                out = out + wx * wy * wz * v
-    return out
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    w = (wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]).reshape(
+        points.shape[:-1] + (8,)
+    )
+
+    patches = _patch_matrix_3d(values, pad_value)
+    ok = (
+        (i0[..., 0] >= 0) & (i0[..., 0] < nx)
+        & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+        & (i0[..., 2] >= 0) & (i0[..., 2] < nz)
+    )
+    flat = jnp.where(ok, (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2], nx * ny * nz)
+    rows = patches[flat]
+    return jnp.sum(rows * w, axis=-1)
 
 
 # ---------------------------------------------------------------------------
