@@ -36,8 +36,21 @@ from hectorgrapher_tpu.mapping.motion_filter import MotionFilter
 from hectorgrapher_tpu.mapping.pose_extrapolator import PoseExtrapolator
 from hectorgrapher_tpu.mapping.scan_matching.rotational_histogram import compute_histogram
 from hectorgrapher_tpu.mapping.submap_3d import ActiveSubmaps3D, Submap3D
-from hectorgrapher_tpu.sensor.types import PointCloud, RangeData, TimedPointCloudData, pad_cloud
-from hectorgrapher_tpu.sensor.voxel_filter import adaptive_voxel_filter, compact_cloud, voxel_filter
+from hectorgrapher_tpu.sensor.types import (
+    PointCloud,
+    RangeData,
+    TimedPointCloud,
+    TimedPointCloudData,
+    pad_cloud,
+    pad_timed_cloud,
+)
+from hectorgrapher_tpu.sensor.voxel_filter import (
+    adaptive_voxel_filter,
+    adaptive_voxel_filter_timed,
+    compact_cloud,
+    compact_timed_cloud,
+    voxel_filter,
+)
 from hectorgrapher_tpu.transform import np_quat as nq
 from hectorgrapher_tpu.transform.interpolation import TransformInterpolationBuffer
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
@@ -78,8 +91,8 @@ class PointCloudSet:
     points: np.ndarray  # (n, 3) range-filtered points, tracking frame
     times: np.ndarray  # (n,) per-point relative times (<= 0)
     width: int
-    high_res: PointCloud  # adaptive-filtered, padded (device)
-    low_res: PointCloud
+    high_res: TimedPointCloud  # adaptive-filtered, padded (device)
+    low_res: TimedPointCloud
     min_point_time: float
     max_point_time: float
 
@@ -193,13 +206,15 @@ class OptimizingLocalTrajectoryBuilder:
         if self._odom[0][0] > time + min_pt:
             return None
 
-        cloud_dev = pad_cloud(pts_k.astype(np.float32), max(self._P * 4, 1024))
-        hi = compact_cloud(
-            adaptive_voxel_filter(cloud_dev, self._options.high_resolution_adaptive_voxel_filter),
+        cloud_dev = pad_timed_cloud(
+            pts_k.astype(np.float32), times_k.astype(np.float32), max(self._P * 4, 1024)
+        )
+        hi = compact_timed_cloud(
+            adaptive_voxel_filter_timed(cloud_dev, self._options.high_resolution_adaptive_voxel_filter),
             self._P,
         )
-        lo = compact_cloud(
-            adaptive_voxel_filter(cloud_dev, self._options.low_resolution_adaptive_voxel_filter),
+        lo = compact_timed_cloud(
+            adaptive_voxel_filter_timed(cloud_dev, self._options.low_resolution_adaptive_voxel_filter),
             self._P,
         )
         self._clouds.append(
@@ -366,14 +381,18 @@ class OptimizingLocalTrajectoryBuilder:
         clouds = [
             pcs for pcs in self._clouds if cp_times[0] <= pcs.time <= cp_times[-1]
         ][:C]
+        t_ref = cp_times[0]
         cloud_mask = np.zeros(C, bool)
         prev_idx = np.zeros(C, np.int32)
         next_idx = np.zeros(C, np.int32)
         factor = np.zeros(C, np.float32)
+        cloud_time = np.zeros(C, np.float32)
         hi_pos = np.zeros((C, P, 3), np.float32)
         hi_msk = np.zeros((C, P), bool)
+        hi_t = np.zeros((C, P), np.float32)
         lo_pos = np.zeros((C, P, 3), np.float32)
         lo_msk = np.zeros((C, P), bool)
+        lo_t = np.zeros((C, P), np.float32)
         for ci, pcs in enumerate(clouds):
             j = int(np.searchsorted(cp_times, pcs.time, side="right"))
             j = min(max(j, 1), k - 1)
@@ -382,10 +401,13 @@ class OptimizingLocalTrajectoryBuilder:
             dt = cp_times[j] - cp_times[j - 1]
             factor[ci] = (pcs.time - cp_times[j - 1]) / max(dt, 1e-9)
             cloud_mask[ci] = True
+            cloud_time[ci] = pcs.time - t_ref
             hi_pos[ci] = np.asarray(pcs.high_res.positions)
             hi_msk[ci] = np.asarray(pcs.high_res.mask)
+            hi_t[ci] = np.asarray(pcs.high_res.times)
             lo_pos[ci] = np.asarray(pcs.low_res.positions)
             lo_msk[ci] = np.asarray(pcs.low_res.mask)
+            lo_t[ci] = np.asarray(pcs.low_res.times)
 
         # IMU + odometry per consecutive CP pair.
         pair_mask = np.zeros(K - 1, bool)
@@ -434,16 +456,22 @@ class OptimizingLocalTrajectoryBuilder:
                 odom_wt[i - 1] = wt
                 odom_wr[i - 1] = wr
 
+        cp_times_arr = np.zeros(K, np.float32)
+        cp_times_arr[:k] = cp_times - t_ref
         problem = CtProblem(
             cp_mask=jnp.asarray(cp_mask),
+            cp_times=jnp.asarray(cp_times_arr),
             cloud_mask=jnp.asarray(cloud_mask),
             cloud_prev=jnp.asarray(prev_idx),
             cloud_next=jnp.asarray(next_idx),
             cloud_factor=jnp.asarray(factor),
+            cloud_time=jnp.asarray(cloud_time),
             hi_points=jnp.asarray(hi_pos),
             hi_mask=jnp.asarray(hi_msk),
+            hi_times=jnp.asarray(hi_t),
             lo_points=jnp.asarray(lo_pos),
             lo_mask=jnp.asarray(lo_msk),
+            lo_times=jnp.asarray(lo_t),
             pair_mask=jnp.asarray(pair_mask),
             pair_dt=jnp.asarray(pair_dt),
             imu_delta_rotation=jnp.asarray(imu_dq),
@@ -477,6 +505,7 @@ class OptimizingLocalTrajectoryBuilder:
             weights,
             is_tsdf=is_tsdf,
             num_iterations=self._opt.max_num_iterations,
+            per_point=bool(self._opt.use_per_point_unwarping),
         )
         self.num_optimizations += 1
 
@@ -508,6 +537,36 @@ class OptimizingLocalTrajectoryBuilder:
             ta + f * (tb - ta), nq.quat_slerp(a.state.rotation, b.state.rotation, f)
         )
 
+    def _unwarp_points_per_point(self, pcs, inv: NpRigid3) -> np.ndarray:
+        """Per-point unwarping: each point transformed by its own
+        interpolated pose (ref: MaybeOptimize per-point branch :1331-1378).
+        Vectorized numpy lerp+slerp between bracketing control points."""
+        cps = list(self._control_points)
+        cp_t = np.array([cp.time for cp in cps])
+        cp_trans = np.stack([cp.state.translation for cp in cps])
+        cp_rot = np.stack([cp.state.rotation for cp in cps])
+        abs_t = pcs.time + pcs.times
+        nxt = np.clip(np.searchsorted(cp_t, abs_t, side="right"), 1, len(cps) - 1)
+        prv = nxt - 1
+        f = np.clip(
+            (abs_t - cp_t[prv]) / np.maximum(cp_t[nxt] - cp_t[prv], 1e-9), 0.0, 1.0
+        )[:, None]
+        trans = cp_trans[prv] + f * (cp_trans[nxt] - cp_trans[prv])
+        # Batched nlerp (slerp within a window's small rotations).
+        q0 = cp_rot[prv]
+        q1 = cp_rot[nxt]
+        dot = np.sum(q0 * q1, axis=-1, keepdims=True)
+        q1 = np.where(dot < 0, -q1, q1)
+        q = q0 + f * (q1 - q0)
+        q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        # rotate points: v + 2w(u x v) + 2(u x (u x v)) batched
+        u, w = q[:, 1:], q[:, :1]
+        v = pcs.points
+        uv = np.cross(u, v)
+        world = v + 2.0 * (w * uv + np.cross(u, uv)) + trans
+        # into the optimized pose frame
+        return nq.quat_rotate(inv.q, world) + inv.t
+
     def _marginalize(self, optimized_pose: NpRigid3):
         """Pop clouds leaving the window; unwarp into optimized_pose frame."""
         accumulated: List[np.ndarray] = []
@@ -538,9 +597,13 @@ class OptimizingLocalTrajectoryBuilder:
             ):
                 self._control_points.popleft()
             pcs = self._clouds.popleft()
-            tf = inv.compose(self._interp_cp_pose(pcs.time))
-            accumulated.append(nq.quat_rotate(tf.q, pcs.points) + tf.t)
-            acc_origin = tf.apply(pcs.origin)
+            if self._opt.use_per_point_unwarping:
+                accumulated.append(self._unwarp_points_per_point(pcs, inv))
+                acc_origin = inv.compose(self._interp_cp_pose(pcs.time)).apply(pcs.origin)
+            else:
+                tf = inv.compose(self._interp_cp_pose(pcs.time))
+                accumulated.append(nq.quat_rotate(tf.q, pcs.points) + tf.t)
+                acc_origin = tf.apply(pcs.origin)
         if not accumulated:
             return None, None
         return np.concatenate(accumulated, axis=0), acc_origin

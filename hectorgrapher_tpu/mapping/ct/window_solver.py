@@ -65,15 +65,19 @@ class CtProblem(NamedTuple):
 
     # Control points
     cp_mask: jax.Array  # (K,) bool — valid control points
+    cp_times: jax.Array  # (K,) f32 — control point times (window-relative)
     # Clouds
     cloud_mask: jax.Array  # (C,) bool
     cloud_prev: jax.Array  # (C,) int32 — bracketing CP indices
     cloud_next: jax.Array  # (C,)
     cloud_factor: jax.Array  # (C,) f32 interpolation factor in [0, 1]
+    cloud_time: jax.Array  # (C,) f32 — window-relative scan end times
     hi_points: jax.Array  # (C, P, 3) tracking-frame points
     hi_mask: jax.Array  # (C, P)
+    hi_times: jax.Array  # (C, P) per-point relative times (<= 0)
     lo_points: jax.Array  # (C, Pl, 3)
     lo_mask: jax.Array  # (C, Pl)
+    lo_times: jax.Array  # (C, Pl)
     # IMU per consecutive CP pair i-1 -> i (index i-1 in (K-1,) arrays)
     pair_mask: jax.Array  # (K-1,) bool — both CPs valid
     pair_dt: jax.Array  # (K-1,)
@@ -119,21 +123,54 @@ def _rpy_of_quat(q):
     return jnp.stack([roll, pitch, yaw], axis=-1)
 
 
-def make_ct_residual(high_grid, low_grid, problem: CtProblem, weights: CtWeights, is_tsdf: bool):
+def per_point_brackets(problem: CtProblem, times):
+    """Per-point bracketing control points + interpolation factors.
+
+    times: (C, P) relative point times. Absolute point time = cloud_time +
+    relative time; the bracketing pair comes from searchsorted over the
+    (masked) control-point times — the TPU form of the reference's
+    per-point control-point walk (AddPerPointMatchingResiduals,
+    optimizing_local_trajectory_builder.cc:513-926, which subdivides
+    clouds only to economize on CPU; per-point slerp is free here.)
+    """
+    k = problem.cp_times.shape[0]
+    cp_t = jnp.where(problem.cp_mask, problem.cp_times, jnp.inf)
+    abs_t = problem.cloud_time[:, None] + times  # (C, P)
+    nxt = jnp.clip(jnp.searchsorted(cp_t, abs_t, side="right"), 1, k - 1).astype(jnp.int32)
+    prv = nxt - 1
+    t0 = cp_t[prv]
+    t1 = cp_t[nxt]
+    factor = jnp.clip((abs_t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    factor = jnp.where(jnp.isfinite(factor), factor, 0.0)
+    return prv, nxt, factor
+
+
+def make_ct_residual(
+    high_grid, low_grid, problem: CtProblem, weights: CtWeights, is_tsdf: bool,
+    per_point: bool = False,
+):
     """Build the residual function over CtState for this window."""
 
     n_hi = jnp.maximum(jnp.sum(problem.hi_mask, axis=1), 1).astype(jnp.float32)  # (C,)
     n_lo = jnp.maximum(jnp.sum(problem.lo_mask, axis=1), 1).astype(jnp.float32)
 
     def scan_residuals(state: CtState):
-        poses = interpolate_pose(state, problem.cloud_prev, problem.cloud_next, problem.cloud_factor)
+        if per_point:
+            hi_prv, hi_nxt, hi_f = per_point_brackets(problem, problem.hi_times)
+            lo_prv, lo_nxt, lo_f = per_point_brackets(problem, problem.lo_times)
+            hi_poses = interpolate_pose(state, hi_prv, hi_nxt, hi_f)  # (C, P, ...)
+            lo_poses = interpolate_pose(state, lo_prv, lo_nxt, lo_f)
+            hi_world = quat_rotate(hi_poses.rotation, problem.hi_points) + hi_poses.translation
+            lo_world = quat_rotate(lo_poses.rotation, problem.lo_points) + lo_poses.translation
+        else:
+            poses = interpolate_pose(state, problem.cloud_prev, problem.cloud_next, problem.cloud_factor)
 
-        def world(points):
-            # points: (C, P, 3); poses batched over C
-            return quat_rotate(poses.rotation[:, None, :], points) + poses.translation[:, None, :]
+            def world(points):
+                # points: (C, P, 3); poses batched over C
+                return quat_rotate(poses.rotation[:, None, :], points) + poses.translation[:, None, :]
 
-        hi_world = world(problem.hi_points)
-        lo_world = world(problem.lo_points)
+            hi_world = world(problem.hi_points)
+            lo_world = world(problem.lo_points)
         if is_tsdf:
             hi_val, hi_w = tsd_at_3d_weighted(high_grid, hi_world)
             lo_val, lo_w = tsd_at_3d_weighted(low_grid, lo_world)
@@ -224,7 +261,7 @@ def ct_retract(state: CtState, delta) -> CtState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point"))
 def solve_ct_window(
     high_grid,
     low_grid,
@@ -233,10 +270,11 @@ def solve_ct_window(
     weights: CtWeights,
     is_tsdf: bool,
     num_iterations: int = 12,
+    per_point: bool = False,
 ):
     """Solve the window; returns (CtState, final_cost, initial_cost)."""
     k = state0.translation.shape[0]
-    residual = make_ct_residual(high_grid, low_grid, problem, weights, is_tsdf)
+    residual = make_ct_residual(high_grid, low_grid, problem, weights, is_tsdf, per_point=per_point)
 
     # Freeze CP0 entirely and all invalid CPs (:1268-1275).
     per_cp_fixed = ~problem.cp_mask

@@ -133,6 +133,35 @@ def voxel_filter_timed(cloud: TimedPointCloud, resolution) -> TimedPointCloud:
     )
 
 
+def adaptive_voxel_filter_timed(cloud: TimedPointCloud, options) -> TimedPointCloud:
+    """Adaptive voxel filter preserving per-point times (needed by the
+    per-point-unwarping CT path, ref: optimizing_local_trajectory_builder
+    PointCloudSet high/low_resolution_filtered_points keep TimedPoints)."""
+    in_range = cloud.mask & (jnp.linalg.norm(cloud.positions, axis=-1) <= options.max_range)
+    base = PointCloud(cloud.positions, in_range)
+    length = adaptive_voxel_filter_length(
+        base, options.max_length, int(options.min_num_points), options.max_range
+    )
+    return voxel_filter_timed(TimedPointCloud(cloud.positions, cloud.times, in_range), length)
+
+
+def compact_timed_cloud(cloud: TimedPointCloud, capacity: int) -> TimedPointCloud:
+    """compact_cloud for timed clouds."""
+    idx = jnp.argsort(~cloud.mask, stable=True)
+    positions = cloud.positions[idx]
+    times = cloud.times[idx]
+    mask = cloud.mask[idx]
+    n = cloud.positions.shape[0]
+    if capacity <= n:
+        return TimedPointCloud(positions[:capacity], times[:capacity], mask[:capacity])
+    pad = capacity - n
+    return TimedPointCloud(
+        jnp.concatenate([positions, jnp.zeros((pad, 3), positions.dtype)]),
+        jnp.concatenate([times, jnp.zeros((pad,), times.dtype)]),
+        jnp.concatenate([mask, jnp.zeros((pad,), bool)]),
+    )
+
+
 def compact_cloud(cloud: PointCloud, capacity: int) -> PointCloud:
     """Move valid points to the front (stable) and truncate/pad to capacity.
 

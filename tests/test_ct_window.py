@@ -59,14 +59,18 @@ def make_problem(K, C, P, cp_data, clouds):
     qI = np.tile(np.array([1, 0, 0, 0], np.float32), (K - 1, 1))
     problem = CtProblem(
         cp_mask=jnp.asarray(cp_mask),
+        cp_times=jnp.asarray(np.arange(K, dtype=np.float32) * 0.1),
         cloud_mask=jnp.asarray(cloud_mask),
         cloud_prev=jnp.asarray(prev),
         cloud_next=jnp.asarray(nxt),
         cloud_factor=jnp.asarray(fac),
+        cloud_time=jnp.asarray(fac * 0.1),
         hi_points=jnp.asarray(hi),
         hi_mask=jnp.asarray(him),
+        hi_times=jnp.zeros((C, P), jnp.float32),
         lo_points=jnp.asarray(hi),
         lo_mask=jnp.asarray(him),
+        lo_times=jnp.zeros((C, P), jnp.float32),
         pair_mask=jnp.asarray(np.zeros(K - 1, bool)),
         pair_dt=jnp.asarray(np.full(K - 1, 0.1, np.float32)),
         imu_delta_rotation=jnp.asarray(qI),
