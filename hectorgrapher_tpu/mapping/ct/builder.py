@@ -435,6 +435,12 @@ class OptimizingLocalTrajectoryBuilder:
             dq, dv, dp = imu_integration.integrate_imu(
                 imu_t, imu_a, imu_g, t0, t1, self._acc_calibration, self._gyro_calibration
             )
+            if self._opt.imu_integrator == "RK4":
+                # (ref: imu_integrator = "RK4" default; rotation from RK4,
+                # translation terms from the ZOH pass above)
+                dq = imu_integration.integrate_gyro_rk4(
+                    imu_t, imu_g, t0, t1, self._gyro_calibration
+                )
             imu_dq[i - 1] = dq
             imu_dv[i - 1] = dv
             imu_dp[i - 1] = dp

@@ -90,6 +90,53 @@ def integrate_imu(
     return nq.quat_normalize(q), dv, dp
 
 
+def _gyro_at(times: np.ndarray, gyros: np.ndarray, t: float) -> np.ndarray:
+    """Linearly-interpolated angular velocity at t (clamped)."""
+    i = int(np.searchsorted(times, t))
+    if i <= 0:
+        return gyros[0]
+    if i >= len(times):
+        return gyros[-1]
+    f = (t - times[i - 1]) / max(times[i] - times[i - 1], 1e-12)
+    return gyros[i - 1] + f * (gyros[i] - gyros[i - 1])
+
+
+def integrate_gyro_rk4(
+    times: np.ndarray,
+    angular_velocities: np.ndarray,
+    t0: float,
+    t1: float,
+    calibration: Optional[np.ndarray] = None,
+    max_step: float = 0.01,
+) -> np.ndarray:
+    """RK4 delta rotation over [t0, t1] with linearly-interpolated gyro
+    (ref: imu_integration.h RK4 path behind WITH_RK4 :25,185 — the
+    reference default imu_integrator = "RK4",
+    trajectory_builder_3d.lua:133)."""
+    if calibration is not None:
+        angular_velocities = angular_velocities @ calibration.T
+    q = nq.quat_identity()
+    n_steps = max(1, int(np.ceil((t1 - t0) / max_step)))
+    h = (t1 - t0) / n_steps
+    t = t0
+    for _ in range(n_steps):
+        w1 = _gyro_at(times, angular_velocities, t)
+        w2 = _gyro_at(times, angular_velocities, t + 0.5 * h)
+        w4 = _gyro_at(times, angular_velocities, t + h)
+
+        def qdot(qq, w):
+            # dq/dt = 0.5 * q * [0, w]
+            return 0.5 * nq.quat_multiply(qq, np.array([0.0, w[0], w[1], w[2]]))
+
+        k1 = qdot(q, w1)
+        k2 = qdot(q + 0.5 * h * k1, w2)
+        k3 = qdot(q + 0.5 * h * k2, w2)
+        k4 = qdot(q + h * k3, w4)
+        q = nq.quat_normalize(q + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4))
+        t += h
+    return q
+
+
 def calibrate_imu_static(
     times: np.ndarray,
     linear_accelerations: np.ndarray,

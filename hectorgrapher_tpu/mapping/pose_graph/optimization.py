@@ -580,3 +580,218 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: f
         lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
     )
     return params + (cost_of(params),)
+
+
+# ---------------------------------------------------------------------------
+# 2D extras: odometry / consecutive-node, fixed-frame, landmarks
+# ---------------------------------------------------------------------------
+
+
+class SpaExtras2D(NamedTuple):
+    """Additional residual families of OptimizationProblem2D
+    (ref: optimization_problem_2d.cc — odometry and consecutive-node
+    relative residuals, fixed-frame residuals, landmark cost functions
+    with 2D landmark poses as free variables)."""
+
+    nn_a: jax.Array  # (P,)
+    nn_b: jax.Array  # (P,)
+    nn_mask: jax.Array  # (P,)
+    nn_rel_pose: jax.Array  # (P, 3) — pose of b in a's frame (x, y, theta)
+    nn_translation_weight: jax.Array  # (P,)
+    nn_rotation_weight: jax.Array  # (P,)
+    ff_mask: jax.Array  # (N,)
+    ff_pose: jax.Array  # (N, 3)
+    ff_translation_weight: jax.Array  # (N,)
+    landmark_pose: jax.Array  # (L, 3)
+    landmark_mask: jax.Array  # (L,)
+    lm_node: jax.Array  # (O,)
+    lm_index: jax.Array  # (O,)
+    lm_mask: jax.Array  # (O,)
+    lm_rel_pose: jax.Array  # (O, 3)
+    lm_translation_weight: jax.Array  # (O,)
+    lm_rotation_weight: jax.Array  # (O,)
+
+
+def empty_extras_2d(num_nodes: int, p: int = 1, l: int = 1, o: int = 1) -> SpaExtras2D:
+    return SpaExtras2D(
+        nn_a=jnp.zeros(p, jnp.int32),
+        nn_b=jnp.zeros(p, jnp.int32),
+        nn_mask=jnp.zeros(p, bool),
+        nn_rel_pose=jnp.zeros((p, 3), jnp.float32),
+        nn_translation_weight=jnp.zeros(p, jnp.float32),
+        nn_rotation_weight=jnp.zeros(p, jnp.float32),
+        ff_mask=jnp.zeros(num_nodes, bool),
+        ff_pose=jnp.zeros((num_nodes, 3), jnp.float32),
+        ff_translation_weight=jnp.zeros(num_nodes, jnp.float32),
+        landmark_pose=jnp.zeros((l, 3), jnp.float32),
+        landmark_mask=jnp.zeros(l, bool),
+        lm_node=jnp.zeros(o, jnp.int32),
+        lm_index=jnp.zeros(o, jnp.int32),
+        lm_mask=jnp.zeros(o, bool),
+        lm_rel_pose=jnp.zeros((o, 3), jnp.float32),
+        lm_translation_weight=jnp.zeros(o, jnp.float32),
+        lm_rotation_weight=jnp.zeros(o, jnp.float32),
+    )
+
+
+def _relative_residual_2d(a, b, rel, wt, wr):
+    """Error of (a^-1 b) vs rel in SE(2)."""
+    c, s = jnp.cos(a[2]), jnp.sin(a[2])
+    d = b[:2] - a[:2]
+    h = jnp.stack([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+    err_t = rel[:2] - h
+    err_a = normalize_angle_difference(rel[2] - (b[2] - a[2]))
+    return jnp.concatenate([wt * err_t, (wr * err_a)[None]])
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def solve_spa_2d_full(
+    problem: SpaProblem2D,
+    extras: SpaExtras2D,
+    num_iterations: int = 20,
+    init_lambda: float = 1e-4,
+):
+    """2D SPA with all residual families; returns (submap, node, landmark
+    poses, final_cost)."""
+    S = problem.submap_pose.shape[0]
+    N = problem.node_pose.shape[0]
+    L = extras.landmark_pose.shape[0]
+    D = 3 * (S + N + L)
+    fixed = jnp.concatenate(
+        [
+            jnp.repeat(problem.submap_fixed, 3),
+            jnp.repeat(problem.node_fixed, 3),
+            jnp.repeat(~extras.landmark_mask, 3),
+        ]
+    )
+
+    def family_blocks(params):
+        sp, np_, lp = params
+
+        def c_one(ci):
+            si = problem.c_submap[ci]
+            ni = problem.c_node[ci]
+
+            def local(d6):
+                return _relative_residual_2d(
+                    sp[si] + d6[:3], np_[ni] + d6[3:],
+                    problem.c_rel_pose[ci],
+                    problem.c_translation_weight[ci], problem.c_rotation_weight[ci],
+                )
+
+            r0 = local(jnp.zeros(6, jnp.float32))
+            norm = jnp.linalg.norm(r0)
+            scale = problem.c_huber_scale[ci]
+            w = jnp.where(norm <= scale, 1.0, jnp.sqrt(scale / jnp.maximum(norm, 1e-12)))
+            J = jax.jacfwd(local)(jnp.zeros(6, jnp.float32)) * w
+            m = problem.c_mask[ci]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0 * w, 0.0)
+
+        cJ, cr = jax.vmap(c_one)(jnp.arange(problem.c_submap.shape[0]))
+        c_idx = jnp.concatenate(
+            [
+                (problem.c_submap * 3)[:, None] + jnp.arange(3)[None, :],
+                (3 * S + problem.c_node * 3)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        def nn_one(pi):
+            a = extras.nn_a[pi]
+            b = extras.nn_b[pi]
+
+            def local(d6):
+                return _relative_residual_2d(
+                    np_[a] + d6[:3], np_[b] + d6[3:],
+                    extras.nn_rel_pose[pi],
+                    extras.nn_translation_weight[pi], extras.nn_rotation_weight[pi],
+                )
+
+            r0 = local(jnp.zeros(6, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(6, jnp.float32))
+            m = extras.nn_mask[pi]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        nnJ, nnr = jax.vmap(nn_one)(jnp.arange(extras.nn_a.shape[0]))
+        nn_idx = jnp.concatenate(
+            [
+                (3 * S + extras.nn_a * 3)[:, None] + jnp.arange(3)[None, :],
+                (3 * S + extras.nn_b * 3)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        def ff_one(ni):
+            def local(d3):
+                p = np_[ni] + d3
+                return extras.ff_translation_weight[ni] * (p[:2] - extras.ff_pose[ni, :2])
+
+            r0 = local(jnp.zeros(3, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(3, jnp.float32))
+            m = extras.ff_mask[ni]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        ffJ, ffr = jax.vmap(ff_one)(jnp.arange(N))
+        ff_idx = (3 * S + jnp.arange(N) * 3)[:, None] + jnp.arange(3)[None, :]
+
+        def lm_one(oi):
+            ni = extras.lm_node[oi]
+            li = extras.lm_index[oi]
+
+            def local(d6):
+                return _relative_residual_2d(
+                    np_[ni] + d6[:3], lp[li] + d6[3:],
+                    extras.lm_rel_pose[oi],
+                    extras.lm_translation_weight[oi], extras.lm_rotation_weight[oi],
+                )
+
+            r0 = local(jnp.zeros(6, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(6, jnp.float32))
+            m = extras.lm_mask[oi]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        lmJ, lmr = jax.vmap(lm_one)(jnp.arange(extras.lm_node.shape[0]))
+        lm_idx = jnp.concatenate(
+            [
+                (3 * S + extras.lm_node * 3)[:, None] + jnp.arange(3)[None, :],
+                (3 * (S + N) + extras.lm_index * 3)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+        return [(cJ, cr, c_idx), (nnJ, nnr, nn_idx), (ffJ, ffr, ff_idx), (lmJ, lmr, lm_idx)]
+
+    def assemble(params):
+        JtJ = jnp.zeros((D, D), jnp.float32)
+        g = jnp.zeros((D,), jnp.float32)
+        cost = 0.0
+        for J, r, idx in family_blocks(params):
+            JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
+            g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+            cost = cost + 0.5 * jnp.sum(r * r)
+        return JtJ, g, cost
+
+    def lm_step(carry, _):
+        params, lam = carry
+        JtJ, g, cost = assemble(params)
+        JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
+        g = jnp.where(fixed, 0.0, g)
+        diag = jnp.diag(JtJ)
+        damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
+        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
+        sp, np_, lp = params
+        new_params = (
+            sp + delta[: 3 * S].reshape(S, 3),
+            np_ + delta[3 * S : 3 * (S + N)].reshape(N, 3),
+            lp + delta[3 * (S + N) :].reshape(L, 3),
+        )
+        new_cost = assemble(new_params)[2]
+        accept = new_cost < cost
+        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
+        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
+        return (params_next, lam_next), new_cost
+
+    params0 = (problem.submap_pose, problem.node_pose, extras.landmark_pose)
+    (params, _), costs = jax.lax.scan(
+        lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
+    )
+    return params + (costs[-1],)

@@ -296,6 +296,140 @@ class PoseGraph2D(PoseGraphBase):
     def __init__(self, options, max_scan_range: float = 30.0):
         super().__init__(options)
         self._max_scan_range = max_scan_range
+        self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
+        self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
+        self._landmark_ids: Dict[str, int] = {}
+        self._landmark_observations: List[dict] = []
+
+    # -- auxiliary sensor ingestion (ref: pose_graph_2d.cc AddOdometryData/
+    #    AddFixedFramePoseData/AddLandmarkData) ----------------------------
+
+    def add_odometry_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
+        self._odometry.setdefault(trajectory_id, []).append((time, pose))
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
+        self._fixed_frame.setdefault(trajectory_id, []).append((time, pose))
+
+    def add_landmark_data(self, trajectory_id, time, landmark_id, landmark_to_tracking,
+                          translation_weight, rotation_weight) -> None:
+        if landmark_id not in self._landmark_ids:
+            self._landmark_ids[landmark_id] = len(self._landmark_ids)
+        self._landmark_observations.append(
+            dict(trajectory_id=trajectory_id, time=time,
+                 landmark_index=self._landmark_ids[landmark_id],
+                 transform=landmark_to_tracking,
+                 translation_weight=translation_weight,
+                 rotation_weight=rotation_weight)
+        )
+
+    def landmark_poses(self) -> Dict[str, NpRigid3]:
+        return dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+
+    def _lookup_buffer(self, buf, time: float) -> Optional[NpRigid3]:
+        if not buf or time < buf[0][0] or time > buf[-1][0]:
+            return None
+        times = [t for t, _ in buf]
+        j = int(np.searchsorted(times, time))
+        if j == 0:
+            return buf[0][1]
+        if j >= len(buf):
+            return buf[-1][1]
+        t0, p0 = buf[j - 1]
+        t1, p1 = buf[j]
+        f = (time - t0) / max(t1 - t0, 1e-9)
+        return NpRigid3(p0.t + f * (p1.t - p0.t), nq.quat_slerp(p0.q, p1.q, f))
+
+    def _build_extras(self, N_cap: int):
+        """Build SpaExtras2D from buffered sensors, or None if empty."""
+        from hectorgrapher_tpu.mapping.pose_graph.optimization import empty_extras_2d
+
+        opt = self._options.optimization_problem
+        nn = []
+        by_traj: Dict[int, List[int]] = {}
+        for i, n in enumerate(self.nodes):
+            by_traj.setdefault(n.trajectory_id, []).append(i)
+        for tid, idxs in by_traj.items():
+            odom = self._odometry.get(tid, [])
+            if not odom:
+                continue  # 2D: consecutive-node residuals only with odometry
+            for a, b in zip(idxs[:-1], idxs[1:]):
+                na, nb = self.nodes[a], self.nodes[b]
+                oa = self._lookup_buffer(odom, na.time)
+                ob = self._lookup_buffer(odom, nb.time)
+                if oa is None or ob is None:
+                    continue
+                rel = oa.inverse().compose(ob)
+                nn.append((a, b, _pose2_of(rel),
+                           opt.odometry_translation_weight, opt.odometry_rotation_weight))
+        has_ff = any(self._fixed_frame.values())
+        has_lm = bool(self._landmark_observations)
+        if not nn and not has_ff and not has_lm:
+            return None
+
+        P = max(self._pad_to(max(len(nn), 1)), 1)
+        L = max(len(self._landmark_ids), 1)
+        O = max(self._pad_to(max(len(self._landmark_observations), 1)), 1)
+        extras = empty_extras_2d(N_cap, p=P, l=L, o=O)
+        if nn:
+            nn_a = np.zeros(P, np.int32); nn_b = np.zeros(P, np.int32)
+            nn_mask = np.zeros(P, bool); nn_rel = np.zeros((P, 3), np.float32)
+            nn_wt = np.zeros(P, np.float32); nn_wr = np.zeros(P, np.float32)
+            for i, (a, b, rel, wt, wr) in enumerate(nn):
+                nn_a[i], nn_b[i], nn_mask[i] = a, b, True
+                nn_rel[i] = rel
+                nn_wt[i], nn_wr[i] = wt, wr
+            extras = extras._replace(
+                nn_a=jnp.asarray(nn_a), nn_b=jnp.asarray(nn_b), nn_mask=jnp.asarray(nn_mask),
+                nn_rel_pose=jnp.asarray(nn_rel),
+                nn_translation_weight=jnp.asarray(nn_wt), nn_rotation_weight=jnp.asarray(nn_wr),
+            )
+        if has_ff:
+            ff_mask = np.zeros(N_cap, bool); ff_p = np.zeros((N_cap, 3), np.float32)
+            ff_w = np.zeros(N_cap, np.float32)
+            for i, n in enumerate(self.nodes):
+                pose = self._lookup_buffer(self._fixed_frame.get(n.trajectory_id, []), n.time)
+                if pose is not None:
+                    ff_mask[i] = True
+                    ff_p[i] = _pose2_of(pose)
+                    ff_w[i] = opt.fixed_frame_pose_translation_weight
+            extras = extras._replace(
+                ff_mask=jnp.asarray(ff_mask), ff_pose=jnp.asarray(ff_p),
+                ff_translation_weight=jnp.asarray(ff_w),
+            )
+        if has_lm:
+            lm_node = np.zeros(O, np.int32); lm_index = np.zeros(O, np.int32)
+            lm_mask = np.zeros(O, bool); lm_rel = np.zeros((O, 3), np.float32)
+            lm_wt = np.zeros(O, np.float32); lm_wr = np.zeros(O, np.float32)
+            node_times = [n.time for n in self.nodes]
+            lm_init: Dict[int, np.ndarray] = {}
+            count = 0
+            for obs in self._landmark_observations:
+                if count >= O:
+                    break
+                j = int(np.searchsorted(node_times, obs["time"]))
+                j = min(max(j - 1, 0), len(self.nodes) - 1)
+                lm_node[count] = j
+                lm_index[count] = obs["landmark_index"]
+                lm_mask[count] = True
+                lm_rel[count] = _pose2_of(obs["transform"])
+                lm_wt[count] = obs["translation_weight"]
+                lm_wr[count] = obs["rotation_weight"]
+                if obs["landmark_index"] not in lm_init:
+                    lm_init[obs["landmark_index"]] = _pose2_of(
+                        self.nodes[j].global_pose.compose(obs["transform"])
+                    )
+                count += 1
+            L_p = np.zeros((L, 3), np.float32); L_m = np.zeros(L, bool)
+            for li, pose in lm_init.items():
+                L_p[li] = pose
+                L_m[li] = True
+            extras = extras._replace(
+                landmark_pose=jnp.asarray(L_p), landmark_mask=jnp.asarray(L_m),
+                lm_node=jnp.asarray(lm_node), lm_index=jnp.asarray(lm_index),
+                lm_mask=jnp.asarray(lm_mask), lm_rel_pose=jnp.asarray(lm_rel),
+                lm_translation_weight=jnp.asarray(lm_wt), lm_rotation_weight=jnp.asarray(lm_wr),
+            )
+        return extras
 
     def _on_submap_finished(self, submap_index: int) -> None:
         pass  # pyramid built lazily inside match_fast_2d
@@ -418,7 +552,19 @@ class PoseGraph2D(PoseGraphBase):
             c_rotation_weight=jnp.asarray(cwr),
             c_huber_scale=jnp.asarray(chub),
         )
-        sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
+        extras = self._build_extras(N)
+        if extras is not None:
+            from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_2d_full
+
+            sub_out, node_out, lm_out, _ = solve_spa_2d_full(
+                problem, extras, num_iterations=min(num_iterations, 50)
+            )
+            self._landmark_poses = {
+                name: _rigid_of_pose2(np.asarray(lm_out)[idx])
+                for name, idx in self._landmark_ids.items()
+            }
+        else:
+            sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
         sub_out = np.asarray(sub_out)
         node_out = np.asarray(node_out)
         for i, s in enumerate(self.submaps):

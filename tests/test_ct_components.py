@@ -93,3 +93,24 @@ class TestRotationalHistogram:
         h = jnp.zeros(120).at[10].set(1.0)
         r = rotate_histogram(h, jnp.asarray(0.0))
         np.testing.assert_allclose(np.asarray(r), np.asarray(h), atol=1e-6)
+
+
+class TestRk4Integration:
+    def test_rk4_matches_euler_on_constant_rate(self):
+        times = np.linspace(0.0, 1.0, 101)
+        gyro = np.tile(np.array([0.0, 0.0, 0.4]), (101, 1))
+        dq_euler = imu_integration.integrate_gyro(times, gyro, 0.0, 1.0)
+        dq_rk4 = imu_integration.integrate_gyro_rk4(times, gyro, 0.0, 1.0)
+        np.testing.assert_allclose(
+            nq.quat_to_axis_angle(dq_euler), nq.quat_to_axis_angle(dq_rk4), atol=1e-5
+        )
+
+    def test_rk4_more_accurate_on_ramping_rate(self):
+        # omega(t) = [0, 0, t]: exact integral = 0.5 rad about z at t=1.
+        times = np.linspace(0.0, 1.0, 11)  # coarse sampling
+        gyro = np.stack([np.zeros(11), np.zeros(11), times], axis=1)
+        exact = 0.5
+        aa_rk4 = nq.quat_to_axis_angle(imu_integration.integrate_gyro_rk4(times, gyro, 0.0, 1.0))
+        aa_euler = nq.quat_to_axis_angle(imu_integration.integrate_gyro(times, gyro, 0.0, 1.0))
+        assert abs(aa_rk4[2] - exact) < abs(aa_euler[2] - exact)
+        assert abs(aa_rk4[2] - exact) < 1e-4
