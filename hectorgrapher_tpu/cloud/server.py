@@ -35,8 +35,19 @@ class MapBuilderServer:
 
     SENSOR_QUEUE_POP_TIMEOUT = 0.1  # seconds (ref :54 kPopTimeout)
 
-    def __init__(self, map_builder, address: str = "127.0.0.1:0", num_workers: int = 4):
+    def __init__(
+        self,
+        map_builder,
+        address: str = "127.0.0.1:0",
+        num_workers: int = 4,
+        uplink_address: str = None,
+    ):
         self.map_builder = map_builder
+        self.uploader = None
+        if uplink_address:
+            from hectorgrapher_tpu.cloud.uploader import LocalTrajectoryUploader
+
+            self.uploader = LocalTrajectoryUploader(uplink_address)
         self._sensor_queue: "queue.Queue" = queue.Queue()
         self._shutdown = threading.Event()
         self._slam_thread: Optional[threading.Thread] = None
@@ -48,6 +59,7 @@ class MapBuilderServer:
             "AddTrajectory": self._handle_add_trajectory,
             "FinishTrajectory": self._handle_finish_trajectory,
             "AddSensorData": self._handle_add_sensor_data,
+            "AddSensorDataBatch": self._handle_add_sensor_data_batch,
             "GetLocalToGlobalTransform": self._handle_get_local_to_global,
             "GetTrajectoryNodePoses": self._handle_get_node_poses,
             "GetConstraints": self._handle_get_constraints,
@@ -83,8 +95,12 @@ class MapBuilderServer:
         self._server.start()
         self._slam_thread = threading.Thread(target=self._process_sensor_data_queue, daemon=True)
         self._slam_thread.start()
+        if self.uploader:
+            self.uploader.start()
 
     def shutdown(self) -> None:
+        if self.uploader:
+            self.uploader.shutdown()
         self._shutdown.set()
         if self._slam_thread:
             self._slam_thread.join(timeout=10.0)
@@ -121,6 +137,8 @@ class MapBuilderServer:
 
     def _handle_add_trajectory(self, request):
         trajectory_id = self.map_builder.add_trajectory_builder()
+        if self.uploader:
+            self.uploader.add_trajectory(trajectory_id)
         return {"trajectory_id": trajectory_id}
 
     def _handle_finish_trajectory(self, request):
@@ -131,6 +149,16 @@ class MapBuilderServer:
     def _handle_add_sensor_data(self, request):
         """(ref: add_rangefinder_data_handler.cc:30-41 — enqueue)"""
         self._sensor_queue.put((request["trajectory_id"], request["kind"], request["payload"]))
+        if self.uploader:
+            self.uploader.enqueue_sensor_data(
+                request["trajectory_id"], request["kind"], request["payload"]
+            )
+        return {}
+
+    def _handle_add_sensor_data_batch(self, request):
+        """(ref: add_sensor_data_batch_handler.cc — uplink ingestion)"""
+        for item in request["items"]:
+            self._sensor_queue.put((item["trajectory_id"], item["kind"], item["payload"]))
         return {}
 
     def _handle_get_local_to_global(self, request):

@@ -98,3 +98,56 @@ def test_state_write_load_through_rpc(server, tmp_path):
 
     assert os.path.getsize(path) > 1000
     stub.close()
+
+
+def test_uplink_federation(tmp_path):
+    """(ref: client_server_test.cc federation path — a serving server
+    uploads sensor batches to an uplink server that runs its own SLAM)."""
+    def make_opts():
+        return replace_deep(
+            MapBuilderOptions(),
+            {
+                "use_trajectory_builder_2d": True,
+                "trajectory_builder_2d.use_imu_data": False,
+                "trajectory_builder_2d.use_online_correlative_scan_matching": True,
+                "trajectory_builder_2d.submaps.grid_size": 512,
+                "trajectory_builder_2d.submaps.num_range_data": 8,
+                "trajectory_builder_2d.max_num_points": 2048,
+                "trajectory_builder_2d.motion_filter.max_distance_meters": 0.05,
+                "trajectory_builder_2d.motion_filter.max_time_seconds": 0.1,
+                "pose_graph.optimize_every_n_nodes": 0,
+            },
+        )
+
+    uplink = MapBuilderServer(MapBuilder(make_opts()), "127.0.0.1:0")
+    uplink.start()
+    serving = MapBuilderServer(
+        MapBuilder(make_opts()), "127.0.0.1:0", uplink_address=f"127.0.0.1:{uplink.port}"
+    )
+    serving.start()
+    try:
+        stub = MapBuilderStub(f"127.0.0.1:{serving.port}")
+        tid = stub.add_trajectory_builder()
+        tb = stub.get_trajectory_builder(tid)
+        for i in range(6):
+            t = 0.1 * i
+            x = 0.08 * i
+            tb.add_odometry_data(t, NpRigid3(np.array([x, 0.0, 0.0]), nq.quat_identity()))
+            pts = raycast_rect_room_2d(np.array([x, 0.0]), 0.0, num_rays=720)
+            pts = pts[~np.isnan(pts[:, 0])]
+            cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 1024)
+            tb.add_range_data(
+                TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+            )
+        serving.wait_until_idle()
+        serving.uploader.wait_until_idle()
+        time.sleep(1.0)
+        uplink.wait_until_idle()
+        # Both servers ran SLAM on the same stream.
+        assert len(serving.map_builder.pose_graph.nodes) >= 4
+        assert len(uplink.map_builder.pose_graph.nodes) >= 4
+        assert serving.uploader.num_batches_uploaded >= 1
+        stub.close()
+    finally:
+        serving.shutdown()
+        uplink.shutdown()
