@@ -280,6 +280,113 @@ def insert_tsdf_3d(
     return grid._replace(tsd=new_tsd, weight=jnp.minimum(new_w_raw, grid.max_weight))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("width", "num_layers", "bary_samples")
+)
+def insert_tsdf_3d_triangles(
+    grid: TSDFGrid,
+    cloud: PointCloud,
+    origin,
+    width: int,
+    num_layers: int,
+    bary_samples: int = 6,
+    max_edge=1.0,
+) -> TSDFGrid:
+    """TRIANGLE_FILL_IN: rasterize triangles between adjacent rays.
+
+    (ref: tsdf_range_data_inserter_3d.cc:83-195 InsertTriangle/
+    RasterTriangle — each quad of the organized cloud forms two triangles;
+    truncation-band layers are offset along the triangle normal and each
+    layer is rasterized into the TSDF with distance = layer offset +
+    cell-to-plane distance.)
+
+    TPU schedule: instead of per-row scanline walks, every triangle is
+    sampled on a fixed barycentric grid per layer and the updates are
+    scatter-accumulated (weighted average, same UpdateCell algebra).
+    """
+    shape = grid.shape
+    td = grid.truncation_distance
+    res = grid.meta.resolution
+    pts = cloud.positions
+    n = pts.shape[0]
+    rows = n // width
+
+    # Quad corners p00=(r,c) p01=(r,c+1) p10=(r+1,c) p11=(r+1,c+1).
+    idx = jnp.arange((rows - 1) * (width - 1))
+    r = idx // (width - 1)
+    c = idx % (width - 1)
+    i00 = r * width + c
+    i01 = i00 + 1
+    i10 = i00 + width
+    i11 = i10 + 1
+
+    def tri_arrays(a, b, cc):
+        v0, v1, v2 = pts[a], pts[b], pts[cc]
+        valid = cloud.mask[a] & cloud.mask[b] & cloud.mask[cc]
+        e = jnp.maximum(
+            jnp.linalg.norm(v1 - v0, axis=-1),
+            jnp.maximum(jnp.linalg.norm(v2 - v0, axis=-1), jnp.linalg.norm(v2 - v1, axis=-1)),
+        )
+        valid = valid & (e < max_edge)
+        nrm = jnp.cross(v1 - v0, v2 - v0)
+        nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        valid = valid & (nn[:, 0] > 1e-9)
+        nrm = nrm / jnp.maximum(nn, 1e-9)
+        # Orient toward the sensor (ref: normal.dot(origin - v0) >= 0).
+        flip = jnp.sum(nrm * (origin[None, :] - v0), axis=-1) < 0
+        nrm = jnp.where(flip[:, None], -nrm, nrm)
+        return v0, v1, v2, nrm, valid
+
+    tA = tri_arrays(i00, i01, i10)
+    tB = tri_arrays(i01, i11, i10)
+    v0 = jnp.concatenate([tA[0], tB[0]])
+    v1 = jnp.concatenate([tA[1], tB[1]])
+    v2 = jnp.concatenate([tA[2], tB[2]])
+    nrm = jnp.concatenate([tA[3], tB[3]])
+    valid = jnp.concatenate([tA[4], tB[4]])
+
+    # Barycentric sample grid (a, b), a + b <= 1.
+    lin = (jnp.arange(bary_samples, dtype=jnp.float32) + 0.5) / bary_samples
+    aa, bb = jnp.meshgrid(lin, lin, indexing="ij")
+    bary_ok = (aa + bb) <= 1.0
+    aa = aa.reshape(-1)
+    bb = bb.reshape(-1)
+    bary_ok = bary_ok.reshape(-1)
+
+    # Layers along the normal (ref: i in [-rel_td, rel_td] * resolution).
+    half = num_layers // 2
+    offsets = (jnp.arange(num_layers, dtype=jnp.float32) - half) * res
+
+    # (T, L, B, 3) sample points.
+    base = (
+        v0[:, None, :]
+        + aa[None, :, None] * (v1 - v0)[:, None, :]
+        + bb[None, :, None] * (v2 - v0)[:, None, :]
+    )  # (T, B, 3)
+    q = base[:, None, :, :] + offsets[None, :, None, None] * nrm[:, None, None, :]
+    cell = cell_index(grid.meta, q)
+    centers = cell_center(grid.meta, cell)
+    d = jnp.sum((centers - v0[:, None, None, :]) * nrm[:, None, None, :], axis=-1)
+    d = jnp.clip(d, -td, td)
+
+    flat = flat_index(cell, shape)
+    ok = jnp.broadcast_to(valid[:, None, None] & bary_ok[None, None, :], flat.shape)
+    size = grid.tsd.size
+    slot = jnp.where(ok, flat, size).reshape(-1)
+    w_flat = jnp.where(ok, 1.0, 0.0).reshape(-1)
+    wd_flat = jnp.where(ok, d, 0.0).reshape(-1)
+    w_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(w_flat)[:size].reshape(shape)
+    wd_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(wd_flat)[:size].reshape(shape)
+
+    new_w_raw = grid.weight + w_sum
+    new_tsd = jnp.where(
+        w_sum > 0,
+        (grid.tsd * grid.weight + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
+        grid.tsd,
+    )
+    return grid._replace(tsd=new_tsd, weight=jnp.minimum(new_w_raw, grid.max_weight))
+
+
 def make_tsdf_inserter_3d(options, resolution: float):
     """Bind TSDFRangeDataInserterOptions3D into an insert fn.
 
@@ -291,6 +398,8 @@ def make_tsdf_inserter_3d(options, resolution: float):
     td = options.relative_truncation_distance * resolution
     num_band_samples = max(4, int(2.0 * options.relative_truncation_distance / 0.5) + 1)
     use_normals = options.normal_computation_method == "CLOUD_STRUCTURE"
+    use_triangles = options.normal_computation_method == "TRIANGLE_FILL_IN"
+    num_layers = 2 * int(round(options.relative_truncation_distance)) + 1
 
     def insert(grid: TSDFGrid, range_data: RangeData) -> TSDFGrid:
         hits = range_data.returns.positions
@@ -298,6 +407,15 @@ def make_tsdf_inserter_3d(options, resolution: float):
         r = jnp.linalg.norm(hits - range_data.origin[None, :], axis=-1)
         valid = valid & (r >= options.min_range) & (r <= options.max_range)
         valid = insertion_ratio_mask(valid, float(options.insertion_ratio))
+        if use_triangles and range_data.width > 0:
+            masked = range_data.returns._replace(mask=valid)
+            return insert_tsdf_3d_triangles(
+                grid,
+                masked,
+                range_data.origin,
+                width=range_data.width,
+                num_layers=num_layers,
+            )
         if use_normals and range_data.width > 0:
             normals, n_ok = structured_cloud_normals(
                 range_data.returns,

@@ -204,3 +204,42 @@ class TestTSDFInserter3D:
         assert w[hit_idx] > 0
         assert abs(tsd[hit_idx]) < 0.1
         assert tsd[free_idx] > 0.0
+
+
+class TestTriangleFillIn:
+    def test_triangle_insert_fills_wall(self):
+        """(ref: TRIANGLE_FILL_IN — a sparse organized scan of a wall
+        should produce a CONTINUOUS surface via triangle rasterization.)"""
+        from hectorgrapher_tpu.mapping.inserters_3d import insert_tsdf_3d_triangles
+
+        grid = make_tsdf_grid(0.1, (64, 64, 32), truncation_distance=0.25, max_weight=1000.0)
+        opts = TSDFRangeDataInserterOptions3D(
+            normal_computation_method="TRIANGLE_FILL_IN", min_range=0.4, max_range=15.0
+        )
+        insert = make_tsdf_inserter_3d(opts, resolution=0.1)
+        # Sparse organized wall: point spacing 0.35 m >> 0.1 m cells.
+        width = 6
+        ys = np.linspace(-0.9, 0.9, width)
+        zs = np.linspace(-0.5, 0.5, 4)
+        pts = np.array([[2.03, y, z] for z in zs for y in ys], dtype=np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 32),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+            width=width,
+        )
+        grid = insert(grid, rd)
+        w = np.asarray(grid.weight)
+        tsd = np.asarray(grid.tsd)
+        # Cells BETWEEN the sparse points are filled (triangle interior).
+        probe = np.array([[2.03, 0.0, 0.0]])  # not a sample point
+        pi = tuple(np.asarray(cell_index(grid.meta, jnp.asarray(probe)))[0])
+        assert w[pi] > 0, "triangle interior not rasterized"
+        assert abs(tsd[pi]) < 0.1
+        # The wall surface is continuous over the whole extent.
+        xs = np.linspace(-0.8, 0.8, 9)
+        filled = 0
+        for y in xs:
+            pi = tuple(np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, y, 0.05]])))[0])
+            filled += w[pi] > 0
+        assert filled >= 8, f"only {filled}/9 wall cells observed"
