@@ -172,6 +172,131 @@ def cmd_scan_matching_evaluation(args) -> int:
     return 0
 
 
+def cmd_mapping_evaluation(args) -> int:
+    """(ref: evaluation/mapping_evaluation.cc + trajectory_builder_
+    evaluation.cc — end-to-end SLAM over synthetic data with relation/ATE
+    metrics.) Runs the 2D or 3D pipeline on a synthetic scene and prints
+    ATE RMSE + relation metrics against ground truth."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common import config as cfg
+    from hectorgrapher_tpu.evaluation.metrics import (
+        TrajectoryInterpolator,
+        ate_rmse,
+        compute_relation_metrics,
+        relations_from_ground_truth,
+    )
+    from hectorgrapher_tpu.evaluation.scan_generator import (
+        raycast_box_room_3d,
+        raycast_rect_room_2d,
+    )
+    from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+    from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+    from hectorgrapher_tpu.transform import np_quat as nq
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    rng = np.random.default_rng(args.seed)
+    gt_times, gt_poses = [], []
+
+    if args.use_3d:
+        options = cfg.replace_deep(
+            cfg.MapBuilderOptions(),
+            {
+                "use_trajectory_builder_3d": True,
+                "trajectory_builder_3d.min_range": 0.4,
+                "trajectory_builder_3d.submaps.grid_type": "TSDF",
+                "trajectory_builder_3d.submaps.high_grid_size": 96,
+                "trajectory_builder_3d.submaps.low_grid_size": 48,
+                "trajectory_builder_3d.optimizing_local_trajectory_builder.initialization_duration": 0.45,
+                "trajectory_builder_3d.optimizing_local_trajectory_builder.max_control_points": 12,
+                "trajectory_builder_3d.optimizing_local_trajectory_builder.max_clouds_in_window": 12,
+                "trajectory_builder_3d.optimizing_local_trajectory_builder.points_per_cloud": 256,
+            },
+        )
+        mb = MapBuilder(options)
+        tb = mb.get_trajectory_builder(mb.add_trajectory_builder())
+        GRAVITY = np.array([0.0, 0.0, 9.80665])
+        speed, rest = 0.2, 0.6
+        t, next_odom, next_scan = 0.0, 0.0, 0.05
+        while t <= args.duration:
+            x = speed * max(0.0, t - rest)
+            q = nq.quat_identity()
+            tb.add_imu_data(t, GRAVITY.copy(), np.zeros(3))
+            if t >= next_odom:
+                tb.add_odometry_data(t, NpRigid3(np.array([x, 0, 0]) + rng.normal(0, 0.002, 3), q))
+                next_odom += 0.05
+            if t >= next_scan:
+                pts = raycast_box_room_3d(np.array([x, 0, 0]), q, num_azimuth=96, num_elevation=24,
+                                          noise_std=args.noise, rng=rng if args.noise else None)
+                pts = pts[~np.isnan(pts[:, 0])]
+                cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), 2560)
+                tb.add_range_data(TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                                                      ranges=cloud, width=96))
+                gt_times.append(t)
+                gt_poses.append(NpRigid3(np.array([x, 0.0, 0.0]), q))
+                next_scan += 0.1
+            t = round(t + 0.01, 6)
+    else:
+        options = cfg.replace_deep(
+            cfg.MapBuilderOptions(),
+            {
+                "use_trajectory_builder_2d": True,
+                "trajectory_builder_2d.use_imu_data": False,
+                "trajectory_builder_2d.use_online_correlative_scan_matching": True,
+                "trajectory_builder_2d.submaps.grid_size": 640,
+                "trajectory_builder_2d.submaps.num_range_data": 12,
+                "trajectory_builder_2d.max_num_points": 2048,
+                "trajectory_builder_2d.motion_filter.max_distance_meters": 0.05,
+                "trajectory_builder_2d.motion_filter.max_time_seconds": 0.1,
+                "pose_graph.optimize_every_n_nodes": 10,
+                "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            },
+        )
+        mb = MapBuilder(options)
+        tb = mb.get_trajectory_builder(mb.add_trajectory_builder())
+        n = int(args.duration / 0.1)
+        radius, center = 1.4, (0.6, 0.5)
+        for i in range(n):
+            t = 0.1 * i
+            a = 2 * np.pi * i / max(n - 1, 1)
+            xy = np.array([center[0] + radius * np.cos(a), center[1] + radius * np.sin(a)])
+            yaw = a + np.pi / 2
+            pose = NpRigid3(np.array([xy[0], xy[1], 0.0]),
+                            nq.quat_from_axis_angle(np.array([0.0, 0.0, yaw])))
+            tb.add_odometry_data(t, NpRigid3(pose.t + rng.normal(0, 0.003, 3), pose.q))
+            pts = raycast_rect_room_2d(xy, yaw, num_rays=1440, noise_std=args.noise, rng=rng)
+            pts = pts[~np.isnan(pts[:, 0])]
+            cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 2048)
+            tb.add_range_data(TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                                                  ranges=cloud))
+            gt_times.append(t)
+            gt_poses.append(pose)
+
+    pg = mb.pose_graph
+    pg.run_final_optimization()
+    est_times = [node.time for node in pg.nodes]
+    est_poses = [node.global_pose for node in pg.nodes]
+    if not est_poses:
+        print("no nodes produced")
+        return 1
+    # Express ground truth relative to the first ground-truth pose (the
+    # SLAM frame anchor).
+    anchor = None
+    for tt, p in zip(gt_times, gt_poses):
+        if abs(tt - est_times[0]) < 0.26:
+            anchor = p
+            break
+    anchor = anchor or gt_poses[0]
+    gt_rel = [anchor.inverse().compose(p) for p in gt_poses]
+    rmse = ate_rmse(est_times, est_poses, gt_times, gt_rel, align=not args.no_align)
+    relations = relations_from_ground_truth(gt_times, gt_rel, 0.5)
+    metrics = compute_relation_metrics(TrajectoryInterpolator(est_times, est_poses), relations)
+    print(f"nodes: {len(pg.nodes)}  submaps: {len(pg.submaps)}  constraints: {len(pg.constraints)}")
+    print(f"ATE RMSE: {rmse:.4f} m")
+    print(metrics)
+    return 0
+
+
 def cmd_map_builder_server(args) -> int:
     """(ref: cloud/map_builder_server_main.cc)"""
     import time as _time
@@ -231,6 +356,14 @@ def main(argv=None) -> int:
     p.add_argument("--num_trials", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_scan_matching_evaluation)
+
+    p = sub.add_parser("mapping-evaluation", help="end-to-end synthetic SLAM evaluation")
+    p.add_argument("--use_3d", action="store_true")
+    p.add_argument("--duration", type=float, default=3.6)
+    p.add_argument("--noise", type=float, default=0.004)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_align", action="store_true")
+    p.set_defaults(fn=cmd_mapping_evaluation)
 
     p = sub.add_parser("map-builder-server")
     p.add_argument("--address", default="127.0.0.1:50051")
