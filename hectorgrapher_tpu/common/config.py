@@ -247,6 +247,10 @@ class SubmapsOptions3D:
     # TPU-native: cells per side of the dense high/low-resolution grids.
     high_grid_size: int = 256
     low_grid_size: int = 128
+    # Storage precision of the dense grids ("float32" | "float16" |
+    # "bfloat16"); compute is always float32 (the analog of the
+    # reference's uint16 cell packing).
+    grid_storage_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -143,16 +143,28 @@ class TSDFGrid(NamedTuple):
         return self.tsd.shape
 
 
+STORAGE_DTYPES = {
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+    "bfloat16": jnp.bfloat16,
+}
+
+
 def make_tsdf_grid(
     resolution: float,
     size_cells: Tuple[int, ...],
     truncation_distance: float,
     max_weight: float,
     center=None,
+    dtype=jnp.float32,
 ) -> TSDFGrid:
+    """dtype: storage precision of the dense arrays. The reference packs
+    cells into uint16 via TSDValueConverter (hybrid_grid_tsdf.h); here the
+    memory/bandwidth option is float16/bfloat16 storage with float32
+    compute (kernels upcast after gathering)."""
     return TSDFGrid(
-        tsd=jnp.full(size_cells, truncation_distance, jnp.float32),
-        weight=jnp.zeros(size_cells, jnp.float32),
+        tsd=jnp.full(size_cells, truncation_distance, dtype),
+        weight=jnp.zeros(size_cells, dtype),
         truncation_distance=jnp.asarray(truncation_distance, jnp.float32),
         max_weight=jnp.asarray(max_weight, jnp.float32),
         meta=make_meta(resolution, size_cells, center),

@@ -271,13 +271,18 @@ def insert_tsdf_3d(
     w_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(w_flat)[:size].reshape(shape)
     wd_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(wd_flat)[:size].reshape(shape)
 
-    new_w_raw = grid.weight + w_sum
+    tsd32 = grid.tsd.astype(jnp.float32)
+    wgt32 = grid.weight.astype(jnp.float32)
+    new_w_raw = wgt32 + w_sum
     new_tsd = jnp.where(
         w_sum > 0,
-        (grid.tsd * grid.weight + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
-        grid.tsd,
+        (tsd32 * wgt32 + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
+        tsd32,
     )
-    return grid._replace(tsd=new_tsd, weight=jnp.minimum(new_w_raw, grid.max_weight))
+    return grid._replace(
+        tsd=new_tsd.astype(grid.tsd.dtype),
+        weight=jnp.minimum(new_w_raw, grid.max_weight).astype(grid.weight.dtype),
+    )
 
 
 @functools.partial(
@@ -378,13 +383,18 @@ def insert_tsdf_3d_triangles(
     w_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(w_flat)[:size].reshape(shape)
     wd_sum = jnp.zeros((size + 1,), jnp.float32).at[slot].add(wd_flat)[:size].reshape(shape)
 
-    new_w_raw = grid.weight + w_sum
+    tsd32 = grid.tsd.astype(jnp.float32)
+    wgt32 = grid.weight.astype(jnp.float32)
+    new_w_raw = wgt32 + w_sum
     new_tsd = jnp.where(
         w_sum > 0,
-        (grid.tsd * grid.weight + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
-        grid.tsd,
+        (tsd32 * wgt32 + wd_sum) / jnp.maximum(new_w_raw, 1e-9),
+        tsd32,
     )
-    return grid._replace(tsd=new_tsd, weight=jnp.minimum(new_w_raw, grid.max_weight))
+    return grid._replace(
+        tsd=new_tsd.astype(grid.tsd.dtype),
+        weight=jnp.minimum(new_w_raw, grid.max_weight).astype(grid.weight.dtype),
+    )
 
 
 def make_tsdf_inserter_3d(options, resolution: float):

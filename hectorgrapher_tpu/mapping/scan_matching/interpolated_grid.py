@@ -75,7 +75,7 @@ def interp_bicubic_2d(values, meta: GridMeta, points, pad_value):
     patches = _patch_matrix_2d(values, pad_value, _BICUBIC_TAPS_2D)
     ok = (i0[..., 0] >= 0) & (i0[..., 0] < nx) & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
     flat = jnp.where(ok, i0[..., 0] * ny + i0[..., 1], nx * ny)
-    rows = patches[flat]  # (..., 16) contiguous
+    rows = patches[flat].astype(jnp.float32)  # (..., 16) contiguous
     return jnp.sum(rows * w, axis=-1)
 
 
@@ -140,7 +140,7 @@ def interp_trilinear_3d(values, meta: GridMeta, points, pad_value):
         & (i0[..., 2] >= 0) & (i0[..., 2] < nz)
     )
     flat = jnp.where(ok, (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2], nx * ny * nz)
-    rows = patches[flat]
+    rows = patches[flat].astype(jnp.float32)
     return jnp.sum(rows * w, axis=-1)
 
 

@@ -64,6 +64,9 @@ class ActiveSubmaps3D:
         hi_opts = options.high_resolution_range_data_inserter
         lo_opts = options.low_resolution_range_data_inserter
 
+        from hectorgrapher_tpu.mapping.grids import STORAGE_DTYPES
+
+        storage = STORAGE_DTYPES[getattr(options, "grid_storage_dtype", "float32")]
         if self._is_tsdf:
             hi_t = hi_opts.tsdf_range_data_inserter
             lo_t = lo_opts.tsdf_range_data_inserter
@@ -71,11 +74,13 @@ class ActiveSubmaps3D:
                 hi_res, (hi_size,) * 3,
                 truncation_distance=hi_t.relative_truncation_distance * hi_res,
                 max_weight=hi_t.maximum_weight,
+                dtype=storage,
             )
             self._make_low = lambda: make_tsdf_grid(
                 lo_res, (lo_size,) * 3,
                 truncation_distance=lo_t.relative_truncation_distance * lo_res,
                 max_weight=lo_t.maximum_weight,
+                dtype=storage,
             )
             self._insert_high = make_tsdf_inserter_3d(hi_t, hi_res)
             self._insert_low = make_tsdf_inserter_3d(lo_t, lo_res)

@@ -243,3 +243,35 @@ class TestTriangleFillIn:
             pi = tuple(np.asarray(cell_index(grid.meta, jnp.asarray([[2.03, y, 0.05]])))[0])
             filled += w[pi] > 0
         assert filled >= 8, f"only {filled}/9 wall cells observed"
+
+
+class TestF16Storage:
+    def test_f16_tsdf_matches_f32(self):
+        """float16 storage with float32 compute stays close to full
+        precision (the analog of the reference's uint16 packing)."""
+        opts = TSDFRangeDataInserterOptions3D(normal_computation_method="NONE", min_range=0.4, max_range=15.0)
+        insert = make_tsdf_inserter_3d(opts, resolution=0.1)
+        pts = np.array([[2.03, y, 0.0] for y in np.linspace(-0.5, 0.5, 11)], dtype=np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 16),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        g32 = make_tsdf_grid(0.1, (64, 64, 32), truncation_distance=0.25, max_weight=1000.0)
+        g16 = make_tsdf_grid(0.1, (64, 64, 32), truncation_distance=0.25, max_weight=1000.0,
+                             dtype=jnp.float16)
+        for _ in range(3):
+            g32 = insert(g32, rd)
+            g16 = insert(g16, rd)
+        assert g16.tsd.dtype == jnp.float16
+        np.testing.assert_allclose(
+            np.asarray(g16.tsd, np.float32), np.asarray(g32.tsd), atol=2e-3
+        )
+        # interpolation path consumes f16 grids transparently
+        from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import tsd_at_3d_weighted
+
+        q = jnp.asarray([[1.95, 0.0, 0.0]], jnp.float32)
+        t16, w16 = tsd_at_3d_weighted(g16, q)
+        t32, w32 = tsd_at_3d_weighted(g32, q)
+        assert t16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=5e-3)
