@@ -36,8 +36,10 @@ import jax.numpy as jnp
 
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
 from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+    prepare_grid_3d,
     probability_at_3d,
     tsd_at_3d_weighted,
+    value_at_prepared_3d,
 )
 from hectorgrapher_tpu.solvers.gauss_newton import levenberg_marquardt
 from hectorgrapher_tpu.transform.rigid import (
@@ -261,6 +263,183 @@ def ct_retract(state: CtState, delta) -> CtState:
     )
 
 
+def _cp_state(state: CtState, idx):
+    return state.translation[idx], state.rotation[idx], state.velocity[idx]
+
+
+def _retract_one(t, q, v, d9):
+    return (
+        t + d9[:3],
+        quat_normalize(quat_multiply(q, quat_from_axis_angle(d9[3:6]))),
+        v + d9[6:9],
+    )
+
+
+def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights: CtWeights, is_tsdf: bool):
+    """Block-structured residual/Jacobian families for the window solve.
+
+    Every residual block touches exactly TWO control points, so Jacobians
+    are taken over an 18-dim local tangent (jacfwd per block, vmapped)
+    and scatter-assembled into the K*9-dim normal equations — the same
+    trick as the SPA solver, cutting JVP work from 9K to 18 directions.
+    """
+    n_hi = jnp.maximum(jnp.sum(problem.hi_mask, axis=1), 1).astype(jnp.float32)
+    n_lo = jnp.maximum(jnp.sum(problem.lo_mask, axis=1), 1).astype(jnp.float32)
+
+    grid_value = value_at_prepared_3d
+
+    def scan_block(state: CtState):
+        """Per-cloud residuals + Jacobians wrt (prev, next) CP tangents."""
+
+        def one(ci):
+            p_idx = problem.cloud_prev[ci]
+            n_idx = problem.cloud_next[ci]
+            tp, qp, vp = _cp_state(state, p_idx)
+            tn, qn, vn = _cp_state(state, n_idx)
+            f = problem.cloud_factor[ci]
+            hi_scale = weights.high_resolution_grid_weight / jnp.sqrt(n_hi[ci]) * problem.cloud_mask[ci]
+            lo_scale = weights.low_resolution_grid_weight / jnp.sqrt(n_lo[ci]) * problem.cloud_mask[ci]
+
+            def local(d18):
+                t0, q0, _ = _retract_one(tp, qp, vp, d18[:9])
+                t1, q1, _ = _retract_one(tn, qn, vn, d18[9:])
+                pose_t = t0 + f * (t1 - t0)
+                pose_q = quat_slerp(q0, q1, f)
+                hi_world = quat_rotate(pose_q[None, :], problem.hi_points[ci]) + pose_t[None, :]
+                lo_world = quat_rotate(pose_q[None, :], problem.lo_points[ci]) + pose_t[None, :]
+                hi_r = jnp.where(problem.hi_mask[ci], grid_value(prepared_hi, hi_world), 0.0) * hi_scale
+                lo_r = jnp.where(problem.lo_mask[ci], grid_value(prepared_lo, lo_world), 0.0) * lo_scale
+                return jnp.concatenate([hi_r, lo_r])
+
+            z = jnp.zeros(18, jnp.float32)
+            return jax.jacfwd(local)(z), local(z)
+
+        J, r = jax.vmap(one)(jnp.arange(problem.cloud_prev.shape[0]))
+        idx = jnp.concatenate(
+            [
+                (problem.cloud_prev * 9)[:, None] + jnp.arange(9)[None, :],
+                (problem.cloud_next * 9)[:, None] + jnp.arange(9)[None, :],
+            ],
+            axis=1,
+        )
+        return J, r, idx
+
+    def pair_block(state: CtState):
+        """Per-CP-pair IMU + odometry residuals (15 per pair) wrt the two
+        CP tangents."""
+
+        def one(pi):
+            ta, qa, va = _cp_state(state, pi)
+            tb, qb, vb = _cp_state(state, pi + 1)
+            dt = problem.pair_dt[pi]
+            m_imu = problem.pair_mask[pi]
+            m_odom = problem.odom_mask[pi]
+
+            def local(d18):
+                t0, q0, v0 = _retract_one(ta, qa, va, d18[:9])
+                t1, q1, v1 = _retract_one(tb, qb, vb, d18[9:])
+                # IMU (live preintegration form)
+                translation_error = t1 - t0 - dt * v0
+                velocity_error = v1 - v0
+                err_q = quat_multiply(quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation[pi])
+                imu_r = jnp.concatenate(
+                    [
+                        weights.translation_weight * translation_error,
+                        weights.velocity_weight * velocity_error,
+                        weights.rotation_weight * err_q[1:],
+                    ]
+                ) * m_imu
+                # Odometry relative pose
+                rel_q = quat_multiply(quat_conjugate(q0), q1)
+                rel_t = quat_rotate(quat_conjugate(q0), t1 - t0)
+                oerr_q = quat_multiply(quat_conjugate(rel_q), problem.odom_delta_rotation[pi])
+                oerr_t = quat_rotate(quat_conjugate(rel_q), problem.odom_delta_translation[pi] - rel_t)
+                odom_r = jnp.concatenate(
+                    [
+                        problem.odom_translation_weight[pi] * oerr_t,
+                        problem.odom_rotation_weight[pi] * _rpy_of_quat(oerr_q),
+                    ]
+                ) * m_odom
+                return jnp.concatenate([imu_r, odom_r])
+
+            z = jnp.zeros(18, jnp.float32)
+            return jax.jacfwd(local)(z), local(z)
+
+        pairs = jnp.arange(problem.pair_mask.shape[0])
+        J, r = jax.vmap(one)(pairs)
+        idx = jnp.concatenate(
+            [
+                (pairs * 9)[:, None] + jnp.arange(9)[None, :],
+                ((pairs + 1) * 9)[:, None] + jnp.arange(9)[None, :],
+            ],
+            axis=1,
+        )
+        return J, r, idx
+
+    return scan_block, pair_block
+
+
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+def solve_ct_window_block(
+    high_grid,
+    low_grid,
+    problem: CtProblem,
+    state0: CtState,
+    weights: CtWeights,
+    is_tsdf: bool,
+    num_iterations: int = 12,
+):
+    """Block-assembled LM solve of the window (per-scan matching mode).
+
+    Same math as solve_ct_window's dense path, but with per-block 18-dim
+    Jacobians scatter-assembled into the normal equations.
+    """
+    k = state0.translation.shape[0]
+    D = 9 * k
+    # Materialize the interpolation patch matrices ONCE per solve.
+    prepared_hi = prepare_grid_3d(high_grid)
+    prepared_lo = prepare_grid_3d(low_grid)
+    scan_block, pair_block = make_ct_block_families(prepared_hi, prepared_lo, problem, weights, is_tsdf)
+
+    per_cp_fixed = ~problem.cp_mask
+    per_cp_fixed = per_cp_fixed.at[0].set(True)
+    fixed = jnp.repeat(per_cp_fixed, 9)
+
+    def assemble(state):
+        JtJ = jnp.zeros((D, D), jnp.float32)
+        g = jnp.zeros((D,), jnp.float32)
+        cost = 0.0
+        for J, r, idx in (scan_block(state), pair_block(state)):
+            JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
+            g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+            cost = cost + 0.5 * jnp.sum(r * r)
+        return JtJ, g, cost
+
+    def cost_of(state):
+        return assemble(state)[2]
+
+    def lm_step(carry, _):
+        state, lam = carry
+        JtJ, g, cost = assemble(state)
+        JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
+        g = jnp.where(fixed, 0.0, g)
+        diag = jnp.diag(JtJ)
+        damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-12) + 1e-12) + jnp.diag(fixed.astype(jnp.float32))
+        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
+        new_state = ct_retract(state, delta)
+        new_cost = cost_of(new_state)
+        accept = new_cost < cost
+        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e6))
+        state_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
+        return (state_next, lam_next), new_cost
+
+    initial_cost = cost_of(state0)
+    (state, _), _ = jax.lax.scan(
+        lm_step, (state0, jnp.asarray(1e-4, jnp.float32)), None, length=num_iterations
+    )
+    return state, cost_of(state), initial_cost
+
+
 @functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point"))
 def solve_ct_window(
     high_grid,
@@ -272,7 +451,19 @@ def solve_ct_window(
     num_iterations: int = 12,
     per_point: bool = False,
 ):
-    """Solve the window; returns (CtState, final_cost, initial_cost)."""
+    """Solve the window; returns (CtState, final_cost, initial_cost).
+
+    Per-scan mode dispatches to the block-assembled solver (18-dim
+    Jacobians per residual block); per-point mode — where a cloud's points
+    bracket different CP pairs and block structure does not hold — uses
+    the dense full-tangent LM.
+    """
+    if not per_point:
+        return solve_ct_window_block(
+            high_grid, low_grid, problem, state0, weights,
+            is_tsdf=is_tsdf, num_iterations=num_iterations,
+        )
+
     k = state0.translation.shape[0]
     residual = make_ct_residual(high_grid, low_grid, problem, weights, is_tsdf, per_point=per_point)
 

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
-from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import probability_at_2d, tsd_at_2d
+from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+    interp_prepared_2d,
+    prepare_probability_2d,
+    prepare_tsdf_2d,
+)
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.solvers.gauss_newton import levenberg_marquardt, make_pose2_retract
 from hectorgrapher_tpu.transform.rigid import Rigid2, apply2
@@ -45,10 +49,12 @@ def match_gn_2d_probability(
     n = jnp.maximum(jnp.sum(valid), 1)
     pts = cloud.positions[:, :2]
     theta0 = initial_pose.angle
+    # Bicubic patch matrix built once, hoisted out of the LM iterations.
+    prepared = prepare_probability_2d(grid)
 
     def residual(pose: Rigid2):
         world = apply2(pose, pts)
-        p = probability_at_2d(grid, world, bicubic=True)
+        p = interp_prepared_2d(prepared, world)
         occ = jnp.where(valid, 1.0 - p, 0.0) * (occupied_space_weight / jnp.sqrt(n.astype(jnp.float32)))
         trans = translation_weight * (pose.translation - target_translation)
         rot = rotation_weight * (pose.angle - theta0)
@@ -81,10 +87,12 @@ def match_gn_2d_tsdf(
     n = jnp.maximum(jnp.sum(valid), 1)
     pts = cloud.positions[:, :2]
     theta0 = initial_pose.angle
+    prepared = prepare_tsdf_2d(grid)
 
     def residual(pose: Rigid2):
         world = apply2(pose, pts)
-        tsd, w = tsd_at_2d(grid, world, bicubic=True)
+        tsd = interp_prepared_2d(prepared.tsd_field, world)
+        w = interp_prepared_2d(prepared.weight_field, world)
         # Cells never observed carry no signal: weight-gate the residual.
         gate = jnp.where(w > 1e-6, 1.0, 0.0)
         occ = jnp.where(valid, tsd * gate, 0.0) * (occupied_space_weight / jnp.sqrt(n.astype(jnp.float32)))

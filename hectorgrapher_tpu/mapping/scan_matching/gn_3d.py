@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
 from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
-    probability_at_3d,
-    tsd_at_3d_weighted,
+    prepare_grid_3d,
+    value_at_prepared_3d,
 )
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.solvers.gauss_newton import levenberg_marquardt, make_pose3_retract
@@ -46,20 +46,20 @@ def match_gn_3d(
     n_lo = jnp.maximum(jnp.sum(low_cloud.mask), 1).astype(jnp.float32)
     q0 = initial_pose.rotation
 
-    def grid_residual(grid, cloud, weight, n):
+    # Patch matrices built once, hoisted out of the LM iterations.
+    prepared_hi = prepare_grid_3d(high_grid)
+    prepared_lo = prepare_grid_3d(low_grid)
+
+    def grid_residual(prepared, cloud, weight, n):
         def f(pose: Rigid3):
             world = quat_rotate(pose.rotation[None, :], cloud.positions) + pose.translation[None, :]
-            if is_tsdf:
-                val, w = tsd_at_3d_weighted(grid, world)
-                val = jnp.where(w > 1e-6, val, 0.0)
-            else:
-                val = 1.0 - probability_at_3d(grid, world)
+            val = value_at_prepared_3d(prepared, world)
             return jnp.where(cloud.mask, val, 0.0) * (weight / jnp.sqrt(n))
 
         return f
 
-    hi_f = grid_residual(high_grid, high_cloud, occupied_space_weight_0, n_hi)
-    lo_f = grid_residual(low_grid, low_cloud, occupied_space_weight_1, n_lo)
+    hi_f = grid_residual(prepared_hi, high_cloud, occupied_space_weight_0, n_hi)
+    lo_f = grid_residual(prepared_lo, low_cloud, occupied_space_weight_1, n_lo)
 
     def residual(pose: Rigid3):
         trans = translation_weight * (pose.translation - target_translation)

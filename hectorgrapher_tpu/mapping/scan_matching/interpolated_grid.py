@@ -186,3 +186,135 @@ def tsd_at_3d_weighted(grid: TSDFGrid, points):
     wtsd = interp_trilinear_3d(grid.weight * grid.tsd, grid.meta, points, 0.0)
     tsd = jnp.where(wsum > 1e-6, wtsd / jnp.maximum(wsum, 1e-6), grid.truncation_distance)
     return tsd, wsum
+
+
+# ---------------------------------------------------------------------------
+# Prepared (pre-materialized) interpolators
+# ---------------------------------------------------------------------------
+#
+# The patch matrices are loop-invariant across solver iterations, but XLA
+# does not hoist their construction out of lax.scan bodies; rebuilding a
+# ~30 MB matrix per LM iteration dominated the CT window solve. Preparing
+# them ONCE per solve removes that traffic.
+
+
+from typing import NamedTuple
+
+
+class PreparedField3D(NamedTuple):
+    """One 3D field ready for trilinear row-gather interpolation."""
+
+    patches: jax.Array  # (nx*ny*nz + 1, 8)
+    meta: GridMeta
+    dims: jax.Array  # (3,) int32
+
+
+def prepare_field_3d(values, meta: GridMeta, pad_value) -> PreparedField3D:
+    return PreparedField3D(
+        patches=_patch_matrix_3d(values, pad_value),
+        meta=meta,
+        dims=jnp.asarray(values.shape, jnp.int32),
+    )
+
+
+def interp_prepared_3d(field: PreparedField3D, points):
+    nx, ny, nz = field.dims[0], field.dims[1], field.dims[2]
+    u = (points - field.meta.min_corner) / field.meta.resolution - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    w = (wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]).reshape(
+        points.shape[:-1] + (8,)
+    )
+    ok = (
+        (i0[..., 0] >= 0) & (i0[..., 0] < nx)
+        & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+        & (i0[..., 2] >= 0) & (i0[..., 2] < nz)
+    )
+    flat = jnp.where(ok, (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2], nx * ny * nz)
+    rows = field.patches[flat].astype(jnp.float32)
+    return jnp.sum(rows * w, axis=-1)
+
+
+class PreparedTsdf3D(NamedTuple):
+    """Weight-aware TSDF interpolator with pre-built patch matrices."""
+
+    w_field: PreparedField3D
+    wtsd_field: PreparedField3D
+    truncation_distance: jax.Array
+
+
+class PreparedProb3D(NamedTuple):
+    prob_field: PreparedField3D
+
+
+def prepare_grid_3d(grid):
+    """Prepare a TSDFGrid or ProbabilityGrid for repeated interpolation."""
+    if isinstance(grid, TSDFGrid):
+        return PreparedTsdf3D(
+            w_field=prepare_field_3d(grid.weight, grid.meta, 0.0),
+            wtsd_field=prepare_field_3d(grid.weight * grid.tsd, grid.meta, 0.0),
+            truncation_distance=grid.truncation_distance,
+        )
+    return PreparedProb3D(prob_field=prepare_field_3d(grid.probability(), grid.meta, 0.1))
+
+
+def value_at_prepared_3d(prepared, points):
+    """Match-cost field value: weight-gated TSD or (1 - probability)."""
+    if isinstance(prepared, PreparedTsdf3D):
+        wsum = interp_prepared_3d(prepared.w_field, points)
+        wtsd = interp_prepared_3d(prepared.wtsd_field, points)
+        tsd = jnp.where(wsum > 1e-6, wtsd / jnp.maximum(wsum, 1e-6), prepared.truncation_distance)
+        return jnp.where(wsum > 1e-6, tsd, 0.0)
+    return 1.0 - interp_prepared_3d(prepared.prob_field, points)
+
+
+class PreparedField2D(NamedTuple):
+    """One 2D field ready for bicubic row-gather interpolation."""
+
+    patches: jax.Array  # (nx*ny + 1, 16)
+    meta: GridMeta
+    dims: jax.Array  # (2,) int32
+
+
+def prepare_field_2d(values, meta: GridMeta, pad_value) -> PreparedField2D:
+    return PreparedField2D(
+        patches=_patch_matrix_2d(values, pad_value, _BICUBIC_TAPS_2D),
+        meta=meta,
+        dims=jnp.asarray(values.shape, jnp.int32),
+    )
+
+
+def interp_prepared_2d(field: PreparedField2D, points):
+    nx, ny = field.dims[0], field.dims[1]
+    u = (points - field.meta.min_corner) / field.meta.resolution - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    wx = _cubic_weights(frac[..., 0])
+    wy = _cubic_weights(frac[..., 1])
+    w = (wx[..., :, None] * wy[..., None, :]).reshape(points.shape[:-1] + (16,))
+    ok = (i0[..., 0] >= 0) & (i0[..., 0] < nx) & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+    flat = jnp.where(ok, i0[..., 0] * ny + i0[..., 1], nx * ny)
+    rows = field.patches[flat].astype(jnp.float32)
+    return jnp.sum(rows * w, axis=-1)
+
+
+def prepare_probability_2d(grid: ProbabilityGrid) -> PreparedField2D:
+    from hectorgrapher_tpu.mapping import probability_values as pv
+
+    return prepare_field_2d(grid.probability(), grid.meta, pv.MIN_PROBABILITY)
+
+
+class PreparedTsdf2D(NamedTuple):
+    tsd_field: PreparedField2D
+    weight_field: PreparedField2D
+
+
+def prepare_tsdf_2d(grid: TSDFGrid) -> PreparedTsdf2D:
+    return PreparedTsdf2D(
+        tsd_field=prepare_field_2d(grid.tsd, grid.meta, grid.truncation_distance),
+        weight_field=prepare_field_2d(grid.weight, grid.meta, 0.0),
+    )
