@@ -59,7 +59,10 @@ def bench_scan_matcher():
         ),
     )
     initial = Rigid2(translation=jnp.array([0.07, -0.05], jnp.float32), angle=jnp.asarray(0.02, jnp.float32))
-    window = make_search_window(0.15, np.radians(10.0), 0.05, 20.0)
+    # Angular step from the ACTUAL scan range, as the reference computes
+    # per scan (correlative_scan_matcher_2d.cc SearchParameters).
+    max_scan_range = float(np.linalg.norm(pts, axis=-1).max())
+    window = make_search_window(0.15, np.radians(10.0), 0.05, max_scan_range)
 
     def step(grid, cloud, initial_pose):
         score, coarse = match_correlative_2d(grid, cloud, initial_pose, window, 0.1, 0.1)

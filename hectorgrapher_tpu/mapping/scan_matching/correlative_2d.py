@@ -84,14 +84,16 @@ def match_correlative_2d(
     # appended pad row (probability 0.1, matching unknown cells).
     k = window.num_linear
     d = 2 * k + 1
-    pad = jnp.pad(prob, k, constant_values=0.1)
+    # bf16 storage of the shifted-grid matrix halves gather bandwidth;
+    # scores accumulate in f32 (ranking is insensitive to bf16 cell values).
+    pad = jnp.pad(prob, k, constant_values=0.1).astype(jnp.bfloat16)
     shifts = [
         jax.lax.dynamic_slice(pad, (dx + k, dy + k), (nx, ny)).reshape(-1)
         for dx in range(-k, k + 1)
         for dy in range(-k, k + 1)
     ]
     gshift = jnp.stack(shifts, axis=-1)  # (nx*ny, D*D)
-    gshift = jnp.concatenate([gshift, jnp.full((1, d * d), 0.1, prob.dtype)], axis=0)
+    gshift = jnp.concatenate([gshift, jnp.full((1, d * d), 0.1, jnp.bfloat16)], axis=0)
 
     ok = (
         (base_idx[..., 0] >= 0)
@@ -100,7 +102,7 @@ def match_correlative_2d(
         & (base_idx[..., 1] < ny)
     )
     flat = jnp.where(ok, base_idx[..., 0] * ny + base_idx[..., 1], nx * ny)  # (T, N)
-    rows = jnp.take(gshift, flat, axis=0)  # (T, N, D*D)
+    rows = jnp.take(gshift, flat, axis=0).astype(jnp.float32)  # (T, N, D*D)
     rows = jnp.where(valid[None, :, None], rows, 0.0)
     scores = (jnp.sum(rows, axis=1) / n_valid).reshape(n_th, d, d)  # (T, Dx, Dy)
 
