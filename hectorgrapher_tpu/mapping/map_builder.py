@@ -79,7 +79,13 @@ class TrajectoryBuilder:
         return result
 
     def add_imu_data(self, time: float, linear_acceleration, angular_velocity) -> None:
+        """Routes to local SLAM and the pose graph (ref:
+        global_trajectory_builder.cc AddSensorData(ImuData))."""
         self._local.add_imu_data(time, linear_acceleration, angular_velocity)
+        if hasattr(self._pose_graph, "add_imu_data"):
+            self._pose_graph.add_imu_data(
+                self.trajectory_id, time, linear_acceleration, angular_velocity
+            )
 
     def add_odometry_data(self, time: float, pose: NpRigid3) -> None:
         """Routes to both local SLAM and the pose graph

@@ -229,9 +229,37 @@ class SpaExtras3D(NamedTuple):
     lm_rel_rotation: jax.Array  # (O, 4)
     lm_translation_weight: jax.Array  # (O,)
     lm_rotation_weight: jax.Array  # (O,)
+    # IMU rotation residuals between consecutive nodes
+    # (ref: cost_functions/rotation_cost_function_3d.h — error =
+    # end^-1 start C dR C^-1 with the extrinsic calibration C free)
+    ir_a: jax.Array  # (R,) int32
+    ir_b: jax.Array  # (R,)
+    ir_traj: jax.Array  # (R,) int32 — trajectory slot for calibration
+    ir_mask: jax.Array  # (R,)
+    ir_delta_rotation: jax.Array  # (R, 4) gyro-preintegrated (IMU frame)
+    ir_weight: jax.Array  # (R,)
+    # IMU acceleration residuals over node triples
+    # (ref: cost_functions/acceleration_cost_function_3d.h — finite-diff
+    # velocity change vs IMU delta velocity, gravity constant free)
+    ia_a: jax.Array  # (A,) int32
+    ia_b: jax.Array  # (A,)
+    ia_c: jax.Array  # (A,)
+    ia_traj: jax.Array  # (A,)
+    ia_mask: jax.Array  # (A,)
+    ia_delta_velocity: jax.Array  # (A, 3) IMU frame at middle node
+    ia_dt1: jax.Array  # (A,)
+    ia_dt2: jax.Array  # (A,)
+    ia_weight: jax.Array  # (A,)
+    # Per-trajectory IMU globals
+    traj_calibration: jax.Array  # (Tj, 4) extrinsic quaternion, initial
+    traj_gravity: jax.Array  # (Tj,) gravity constant, initial
+    traj_mask: jax.Array  # (Tj,)
+    calibration_fixed: jax.Array  # () bool — freeze extrinsics when not
+    # use_online_imu_extrinsics_in_3d
 
 
-def empty_extras_3d(num_nodes: int, p: int = 1, l: int = 1, o: int = 1) -> SpaExtras3D:
+def empty_extras_3d(num_nodes: int, p: int = 1, l: int = 1, o: int = 1,
+                    r: int = 1, a: int = 1, tj: int = 1) -> SpaExtras3D:
     qI = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (p, 1))
     qL = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (l, 1))
     qO = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (o, 1))
@@ -256,6 +284,25 @@ def empty_extras_3d(num_nodes: int, p: int = 1, l: int = 1, o: int = 1) -> SpaEx
         lm_rel_rotation=qO,
         lm_translation_weight=jnp.zeros(o, jnp.float32),
         lm_rotation_weight=jnp.zeros(o, jnp.float32),
+        ir_a=jnp.zeros(r, jnp.int32),
+        ir_b=jnp.zeros(r, jnp.int32),
+        ir_traj=jnp.zeros(r, jnp.int32),
+        ir_mask=jnp.zeros(r, bool),
+        ir_delta_rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (r, 1)),
+        ir_weight=jnp.zeros(r, jnp.float32),
+        ia_a=jnp.zeros(a, jnp.int32),
+        ia_b=jnp.zeros(a, jnp.int32),
+        ia_c=jnp.zeros(a, jnp.int32),
+        ia_traj=jnp.zeros(a, jnp.int32),
+        ia_mask=jnp.zeros(a, bool),
+        ia_delta_velocity=jnp.zeros((a, 3), jnp.float32),
+        ia_dt1=jnp.ones(a, jnp.float32),
+        ia_dt2=jnp.ones(a, jnp.float32),
+        ia_weight=jnp.zeros(a, jnp.float32),
+        traj_calibration=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (tj, 1)),
+        traj_gravity=jnp.full(tj, 9.80665, jnp.float32),
+        traj_mask=jnp.zeros(tj, bool),
+        calibration_fixed=jnp.asarray(True),
     )
 
 
@@ -277,29 +324,36 @@ def solve_spa_3d_full(
     init_lambda: float = 1e-4,
 ):
     """3D SPA with all residual families; returns (submap_t, submap_q,
-    node_t, node_q, landmark_t, landmark_q, final_cost)."""
+    node_t, node_q, landmark_t, landmark_q, calibration, gravity,
+    final_cost)."""
     S = problem.submap_translation.shape[0]
     N = problem.node_translation.shape[0]
     L = extras.landmark_translation.shape[0]
-    D = 6 * (S + N + L)
+    Tj = extras.traj_calibration.shape[0]
+    base_g = 6 * (S + N + L)  # start of per-trajectory IMU globals
+    D = base_g + 4 * Tj  # 3 calib-rot + 1 gravity per trajectory
 
+    calib_fixed = extras.calibration_fixed | ~extras.traj_mask
     fixed = jnp.concatenate(
         [
             jnp.repeat(problem.submap_fixed, 6),
             jnp.repeat(problem.node_fixed, 6),
             jnp.repeat(~extras.landmark_mask, 6),
+            jnp.stack(
+                [calib_fixed, calib_fixed, calib_fixed, ~extras.traj_mask], axis=1
+            ).reshape(-1),
         ]
     )
 
     def unpack(params):
-        st, sq, nt, nq, lt, lq = params
-        return st, sq, nt, nq, lt, lq
+        return params
 
     def retract(params, delta):
-        st, sq, nt, nq, lt, lq = params
+        st, sq, nt, nq, lt, lq, cq, grav = params
         ds = delta[: 6 * S].reshape(S, 6)
         dn = delta[6 * S : 6 * (S + N)].reshape(N, 6)
-        dl = delta[6 * (S + N) :].reshape(L, 6)
+        dl = delta[6 * (S + N) : base_g].reshape(L, 6)
+        dg = delta[base_g:].reshape(Tj, 4)
         return (
             st + ds[:, :3],
             quat_normalize(quat_multiply(sq, quat_from_axis_angle(ds[:, 3:]))),
@@ -307,11 +361,13 @@ def solve_spa_3d_full(
             quat_normalize(quat_multiply(nq, quat_from_axis_angle(dn[:, 3:]))),
             lt + dl[:, :3],
             quat_normalize(quat_multiply(lq, quat_from_axis_angle(dl[:, 3:]))),
+            quat_normalize(quat_multiply(cq, quat_from_axis_angle(dg[:, :3]))),
+            grav + dg[:, 3],
         )
 
     def family_blocks(params):
         """Per-family (J blocks, residuals, tangent indices)."""
-        st, sq, nt, nq, lt, lq = unpack(params)
+        st, sq, nt, nq, lt, lq, cq, grav = unpack(params)
 
         # -- submap-node constraints (with Huber IRLS)
         def c_one(ci):
@@ -420,7 +476,88 @@ def solve_spa_3d_full(
             axis=1,
         )
 
-        return [(cJ, cr, c_idx), (nnJ, nnr, nn_idx), (ffJ, ffr, ff_idx), (lmJ, lmr, lm_idx)]
+        # -- IMU rotation residuals (ref: rotation_cost_function_3d.h —
+        #    error = end^-1 start C dR C^-1; calibration C per trajectory)
+        def ir_one(ri):
+            a = extras.ir_a[ri]
+            b = extras.ir_b[ri]
+            tj = extras.ir_traj[ri]
+
+            def local(d9):
+                qa = quat_normalize(quat_multiply(nq[a], quat_from_axis_angle(d9[:3])))
+                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d9[3:6])))
+                c = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d9[6:9])))
+                err = quat_multiply(
+                    quat_multiply(quat_conjugate(qb), qa),
+                    quat_multiply(
+                        quat_multiply(c, extras.ir_delta_rotation[ri]), quat_conjugate(c)
+                    ),
+                )
+                return extras.ir_weight[ri] * err[1:]
+
+            r0 = local(jnp.zeros(9, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(9, jnp.float32))
+            m = extras.ir_mask[ri]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        irJ, irr = jax.vmap(ir_one)(jnp.arange(extras.ir_a.shape[0]))
+        ir_idx = jnp.concatenate(
+            [
+                (6 * S + extras.ir_a * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ir_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (base_g + extras.ir_traj * 4)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        # -- IMU acceleration residuals (ref: acceleration_cost_function_3d.h)
+        def ia_one(ai):
+            a = extras.ia_a[ai]
+            b = extras.ia_b[ai]
+            c_ = extras.ia_c[ai]
+            tj = extras.ia_traj[ai]
+            dt1 = extras.ia_dt1[ai]
+            dt2 = extras.ia_dt2[ai]
+
+            def local(d16):
+                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d16[:3])))
+                ta = nt[a] + d16[3:6]
+                tb = nt[b] + d16[6:9]
+                tc = nt[c_] + d16[9:12]
+                g = grav[tj] + d16[12]
+                cal = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d16[13:16])))
+                imu_dv = quat_rotate(
+                    qb, quat_rotate(cal, extras.ia_delta_velocity[ai])
+                ) - g * (0.5 * (dt1 + dt2)) * jnp.asarray([0.0, 0.0, 1.0])
+                fd_dv = (tc - tb) / dt2 - (tb - ta) / dt1
+                return extras.ia_weight[ai] * (imu_dv - fd_dv)
+
+            r0 = local(jnp.zeros(16, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(16, jnp.float32))
+            m = extras.ia_mask[ai]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        iaJ, iar = jax.vmap(ia_one)(jnp.arange(extras.ia_a.shape[0]))
+        ia_idx = jnp.concatenate(
+            [
+                (6 * S + extras.ia_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_a * 6)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_b * 6)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_c * 6)[:, None] + jnp.arange(3)[None, :],
+                (base_g + extras.ia_traj * 4 + 3)[:, None],
+                (base_g + extras.ia_traj * 4)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        return [
+            (cJ, cr, c_idx),
+            (nnJ, nnr, nn_idx),
+            (ffJ, ffr, ff_idx),
+            (lmJ, lmr, lm_idx),
+            (irJ, irr, ir_idx),
+            (iaJ, iar, ia_idx),
+        ]
 
     def assemble(params):
         JtJ = jnp.zeros((D, D), jnp.float32)
@@ -457,6 +594,8 @@ def solve_spa_3d_full(
         problem.node_rotation,
         extras.landmark_translation,
         extras.landmark_rotation,
+        extras.traj_calibration,
+        extras.traj_gravity,
     )
     (params, _), _ = jax.lax.scan(
         lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
@@ -758,7 +897,88 @@ def solve_spa_2d_full(
             ],
             axis=1,
         )
-        return [(cJ, cr, c_idx), (nnJ, nnr, nn_idx), (ffJ, ffr, ff_idx), (lmJ, lmr, lm_idx)]
+        # -- IMU rotation residuals (ref: rotation_cost_function_3d.h —
+        #    error = end^-1 start C dR C^-1; calibration C per trajectory)
+        def ir_one(ri):
+            a = extras.ir_a[ri]
+            b = extras.ir_b[ri]
+            tj = extras.ir_traj[ri]
+
+            def local(d9):
+                qa = quat_normalize(quat_multiply(nq[a], quat_from_axis_angle(d9[:3])))
+                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d9[3:6])))
+                c = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d9[6:9])))
+                err = quat_multiply(
+                    quat_multiply(quat_conjugate(qb), qa),
+                    quat_multiply(
+                        quat_multiply(c, extras.ir_delta_rotation[ri]), quat_conjugate(c)
+                    ),
+                )
+                return extras.ir_weight[ri] * err[1:]
+
+            r0 = local(jnp.zeros(9, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(9, jnp.float32))
+            m = extras.ir_mask[ri]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        irJ, irr = jax.vmap(ir_one)(jnp.arange(extras.ir_a.shape[0]))
+        ir_idx = jnp.concatenate(
+            [
+                (6 * S + extras.ir_a * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ir_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (base_g + extras.ir_traj * 4)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        # -- IMU acceleration residuals (ref: acceleration_cost_function_3d.h)
+        def ia_one(ai):
+            a = extras.ia_a[ai]
+            b = extras.ia_b[ai]
+            c_ = extras.ia_c[ai]
+            tj = extras.ia_traj[ai]
+            dt1 = extras.ia_dt1[ai]
+            dt2 = extras.ia_dt2[ai]
+
+            def local(d16):
+                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d16[:3])))
+                ta = nt[a] + d16[3:6]
+                tb = nt[b] + d16[6:9]
+                tc = nt[c_] + d16[9:12]
+                g = grav[tj] + d16[12]
+                cal = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d16[13:16])))
+                imu_dv = quat_rotate(
+                    qb, quat_rotate(cal, extras.ia_delta_velocity[ai])
+                ) - g * (0.5 * (dt1 + dt2)) * jnp.asarray([0.0, 0.0, 1.0])
+                fd_dv = (tc - tb) / dt2 - (tb - ta) / dt1
+                return extras.ia_weight[ai] * (imu_dv - fd_dv)
+
+            r0 = local(jnp.zeros(16, jnp.float32))
+            J = jax.jacfwd(local)(jnp.zeros(16, jnp.float32))
+            m = extras.ia_mask[ai]
+            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
+
+        iaJ, iar = jax.vmap(ia_one)(jnp.arange(extras.ia_a.shape[0]))
+        ia_idx = jnp.concatenate(
+            [
+                (6 * S + extras.ia_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_a * 6)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_b * 6)[:, None] + jnp.arange(3)[None, :],
+                (6 * S + extras.ia_c * 6)[:, None] + jnp.arange(3)[None, :],
+                (base_g + extras.ia_traj * 4 + 3)[:, None],
+                (base_g + extras.ia_traj * 4)[:, None] + jnp.arange(3)[None, :],
+            ],
+            axis=1,
+        )
+
+        return [
+            (cJ, cr, c_idx),
+            (nnJ, nnr, nn_idx),
+            (ffJ, ffr, ff_idx),
+            (lmJ, lmr, lm_idx),
+            (irJ, irr, ir_idx),
+            (iaJ, iar, ia_idx),
+        ]
 
     def assemble(params):
         JtJ = jnp.zeros((D, D), jnp.float32)

@@ -587,12 +587,18 @@ class PoseGraph3D(PoseGraphBase):
         self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._landmark_ids: Dict[str, int] = {}
         self._landmark_observations: List[dict] = []
+        self._imu: Dict[int, List[Tuple[float, np.ndarray, np.ndarray]]] = {}
 
     # -- auxiliary sensor ingestion (ref: pose_graph_3d.cc AddOdometryData/
-    #    AddFixedFramePoseData/AddLandmarkData) -----------------------------
+    #    AddImuData/AddFixedFramePoseData/AddLandmarkData) ------------------
 
     def add_odometry_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
         self._odometry.setdefault(trajectory_id, []).append((time, pose))
+
+    def add_imu_data(self, trajectory_id: int, time: float, linear_acceleration, angular_velocity) -> None:
+        self._imu.setdefault(trajectory_id, []).append(
+            (time, np.asarray(linear_acceleration, float), np.asarray(angular_velocity, float))
+        )
 
     def add_fixed_frame_pose_data(self, trajectory_id: int, time: float, pose: NpRigid3) -> None:
         self._fixed_frame.setdefault(trajectory_id, []).append((time, pose))
@@ -672,15 +678,105 @@ class PoseGraph3D(PoseGraphBase):
                         )
                     )
 
+        # IMU rotation + acceleration residuals between consecutive nodes
+        # (ref: optimization_problem_3d.cc :353-447).
+        ir = []
+        ia = []
+        use_imu = (
+            not opt.fix_z_in_3d
+            and (opt.rotation_weight > 0 or opt.acceleration_weight > 0)
+        )
+        traj_slots: Dict[int, int] = {}
+        if use_imu:
+            from hectorgrapher_tpu.mapping.ct import imu_integration
+
+            for tid, idxs in by_traj.items():
+                imu = self._imu.get(tid, [])
+                if len(imu) < 2:
+                    continue
+                if tid not in traj_slots:
+                    traj_slots[tid] = len(traj_slots)
+                slot = traj_slots[tid]
+                imu_t = np.asarray([x[0] for x in imu])
+                imu_a = np.asarray([x[1] for x in imu])
+                imu_g = np.asarray([x[2] for x in imu])
+                for j in range(len(idxs) - 1):
+                    a, b = idxs[j], idxs[j + 1]
+                    ta, tb = self.nodes[a].time, self.nodes[b].time
+                    if tb <= ta:
+                        continue
+                    dq, _, _ = imu_integration.integrate_imu(imu_t, imu_a, imu_g, ta, tb)
+                    ir.append((a, b, slot, dq, opt.rotation_weight))
+                    if opt.acceleration_weight > 0 and j + 2 < len(idxs):
+                        c = idxs[j + 2]
+                        tc = self.nodes[c].time
+                        if tc <= tb:
+                            continue
+                        dt1 = tb - ta
+                        dt2 = tc - tb
+                        c1 = ta + dt1 / 2
+                        c2 = tb + dt2 / 2
+                        dq_full, _, _ = imu_integration.integrate_imu(imu_t, imu_a, imu_g, ta, tb)
+                        dq_c1, _, _ = imu_integration.integrate_imu(imu_t, imu_a, imu_g, ta, c1)
+                        _, dv_cc, _ = imu_integration.integrate_imu(imu_t, imu_a, imu_g, c1, c2)
+                        # delta velocity in the IMU frame at the second node
+                        # (ref: :420-428)
+                        rel = nq.quat_multiply(nq.quat_conjugate(dq_full), dq_c1)
+                        dv = nq.quat_rotate(rel, dv_cc)
+                        ia.append((a, b, c, slot, dv, dt1, dt2, opt.acceleration_weight))
+
         has_ff = any(self._fixed_frame.values())
         has_lm = bool(self._landmark_observations)
-        if not nn and not has_ff and not has_lm:
+        if not nn and not has_ff and not has_lm and not ir and not ia:
             return None
 
         P = max(self._pad_to(max(len(nn), 1)), 1)
         L = max(len(self._landmark_ids), 1)
         O = max(self._pad_to(max(len(self._landmark_observations), 1)), 1)
-        extras = empty_extras_3d(N_cap, p=P, l=L, o=O)
+        R = max(self._pad_to(max(len(ir), 1)), 1)
+        A = max(self._pad_to(max(len(ia), 1)), 1)
+        Tj = max(len(traj_slots), 1)
+        extras = empty_extras_3d(N_cap, p=P, l=L, o=O, r=R, a=A, tj=Tj)
+        if ir:
+            ir_a = np.zeros(R, np.int32); ir_b = np.zeros(R, np.int32)
+            ir_tj = np.zeros(R, np.int32); ir_mask = np.zeros(R, bool)
+            ir_dq = np.tile(np.array([1, 0, 0, 0], np.float32), (R, 1))
+            ir_w = np.zeros(R, np.float32)
+            for i, (a, b, slot, dq, w) in enumerate(ir):
+                ir_a[i], ir_b[i], ir_tj[i], ir_mask[i] = a, b, slot, True
+                ir_dq[i] = dq
+                ir_w[i] = w
+            extras = extras._replace(
+                ir_a=jnp.asarray(ir_a), ir_b=jnp.asarray(ir_b),
+                ir_traj=jnp.asarray(ir_tj), ir_mask=jnp.asarray(ir_mask),
+                ir_delta_rotation=jnp.asarray(ir_dq), ir_weight=jnp.asarray(ir_w),
+            )
+        if ia:
+            ia_a = np.zeros(A, np.int32); ia_b = np.zeros(A, np.int32)
+            ia_c = np.zeros(A, np.int32); ia_tj = np.zeros(A, np.int32)
+            ia_mask = np.zeros(A, bool)
+            ia_dv = np.zeros((A, 3), np.float32)
+            ia_dt1 = np.ones(A, np.float32); ia_dt2 = np.ones(A, np.float32)
+            ia_w = np.zeros(A, np.float32)
+            for i, (a, b, c, slot, dv, dt1, dt2, w) in enumerate(ia):
+                ia_a[i], ia_b[i], ia_c[i], ia_tj[i], ia_mask[i] = a, b, c, slot, True
+                ia_dv[i] = dv
+                ia_dt1[i], ia_dt2[i] = dt1, dt2
+                ia_w[i] = w
+            extras = extras._replace(
+                ia_a=jnp.asarray(ia_a), ia_b=jnp.asarray(ia_b), ia_c=jnp.asarray(ia_c),
+                ia_traj=jnp.asarray(ia_tj), ia_mask=jnp.asarray(ia_mask),
+                ia_delta_velocity=jnp.asarray(ia_dv),
+                ia_dt1=jnp.asarray(ia_dt1), ia_dt2=jnp.asarray(ia_dt2),
+                ia_weight=jnp.asarray(ia_w),
+            )
+        if traj_slots:
+            extras = extras._replace(
+                traj_mask=jnp.asarray(
+                    [True] * len(traj_slots) + [False] * (Tj - len(traj_slots))
+                ),
+                calibration_fixed=jnp.asarray(not opt.use_online_imu_extrinsics_in_3d),
+            )
 
         if nn:
             nn_a = np.zeros(P, np.int32)
@@ -906,7 +1002,7 @@ class PoseGraph3D(PoseGraphBase):
         if extras is not None:
             from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_3d_full
 
-            st_o, sq_o, nt_o, nq_o, lt_o, lq_o, _ = solve_spa_3d_full(
+            st_o, sq_o, nt_o, nq_o, lt_o, lq_o, cq_o, grav_o, _ = solve_spa_3d_full(
                 problem, extras, num_iterations=min(num_iterations, 50)
             )
             # Store optimized landmark poses keyed by string id.

@@ -62,7 +62,7 @@ def test_node_node_odometry_constrains_chain():
         nn_translation_weight=jnp.full(P, 10.0, jnp.float32),
         nn_rotation_weight=jnp.full(P, 10.0, jnp.float32),
     )
-    st, sq, nt, nq, lt, lq, cost = solve_spa_3d_full(problem, extras, num_iterations=25)
+    st, sq, nt, nq, lt, lq, cq, grav, cost = solve_spa_3d_full(problem, extras, num_iterations=25)
     np.testing.assert_allclose(np.asarray(nt), gt, atol=0.02)
 
 
@@ -78,7 +78,7 @@ def test_fixed_frame_pulls_to_gps():
         ff_translation=jnp.asarray(gt),
         ff_translation_weight=jnp.full(N, 50.0, jnp.float32),
     )
-    st, sq, nt, nq, lt, lq, cost = solve_spa_3d_full(problem, extras, num_iterations=20)
+    st, sq, nt, nq, lt, lq, cq, grav, cost = solve_spa_3d_full(problem, extras, num_iterations=20)
     np.testing.assert_allclose(np.asarray(nt), gt, atol=0.02)
 
 
@@ -112,6 +112,50 @@ def test_landmark_observations_locate_landmark():
         lm_translation_weight=jnp.full(O, 10.0, jnp.float32),
         lm_rotation_weight=jnp.full(O, 10.0, jnp.float32),
     )
-    st, sq, nt, nq, lt, lq, cost = solve_spa_3d_full(problem, extras, num_iterations=25)
+    st, sq, nt, nq, lt, lq, cq, grav, cost = solve_spa_3d_full(problem, extras, num_iterations=25)
     np.testing.assert_allclose(np.asarray(lt)[0], lm_gt, atol=0.02)
     np.testing.assert_allclose(np.asarray(nt), node_gt, atol=0.02)
+
+
+def test_imu_rotation_residuals_constrain_orientation():
+    """Consecutive-node rotation residuals vs gyro deltas (identity
+    calibration) pull drifted orientations back."""
+    from hectorgrapher_tpu.transform import np_quat as nq2
+
+    S, N, C = 1, 4, 8
+    gt_t = np.array([[0.3 * i, 0, 0] for i in range(N)], np.float32)
+    # Ground truth: yaw increases 0.1 rad per step (gyro measures it).
+    gt_q = np.stack([nq2.quat_from_axis_angle(np.array([0, 0, 0.1 * i])) for i in range(N)]).astype(np.float32)
+    # Initial: correct translations, drifted rotations (except node 0 via anchor)
+    rng = np.random.default_rng(0)
+    init_q = gt_q.copy()
+    for i in range(1, N):
+        init_q[i] = nq2.quat_multiply(
+            gt_q[i], nq2.quat_from_axis_angle(rng.normal(0, 0.05, 3))
+        ).astype(np.float32)
+
+    problem = base_problem(S, N, C, np.zeros((S, 3), np.float32), gt_t, [0], [0], [[0, 0, 0]], w=100.0)
+    problem = problem._replace(node_rotation=jnp.asarray(init_q))
+    R = 4
+    extras = empty_extras_3d(N, r=R)
+    ir_a = np.zeros(R, np.int32); ir_b = np.zeros(R, np.int32)
+    ir_mask = np.zeros(R, bool)
+    ir_dq = np.tile(np.array([1, 0, 0, 0], np.float32), (R, 1))
+    for i in range(N - 1):
+        ir_a[i], ir_b[i], ir_mask[i] = i, i + 1, True
+        # gyro delta: rotation from node i to i+1 in IMU(=tracking) frame
+        rel = nq2.quat_multiply(nq2.quat_conjugate(gt_q[i]), gt_q[i + 1])
+        ir_dq[i] = rel
+    extras = extras._replace(
+        ir_a=jnp.asarray(ir_a), ir_b=jnp.asarray(ir_b), ir_mask=jnp.asarray(ir_mask),
+        ir_delta_rotation=jnp.asarray(ir_dq),
+        ir_weight=jnp.full(R, 50.0, jnp.float32),
+        traj_mask=jnp.asarray([True]),
+        calibration_fixed=jnp.asarray(True),
+    )
+    # anchor node 0 rotation via a strong INTRA constraint already present
+    st, sq, nt, nqr, lt, lq, cq, grav, cost = solve_spa_3d_full(problem, extras, num_iterations=30)
+    nqr = np.asarray(nqr)
+    for i in range(N):
+        dot = abs(float(np.sum(nqr[i] * gt_q[i])))
+        assert dot > 0.9995, f"node {i} rotation error: dot {dot}"
