@@ -897,88 +897,7 @@ def solve_spa_2d_full(
             ],
             axis=1,
         )
-        # -- IMU rotation residuals (ref: rotation_cost_function_3d.h —
-        #    error = end^-1 start C dR C^-1; calibration C per trajectory)
-        def ir_one(ri):
-            a = extras.ir_a[ri]
-            b = extras.ir_b[ri]
-            tj = extras.ir_traj[ri]
-
-            def local(d9):
-                qa = quat_normalize(quat_multiply(nq[a], quat_from_axis_angle(d9[:3])))
-                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d9[3:6])))
-                c = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d9[6:9])))
-                err = quat_multiply(
-                    quat_multiply(quat_conjugate(qb), qa),
-                    quat_multiply(
-                        quat_multiply(c, extras.ir_delta_rotation[ri]), quat_conjugate(c)
-                    ),
-                )
-                return extras.ir_weight[ri] * err[1:]
-
-            r0 = local(jnp.zeros(9, jnp.float32))
-            J = jax.jacfwd(local)(jnp.zeros(9, jnp.float32))
-            m = extras.ir_mask[ri]
-            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
-
-        irJ, irr = jax.vmap(ir_one)(jnp.arange(extras.ir_a.shape[0]))
-        ir_idx = jnp.concatenate(
-            [
-                (6 * S + extras.ir_a * 6 + 3)[:, None] + jnp.arange(3)[None, :],
-                (6 * S + extras.ir_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
-                (base_g + extras.ir_traj * 4)[:, None] + jnp.arange(3)[None, :],
-            ],
-            axis=1,
-        )
-
-        # -- IMU acceleration residuals (ref: acceleration_cost_function_3d.h)
-        def ia_one(ai):
-            a = extras.ia_a[ai]
-            b = extras.ia_b[ai]
-            c_ = extras.ia_c[ai]
-            tj = extras.ia_traj[ai]
-            dt1 = extras.ia_dt1[ai]
-            dt2 = extras.ia_dt2[ai]
-
-            def local(d16):
-                qb = quat_normalize(quat_multiply(nq[b], quat_from_axis_angle(d16[:3])))
-                ta = nt[a] + d16[3:6]
-                tb = nt[b] + d16[6:9]
-                tc = nt[c_] + d16[9:12]
-                g = grav[tj] + d16[12]
-                cal = quat_normalize(quat_multiply(cq[tj], quat_from_axis_angle(d16[13:16])))
-                imu_dv = quat_rotate(
-                    qb, quat_rotate(cal, extras.ia_delta_velocity[ai])
-                ) - g * (0.5 * (dt1 + dt2)) * jnp.asarray([0.0, 0.0, 1.0])
-                fd_dv = (tc - tb) / dt2 - (tb - ta) / dt1
-                return extras.ia_weight[ai] * (imu_dv - fd_dv)
-
-            r0 = local(jnp.zeros(16, jnp.float32))
-            J = jax.jacfwd(local)(jnp.zeros(16, jnp.float32))
-            m = extras.ia_mask[ai]
-            return jnp.where(m, J, 0.0), jnp.where(m, r0, 0.0)
-
-        iaJ, iar = jax.vmap(ia_one)(jnp.arange(extras.ia_a.shape[0]))
-        ia_idx = jnp.concatenate(
-            [
-                (6 * S + extras.ia_b * 6 + 3)[:, None] + jnp.arange(3)[None, :],
-                (6 * S + extras.ia_a * 6)[:, None] + jnp.arange(3)[None, :],
-                (6 * S + extras.ia_b * 6)[:, None] + jnp.arange(3)[None, :],
-                (6 * S + extras.ia_c * 6)[:, None] + jnp.arange(3)[None, :],
-                (base_g + extras.ia_traj * 4 + 3)[:, None],
-                (base_g + extras.ia_traj * 4)[:, None] + jnp.arange(3)[None, :],
-            ],
-            axis=1,
-        )
-
-        return [
-            (cJ, cr, c_idx),
-            (nnJ, nnr, nn_idx),
-            (ffJ, ffr, ff_idx),
-            (lmJ, lmr, lm_idx),
-            (irJ, irr, ir_idx),
-            (iaJ, iar, ia_idx),
-        ]
+        return [(cJ, cr, c_idx), (nnJ, nnr, nn_idx), (ffJ, ffr, ff_idx), (lmJ, lmr, lm_idx)]
 
     def assemble(params):
         JtJ = jnp.zeros((D, D), jnp.float32)
