@@ -42,8 +42,14 @@ class PointsBatch:
         )
 
 
+FLUSH_FINISHED = "finished"
+FLUSH_RESTART = "restart"  # (ref: points_processor.h FlushResult::kRestartStream)
+
+
 class PointsProcessor:
-    """(ref: points_processor.h FlushResult omitted: restarts unsupported)"""
+    """(ref: points_processor.h:29-48 — Process/Flush chain; Flush returns
+    FLUSH_RESTART when the processor needs the stream replayed, e.g. the
+    multi-pass outlier remover.)"""
 
     def __init__(self, next_processor: Optional["PointsProcessor"]):
         self.next = next_processor
@@ -52,9 +58,10 @@ class PointsProcessor:
         if self.next:
             self.next.process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         if self.next:
-            self.next.flush()
+            return self.next.flush()
+        return FLUSH_FINISHED
 
 
 class NullPointsProcessor(PointsProcessor):
@@ -162,9 +169,9 @@ class XyzWriterPointsProcessor(PointsProcessor):
             self._file.write(f"{p[0]} {p[1]} {p[2]}\n")
         super().process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         self._file.close()
-        super().flush()
+        return super().flush()
 
 
 class PlyWriterPointsProcessor(PointsProcessor):
@@ -181,7 +188,7 @@ class PlyWriterPointsProcessor(PointsProcessor):
             self._points.append(np.asarray(batch.points, np.float32))
         super().process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         pts = np.concatenate(self._points, axis=0) if self._points else np.zeros((0, 3), np.float32)
         header = (
             "ply\nformat binary_little_endian 1.0\n"
@@ -191,7 +198,7 @@ class PlyWriterPointsProcessor(PointsProcessor):
         with open(self._filename, "wb") as f:
             f.write(header.encode())
             f.write(pts.astype("<f4").tobytes())
-        super().flush()
+        return super().flush()
 
 
 class PcdWriterPointsProcessor(PointsProcessor):
@@ -207,7 +214,7 @@ class PcdWriterPointsProcessor(PointsProcessor):
             self._points.append(np.asarray(batch.points, np.float32))
         super().process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         pts = np.concatenate(self._points, axis=0) if self._points else np.zeros((0, 3), np.float32)
         with open(self._filename, "w") as f:
             f.write(
@@ -218,7 +225,7 @@ class PcdWriterPointsProcessor(PointsProcessor):
             )
             for p in pts:
                 f.write(f"{p[0]} {p[1]} {p[2]}\n")
-        super().flush()
+        return super().flush()
 
 
 class XRayPointsProcessor(PointsProcessor):
@@ -240,7 +247,7 @@ class XRayPointsProcessor(PointsProcessor):
             self._cells[k] = self._cells.get(k, 0) + 1
         super().process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         if self._cells:
             ks = np.asarray(list(self._cells.keys()))
             vs = np.asarray(list(self._cells.values()), np.float32)
@@ -252,7 +259,7 @@ class XRayPointsProcessor(PointsProcessor):
             img = np.sqrt(img)
             img = 255.0 * img / max(img.max(), 1e-6)
             write_png(self._filename, img.T[::-1].astype(np.uint8))
-        super().flush()
+        return super().flush()
 
 
 class ProbabilityGridPointsProcessor(PointsProcessor):
@@ -270,7 +277,7 @@ class ProbabilityGridPointsProcessor(PointsProcessor):
         self._batches.append(batch)
         super().process(batch)
 
-    def flush(self) -> None:
+    def flush(self) -> str:
         import jax.numpy as jnp
 
         from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions2D
@@ -293,7 +300,165 @@ class ProbabilityGridPointsProcessor(PointsProcessor):
             )
             grid = insert(grid, rd)
         write_png(self._filename, probability_grid_to_image(grid))
-        super().flush()
+        return super().flush()
+
+
+class ColoringPointsProcessor(PointsProcessor):
+    """(ref: io/coloring_points_processor.cc — paint every point of a given
+    frame_id with a fixed color.)"""
+
+    def __init__(self, next_processor, color, frame_id: str = ""):
+        super().__init__(next_processor)
+        self._color = np.asarray(color, np.float32)  # (3,) in [0,1]
+        self._frame_id = frame_id
+
+    def process(self, batch: PointsBatch) -> None:
+        if batch.frame_id == self._frame_id:
+            batch.colors = np.tile(self._color, (len(batch.points), 1))
+        super().process(batch)
+
+
+class IntensityToColorPointsProcessor(PointsProcessor):
+    """(ref: io/intensity_to_color_points_processor.cc — gray =
+    clamp((intensity - min) / (max - min), 0, 1) per point.)"""
+
+    def __init__(self, next_processor, min_intensity: float, max_intensity: float, frame_id: str = ""):
+        super().__init__(next_processor)
+        self._min = min_intensity
+        self._max = max_intensity
+        self._frame_id = frame_id
+
+    def process(self, batch: PointsBatch) -> None:
+        if batch.intensities is not None and (not self._frame_id or batch.frame_id == self._frame_id):
+            gray = np.clip(
+                (np.asarray(batch.intensities, np.float32) - self._min) / (self._max - self._min),
+                0.0,
+                1.0,
+            )
+            batch.colors = np.stack([gray, gray, gray], axis=-1)
+        super().process(batch)
+
+
+class OutlierRemovingPointsProcessor(PointsProcessor):
+    """Three-pass moving-object removal (ref:
+    io/outlier_removing_points_processor.cc). Phase 1 counts hits per voxel,
+    phase 2 counts rays passing through hit voxels (sampled every voxel_size
+    along each beam), phase 3 drops points whose voxel has
+    rays >= miss_per_hit_limit * hits. Flush returns FLUSH_RESTART after
+    phases 1 and 2 so the driver replays the stream (run_pipeline does)."""
+
+    def __init__(self, next_processor, voxel_size: float, miss_per_hit_limit: float = 3.0):
+        super().__init__(next_processor)
+        self._voxel = voxel_size
+        self._limit = miss_per_hit_limit
+        self._phase = 1
+        self._hits: Dict[tuple, int] = {}
+        self._rays: Dict[tuple, int] = {}
+
+    def _cell(self, p) -> tuple:
+        c = np.floor(np.asarray(p) / self._voxel + 0.5).astype(np.int64)
+        return (int(c[0]), int(c[1]), int(c[2]))
+
+    def process(self, batch: PointsBatch) -> None:
+        if self._phase == 1:
+            cells = np.floor(batch.points / self._voxel + 0.5).astype(np.int64)
+            for c in cells:
+                k = (int(c[0]), int(c[1]), int(c[2]))
+                self._hits[k] = self._hits.get(k, 0) + 1
+        elif self._phase == 2:
+            # Sample each beam every voxel_size; count rays through hit voxels.
+            for p in batch.points:
+                delta = np.asarray(p, np.float64) - batch.origin
+                length = float(np.linalg.norm(delta))
+                if length == 0.0:
+                    continue
+                ts = np.arange(0.0, length, self._voxel) / length
+                samples = batch.origin[None, :] + ts[:, None] * delta[None, :]
+                cells = np.floor(samples / self._voxel + 0.5).astype(np.int64)
+                for c in cells:
+                    k = (int(c[0]), int(c[1]), int(c[2]))
+                    if self._hits.get(k, 0) > 0:
+                        self._rays[k] = self._rays.get(k, 0) + 1
+        else:
+            keep = np.ones(len(batch.points), bool)
+            for i, p in enumerate(batch.points):
+                k = self._cell(p)
+                hits = self._hits.get(k, 0)
+                rays = self._rays.get(k, 0)
+                if rays >= self._limit * hits:
+                    keep[i] = False
+            super().process(batch.keep(keep))
+
+    def flush(self) -> str:
+        if self._phase in (1, 2):
+            self._phase += 1
+            return FLUSH_RESTART
+        return super().flush()
+
+
+class HybridGridPointsProcessor(PointsProcessor):
+    """(ref: io/hybrid_grid_points_processor.cc — insert every batch into a
+    3D probability grid and serialize it at flush.) The TPU-native analog
+    inserts into the dense 3D ProbabilityGrid and writes an .npz with
+    log_odds/known/meta instead of a HybridGrid proto."""
+
+    def __init__(self, next_processor, filename: str, voxel_size: float, size: int = 256,
+                 hit_probability: float = 0.55, miss_probability: float = 0.49):
+        super().__init__(next_processor)
+        self._filename = filename
+        self._voxel = voxel_size
+        self._size = size
+        self._hit_p = hit_probability
+        self._miss_p = miss_probability
+        self._batches: List[PointsBatch] = []
+
+    def process(self, batch: PointsBatch) -> None:
+        self._batches.append(batch)
+        super().process(batch)
+
+    def flush(self) -> str:
+        import jax.numpy as jnp
+
+        from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions3D
+        from hectorgrapher_tpu.mapping.grids import make_probability_grid
+        from hectorgrapher_tpu.mapping.inserters_3d import make_probability_inserter_3d
+        from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+
+        opts = ProbabilityGridRangeDataInserterOptions3D(
+            hit_probability=self._hit_p, miss_probability=self._miss_p
+        )
+        grid = make_probability_grid(self._voxel, (self._size,) * 3)
+        insert = make_probability_inserter_3d(opts)
+        for batch in self._batches:
+            cap = max(1024, 1 << int(np.ceil(np.log2(max(len(batch.points), 2)))))
+            rd = RangeData(
+                origin=jnp.asarray(batch.origin, jnp.float32),
+                returns=pad_cloud(np.asarray(batch.points, np.float32), cap),
+                misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+            )
+            grid = insert(grid, rd)
+        np.savez_compressed(
+            self._filename,
+            log_odds=np.asarray(grid.log_odds),
+            known=np.asarray(grid.known),
+            resolution=np.float32(self._voxel),
+            min_corner=np.asarray(grid.meta.min_corner),
+        )
+        return super().flush()
+
+
+def run_pipeline(pipeline: PointsProcessor, batch_source) -> None:
+    """Stream batches through the chain, replaying on FLUSH_RESTART (ref:
+    assets_writer.cc main loop — re-reads the bag per restart).
+
+    batch_source: callable returning an iterable of PointsBatch; it is
+    invoked once per pass so multi-pass processors see identical streams.
+    """
+    while True:
+        for batch in batch_source():
+            pipeline.process(batch)
+        if pipeline.flush() != FLUSH_RESTART:
+            return
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +488,19 @@ _REGISTRY = {
         nxt, a.get("voxel_size", 0.05)
     ),
     "count": lambda nxt, a: CountingPointsProcessor(nxt),
+    "color_points": lambda nxt, a: ColoringPointsProcessor(
+        nxt, a["color"], a.get("frame_id", "")
+    ),
+    "intensity_to_color": lambda nxt, a: IntensityToColorPointsProcessor(
+        nxt, a["min_intensity"], a["max_intensity"], a.get("frame_id", "")
+    ),
+    "voxel_filter_and_remove_moving_objects_multipass": lambda nxt, a: OutlierRemovingPointsProcessor(
+        nxt, a["voxel_size"], a.get("miss_per_hit_limit", 3.0)
+    ),
+    "write_hybrid_grid": lambda nxt, a: HybridGridPointsProcessor(
+        nxt, a["filename"], a["voxel_size"], a.get("size", 256),
+        a.get("hit_probability", 0.55), a.get("miss_probability", 0.49),
+    ),
 }
 
 

@@ -103,3 +103,63 @@ def test_png_writer_roundtrip_header(tmp_path):
     data = open(path, "rb").read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
+
+
+def test_coloring_and_intensity_to_color():
+    from hectorgrapher_tpu.io.points_pipeline import build_pipeline
+
+    sink = build_pipeline([{"action": "color_points", "color": [1.0, 0.0, 0.0], "frame_id": "lidar"}])
+    batch = make_batch(10)
+    sink.process(batch)
+    assert batch.colors is not None and batch.colors.shape == (10, 3)
+    np.testing.assert_allclose(batch.colors[0], [1, 0, 0])
+
+    sink = build_pipeline([{"action": "intensity_to_color", "min_intensity": 10.0, "max_intensity": 20.0}])
+    batch = make_batch(5)
+    batch.intensities = np.array([5.0, 10.0, 15.0, 20.0, 30.0])
+    sink.process(batch)
+    np.testing.assert_allclose(batch.colors[:, 0], [0.0, 0.0, 0.5, 1.0, 1.0])
+    np.testing.assert_allclose(batch.colors[:, 0], batch.colors[:, 1])
+
+
+def test_outlier_removing_multipass():
+    """A voxel seen by many passing rays but few hits is removed
+    (ref: outlier_removing_points_processor.cc three-phase voting)."""
+    from hectorgrapher_tpu.io.points_pipeline import (
+        CountingPointsProcessor,
+        NullPointsProcessor,
+        OutlierRemovingPointsProcessor,
+        run_pipeline,
+    )
+
+    counter = CountingPointsProcessor(NullPointsProcessor())
+    remover = OutlierRemovingPointsProcessor(counter, voxel_size=0.5, miss_per_hit_limit=3.0)
+
+    # A "moving object" point at x=2 is hit once, but 20 later beams to a
+    # wall at x=10 pass straight through its voxel. A "wall" point at x=10
+    # is hit 20 times with nothing beyond it.
+    def source():
+        batches = [PointsBatch(points=np.array([[2.0, 0.0, 0.0]]), origin=np.zeros(3))]
+        for _ in range(20):
+            batches.append(PointsBatch(points=np.array([[10.0, 0.0, 0.0]]), origin=np.zeros(3)))
+        return batches
+
+    run_pipeline(remover, source)
+    # wall points survive (20 batches x 1 point); the moving point is dropped
+    assert counter.num_points == 20
+
+
+def test_hybrid_grid_writer(tmp_path):
+    from hectorgrapher_tpu.io.points_pipeline import build_pipeline
+
+    out = str(tmp_path / "grid.npz")
+    pipeline = build_pipeline([
+        {"action": "write_hybrid_grid", "filename": out, "voxel_size": 0.1, "size": 64},
+    ])
+    pts = np.array([[1.0, 0.5, 0.25], [-0.8, 0.3, -0.4]], np.float32)
+    pipeline.process(PointsBatch(points=pts, origin=np.zeros(3)))
+    pipeline.flush()
+    data = np.load(out)
+    assert data["log_odds"].shape == (64, 64, 64)
+    assert data["known"].sum() >= 2  # hit cells plus free-space misses
+    assert float(data["resolution"]) == np.float32(0.1)
