@@ -96,9 +96,17 @@ def pyramid_2d_pallas(values, depth: int, tile_x: int = 128, interpret: bool = F
 
 
 def pyramid_2d(values, depth: int, use_pallas: bool = None) -> List[jax.Array]:
-    """Pyramid with automatic backend choice: Pallas on TPU, XLA elsewhere."""
+    """Pyramid with backend choice.
+
+    Measured on a real v5e chip (1024x1024, depth 7): XLA 454 us vs Pallas
+    505 us — the op is write-bandwidth/dispatch dominated (all `depth`
+    levels must be written either way) and XLA fully fuses the shifted-max
+    chain, so the fused-read kernel does not win. Default stays XLA; the
+    kernel remains available for fusion into larger pipelines where the
+    levels are consumed on-chip.
+    """
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = False
     if use_pallas:
         try:
             nx = values.shape[0]

@@ -39,6 +39,6 @@ def test_pyramid_wrapper_falls_back_on_cpu():
     rng = np.random.default_rng(2)
     values = jnp.asarray(rng.uniform(0.0, 1.0, (64, 64)).astype(np.float32))
     ref = precompute_pyramid_2d(values, 3)
-    got = pyramid_2d(values, 3)  # CPU backend -> XLA path
+    got = pyramid_2d(values, 3)  # default backend choice (XLA)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r))
