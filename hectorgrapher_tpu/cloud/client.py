@@ -30,6 +30,15 @@ class _Channel:
         )
         return callable_(request)
 
+    def call_stream(self, method: str, request: dict):
+        """Server-streaming call; returns an iterator of responses."""
+        callable_ = self._channel.unary_stream(
+            f"/{SERVICE}/{method}",
+            request_serializer=pickle.dumps,
+            response_deserializer=pickle.loads,
+        )
+        return callable_(request)
+
     def close(self):
         self._channel.close()
 
@@ -105,6 +114,14 @@ class MapBuilderStub:
 
     def get_local_slam_results(self, trajectory_id: int):
         return self._channel.call("GetLocalSlamResults", {"trajectory_id": trajectory_id})["results"]
+
+    def receive_local_slam_results(self, trajectory_id: int):
+        """Live subscription: yields {"time", "local_pose"} dicts as local
+        SLAM produces them; the stream ends when the trajectory finishes
+        (ref: map_builder_stub + ReceiveLocalSlamResults streaming RPC)."""
+        return self._channel.call_stream(
+            "ReceiveLocalSlamResults", {"trajectory_id": trajectory_id}
+        )
 
     def write_state(self, filename: str) -> None:
         self._channel.call("WriteState", {"filename": filename})

@@ -53,6 +53,10 @@ class MapBuilderServer:
         self._slam_thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
         self._local_slam_results: Dict[int, list] = {}
+        # Streaming subscriptions: trajectory_id -> list of per-subscriber
+        # queues (ref: map_builder_server.cc LocalSlamSubscriptionId +
+        # SubscribeLocalSlamResults).
+        self._subscribers: Dict[int, list] = {}
 
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=num_workers))
         handlers = {
@@ -76,6 +80,13 @@ class MapBuilderServer:
             )
             for name, fn in handlers.items()
         }
+        # Server-streaming subscription (ref: map_builder_service.proto
+        # ReceiveLocalSlamResults — returns (stream ReceiveLocalSlamResultsResponse)).
+        method_handlers["ReceiveLocalSlamResults"] = grpc.unary_stream_rpc_method_handler(
+            self._handle_receive_local_slam_results,
+            request_deserializer=pickle.loads,
+            response_serializer=pickle.dumps,
+        )
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, method_handlers),)
         )
@@ -126,6 +137,8 @@ class MapBuilderServer:
                             self._local_slam_results.setdefault(trajectory_id, []).append(
                                 (result.time, result.local_pose)
                             )
+                            for q in self._subscribers.get(trajectory_id, ()):
+                                q.put((result.time, result.local_pose))
                 elif kind == "imu":
                     builder.add_imu_data(*payload)
                 elif kind == "odometry":
@@ -144,6 +157,11 @@ class MapBuilderServer:
     def _handle_finish_trajectory(self, request):
         self._sensor_queue.join()
         self.map_builder.finish_trajectory(request["trajectory_id"])
+        # End-of-stream sentinel for subscribers (ref: map_builder_server.cc
+        # OnLocalSlamResult sends a final message with finished trajectory).
+        with self._lock:
+            for q in self._subscribers.get(request["trajectory_id"], ()):
+                q.put(None)
         return {}
 
     def _handle_add_sensor_data(self, request):
@@ -196,6 +214,34 @@ class MapBuilderServer:
         with self._lock:
             results = list(self._local_slam_results.get(request["trajectory_id"], []))
         return {"results": results}
+
+    def _handle_receive_local_slam_results(self, request, context):
+        """True server-streaming subscription (ref: map_builder_server.cc
+        SubscribeLocalSlamResults/UnsubscribeLocalSlamResults + the
+        ReceiveLocalSlamResults stream handler). Replays results that
+        arrived before the subscription, then live-streams new ones until
+        FinishTrajectory (None sentinel) or client cancellation."""
+        trajectory_id = request["trajectory_id"]
+        sub: "queue.Queue" = queue.Queue()
+        with self._lock:
+            backlog = list(self._local_slam_results.get(trajectory_id, []))
+            self._subscribers.setdefault(trajectory_id, []).append(sub)
+        try:
+            for item in backlog:
+                yield {"time": item[0], "local_pose": item[1]}
+            while context.is_active():
+                try:
+                    item = sub.get(timeout=self.SENSOR_QUEUE_POP_TIMEOUT)
+                except queue.Empty:
+                    continue
+                if item is None:
+                    return
+                yield {"time": item[0], "local_pose": item[1]}
+        finally:
+            with self._lock:
+                subs = self._subscribers.get(trajectory_id, [])
+                if sub in subs:
+                    subs.remove(sub)
 
     def _handle_write_state(self, request):
         from hectorgrapher_tpu.io.serialization import save_state

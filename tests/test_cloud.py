@@ -151,3 +151,44 @@ def test_uplink_federation(tmp_path):
     finally:
         serving.shutdown()
         uplink.shutdown()
+
+
+def test_streaming_local_slam_results(server):
+    """Server-streaming subscription delivers results live and ends on
+    FinishTrajectory (ref: client_server_test.cc
+    TestAddSensorDataRange + local SLAM subscription)."""
+    import threading
+
+    stub = MapBuilderStub(f"127.0.0.1:{server.port}")
+    tid = stub.add_trajectory_builder()
+    tb = stub.get_trajectory_builder(tid)
+
+    received = []
+    done = threading.Event()
+
+    def consume():
+        for msg in stub.receive_local_slam_results(tid):
+            received.append(msg)
+        done.set()
+
+    consumer = threading.Thread(target=consume, daemon=True)
+    consumer.start()
+
+    for i in range(6):
+        t = 0.1 * i
+        x = 0.08 * i
+        tb.add_odometry_data(t, NpRigid3(np.array([x, 0.0, 0.0]), nq.quat_identity()))
+        pts = raycast_rect_room_2d(np.array([x, 0.0]), 0.0, num_rays=720)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 1024)
+        tb.add_range_data(
+            TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+        )
+
+    server.wait_until_idle()
+    stub.finish_trajectory(tid)
+    assert done.wait(timeout=10.0), "stream did not terminate after FinishTrajectory"
+    assert len(received) >= 1
+    assert all("time" in m and "local_pose" in m for m in received)
+    times = [float(m["time"]) for m in received]
+    assert times == sorted(times)
