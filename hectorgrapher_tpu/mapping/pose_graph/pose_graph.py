@@ -179,6 +179,8 @@ class PoseGraphBase:
     def add_node(self, node: PgNode, insertion_submaps, newly_finished=()) -> int:
         """(ref: pose_graph_3d.cc AddNode:142-160 +
         ComputeConstraintsForNode:313-395, executed synchronously.)"""
+        from hectorgrapher_tpu.common import profiling
+
         local_to_global = self.local_to_global(node.trajectory_id)
         node.global_pose = local_to_global.compose(node.local_pose)
         node_index = len(self.nodes)
@@ -203,10 +205,11 @@ class PoseGraphBase:
 
         # INTER constraints: this node vs all finished submaps.
         inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
-        for si, pg_submap in enumerate(self.submaps):
-            if si in inserted or not pg_submap.finished:
-                continue
-            self._maybe_add_constraint(node_index, si)
+        with profiling.section("constraint_search"):
+            for si, pg_submap in enumerate(self.submaps):
+                if si in inserted or not pg_submap.finished:
+                    continue
+                self._maybe_add_constraint(node_index, si)
 
         # Newly finished submaps vs all old nodes.
         for submap in newly_finished:
@@ -263,7 +266,10 @@ class PoseGraphBase:
             num_iterations = self._options.max_num_final_iterations
         if not self.nodes or not self.submaps:
             return
-        self._run_optimization(num_iterations)
+        from hectorgrapher_tpu.common import profiling
+
+        with profiling.section("pose_graph_optimization"):
+            self._run_optimization(num_iterations)
         self.num_optimizations += 1
         self._num_nodes_since_last_optimization = 0
         for trimmer in self.trimmers:
