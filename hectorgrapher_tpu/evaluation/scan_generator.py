@@ -121,7 +121,7 @@ def raycast_box_room_3d(
             d = dirs_world[:, axis]
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (wall - p0[axis]) / d
-            hit = p0[None, :] + t[:, None] * dirs_world
+                hit = p0[None, :] + t[:, None] * dirs_world
             ok = t > 1e-6
             for other in range(3):
                 if other != axis:

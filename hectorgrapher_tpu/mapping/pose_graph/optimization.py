@@ -564,6 +564,10 @@ def solve_spa_3d_full(
         g = jnp.zeros((D,), jnp.float32)
         cost = 0.0
         for J, r, idx in family_blocks(params):
+            # f32 throughout: under x64 test configs, host-provided extras can
+            # leak f64 into jacfwd outputs; scatter-add requires matching dtypes.
+            J = J.astype(jnp.float32)
+            r = r.astype(jnp.float32)
             JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
             g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
             cost = cost + 0.5 * jnp.sum(r * r)
@@ -904,6 +908,10 @@ def solve_spa_2d_full(
         g = jnp.zeros((D,), jnp.float32)
         cost = 0.0
         for J, r, idx in family_blocks(params):
+            # f32 throughout: under x64 test configs, host-provided extras can
+            # leak f64 into jacfwd outputs; scatter-add requires matching dtypes.
+            J = J.astype(jnp.float32)
+            r = r.astype(jnp.float32)
             JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
             g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
             cost = cost + 0.5 * jnp.sum(r * r)
