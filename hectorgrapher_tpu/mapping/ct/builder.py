@@ -25,7 +25,7 @@ from collections import deque
 import jax.numpy as jnp
 import numpy as np
 
-from hectorgrapher_tpu.mapping.ct import imu_integration
+from hectorgrapher_tpu.mapping.ct import imu_integration, window_solver
 from hectorgrapher_tpu.mapping.ct.window_solver import (
     CtProblem,
     CtState,
@@ -462,6 +462,26 @@ class OptimizingLocalTrajectoryBuilder:
                 odom_wt[i - 1] = wt
                 odom_wr[i - 1] = wr
 
+        # DIRECT IMU cost term: raw calibrated sample buffers per pair
+        # (ref: optimizing_local_trajectory_builder.cc:942-968 proto::DIRECT).
+        direct = None
+        if self._opt.imu_cost_term == "DIRECT" and len(self._imu_times):
+            M = 16
+            d_dt = np.zeros((K - 1, M), np.float32)
+            d_gy = np.zeros((K - 1, M, 3), np.float32)
+            d_ac = np.zeros((K - 1, M, 3), np.float32)
+            for i in range(1, k):
+                d_dt[i - 1], d_gy[i - 1], d_ac[i - 1] = imu_integration.direct_imu_samples(
+                    imu_t, imu_a, imu_g, cp_times[i - 1], cp_times[i], M,
+                    self._acc_calibration, self._gyro_calibration,
+                )
+            direct = window_solver.DirectImuData(
+                dt=jnp.asarray(d_dt),
+                gyro=jnp.asarray(d_gy),
+                accel=jnp.asarray(d_ac),
+                gravity=jnp.asarray(self._gravity_constant, jnp.float32),
+            )
+
         cp_times_arr = np.zeros(K, np.float32)
         cp_times_arr[:k] = cp_times - t_ref
         problem = CtProblem(
@@ -512,6 +532,7 @@ class OptimizingLocalTrajectoryBuilder:
             is_tsdf=is_tsdf,
             num_iterations=self._opt.max_num_iterations,
             per_point=bool(self._opt.use_per_point_unwarping),
+            direct=direct,
         )
         self.num_optimizations += 1
 

@@ -157,3 +157,59 @@ def calibrate_imu_static(
         return gravity_magnitude, np.eye(3)
     scale = gravity_magnitude / norm
     return norm, np.eye(3) * scale
+
+
+def direct_imu_samples(
+    times: np.ndarray,
+    accelerations: np.ndarray,
+    angular_velocities: np.ndarray,
+    t0: float,
+    t1: float,
+    max_samples: int,
+    acc_calibration: Optional[np.ndarray] = None,
+    gyro_calibration: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static-shape sample buffers for the DIRECT IMU cost term.
+
+    (ref: prediction_direct_imu_integration_cost_functor.h — the functor
+    walks the raw sample list inside the residual. Here the walk happens
+    on device over fixed-length buffers: exact ZOH segments when they fit
+    in `max_samples`, uniform ZOH resampling otherwise. Unused slots have
+    dt == 0 and integrate to a no-op.)
+
+    Returns (dt (M,), gyro (M,3), accel (M,3)) float32, calibrated.
+    """
+    m = max_samples
+    dts = np.zeros(m, np.float32)
+    gy = np.zeros((m, 3), np.float32)
+    ac = np.zeros((m, 3), np.float32)
+    times = np.asarray(times)
+    if len(times) == 0 or t1 <= t0:
+        return dts, gy, ac
+
+    def calibrated(i):
+        a = np.asarray(accelerations[i], np.float64)
+        w = np.asarray(angular_velocities[i], np.float64)
+        if acc_calibration is not None:
+            a = acc_calibration @ a
+        if gyro_calibration is not None:
+            w = gyro_calibration @ w
+        return a, w
+
+    segs = list(_segments(times, t0, t1))
+    if len(segs) <= m:
+        for j, (dt, i) in enumerate(segs):
+            a, w = calibrated(i)
+            dts[j] = dt
+            ac[j] = a
+            gy[j] = w
+    else:
+        step = (t1 - t0) / m
+        for j in range(m):
+            ts = t0 + j * step
+            i = max(int(np.searchsorted(times, ts, side="right")) - 1, 0)
+            a, w = calibrated(i)
+            dts[j] = step
+            ac[j] = a
+            gy[j] = w
+    return dts, gy, ac

@@ -102,6 +102,38 @@ class CtWeights(NamedTuple):
     rotation_weight: jax.Array
 
 
+class DirectImuData(NamedTuple):
+    """Raw (calibrated) IMU samples per CP pair for the DIRECT cost term
+    (ref: prediction_direct_imu_integration_cost_functor.h — the functor
+    re-integrates the IMU inside the residual, so the prediction is a
+    function of the START control point's state and gets differentiated
+    through). Samples are ZOH-resampled onto M uniform sub-steps per pair
+    on the host so shapes stay static; masked pairs carry dt == 0."""
+
+    dt: jax.Array  # (K-1, M) sub-step durations, 0 where inactive
+    gyro: jax.Array  # (K-1, M, 3) calibrated angular velocity
+    accel: jax.Array  # (K-1, M, 3) calibrated linear acceleration
+    gravity: jax.Array  # () scalar, m/s^2
+
+
+def _integrate_direct(t, q, v, dts, gyro, accel, gravity):
+    """Euler/ZOH state integration through one pair's sub-steps; runs inside
+    the residual so jacfwd differentiates through it (the DIRECT term's
+    defining property)."""
+    g_vec = gravity * jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+    def step(carry, x):
+        t_, q_, v_ = carry
+        dt, w, a = x
+        q_ = quat_normalize(quat_multiply(q_, quat_from_axis_angle(w * dt)))
+        v_ = v_ + (quat_rotate(q_, a) - g_vec) * dt
+        t_ = t_ + v_ * dt
+        return (t_, q_, v_), None
+
+    (t, q, v), _ = jax.lax.scan(step, (t, q, v), (dts, gyro, accel))
+    return t, q, v
+
+
 def interpolate_pose(state: CtState, prev_idx, next_idx, factor) -> Rigid3:
     """Pose at interpolation factor between two control points, batched."""
     t0 = state.translation[prev_idx]
@@ -149,7 +181,7 @@ def per_point_brackets(problem: CtProblem, times):
 
 def make_ct_residual(
     high_grid, low_grid, problem: CtProblem, weights: CtWeights, is_tsdf: bool,
-    per_point: bool = False,
+    per_point: bool = False, direct: Optional[DirectImuData] = None,
 ):
     """Build the residual function over CtState for this window."""
 
@@ -194,7 +226,8 @@ def make_ct_residual(
         return hi_r.reshape(-1), lo_r.reshape(-1)
 
     def imu_residuals(state: CtState):
-        """(ref: prediction_imu_preintegration_cost_functor.h live code)"""
+        """(ref: prediction_imu_preintegration_cost_functor.h live code, or
+        prediction_direct_imu_integration_cost_functor.h when `direct`.)"""
         t0 = state.translation[:-1]
         t1 = state.translation[1:]
         v0 = state.velocity[:-1]
@@ -203,11 +236,19 @@ def make_ct_residual(
         q1 = state.rotation[1:]
         dt = problem.pair_dt[:, None]
 
-        translation_error = t1 - t0 - dt * v0
-        velocity_error = v1 - v0
-        # rotation_error = q1^-1 * q0 * delta_rotation, vector part
-        err_q = quat_multiply(quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation)
-        rotation_error = err_q[..., 1:]
+        if direct is not None:
+            pt, pq, pv = jax.vmap(_integrate_direct, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                t0, q0, v0, direct.dt, direct.gyro, direct.accel, direct.gravity
+            )
+            translation_error = t1 - pt
+            velocity_error = v1 - pv
+            rotation_error = quat_multiply(quat_conjugate(q1), pq)[..., 1:]
+        else:
+            translation_error = t1 - t0 - dt * v0
+            velocity_error = v1 - v0
+            # rotation_error = q1^-1 * q0 * delta_rotation, vector part
+            err_q = quat_multiply(quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation)
+            rotation_error = err_q[..., 1:]
 
         m = problem.pair_mask[:, None]
         r = jnp.concatenate(
@@ -275,7 +316,8 @@ def _retract_one(t, q, v, d9):
     )
 
 
-def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights: CtWeights, is_tsdf: bool):
+def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights: CtWeights, is_tsdf: bool,
+                           direct: Optional[DirectImuData] = None):
     """Block-structured residual/Jacobian families for the window solve.
 
     Every residual block touches exactly TWO control points, so Jacobians
@@ -338,15 +380,27 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
             def local(d18):
                 t0, q0, v0 = _retract_one(ta, qa, va, d18[:9])
                 t1, q1, v1 = _retract_one(tb, qb, vb, d18[9:])
-                # IMU (live preintegration form)
-                translation_error = t1 - t0 - dt * v0
-                velocity_error = v1 - v0
-                err_q = quat_multiply(quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation[pi])
+                if direct is not None:
+                    # DIRECT: integrate raw IMU from the START state inside
+                    # the residual (differentiated through).
+                    pt, pq, pv = _integrate_direct(
+                        t0, q0, v0, direct.dt[pi], direct.gyro[pi], direct.accel[pi], direct.gravity
+                    )
+                    translation_error = t1 - pt
+                    velocity_error = v1 - pv
+                    rot_vec = quat_multiply(quat_conjugate(q1), pq)[1:]
+                else:
+                    # IMU (live preintegration form)
+                    translation_error = t1 - t0 - dt * v0
+                    velocity_error = v1 - v0
+                    rot_vec = quat_multiply(
+                        quat_multiply(quat_conjugate(q1), q0), problem.imu_delta_rotation[pi]
+                    )[1:]
                 imu_r = jnp.concatenate(
                     [
                         weights.translation_weight * translation_error,
                         weights.velocity_weight * velocity_error,
-                        weights.rotation_weight * err_q[1:],
+                        weights.rotation_weight * rot_vec,
                     ]
                 ) * m_imu
                 # Odometry relative pose
@@ -388,6 +442,7 @@ def solve_ct_window_block(
     weights: CtWeights,
     is_tsdf: bool,
     num_iterations: int = 12,
+    direct: Optional[DirectImuData] = None,
 ):
     """Block-assembled LM solve of the window (per-scan matching mode).
 
@@ -399,7 +454,9 @@ def solve_ct_window_block(
     # Materialize the interpolation patch matrices ONCE per solve.
     prepared_hi = prepare_grid_3d(high_grid)
     prepared_lo = prepare_grid_3d(low_grid)
-    scan_block, pair_block = make_ct_block_families(prepared_hi, prepared_lo, problem, weights, is_tsdf)
+    scan_block, pair_block = make_ct_block_families(
+        prepared_hi, prepared_lo, problem, weights, is_tsdf, direct=direct
+    )
 
     per_cp_fixed = ~problem.cp_mask
     per_cp_fixed = per_cp_fixed.at[0].set(True)
@@ -450,6 +507,7 @@ def solve_ct_window(
     is_tsdf: bool,
     num_iterations: int = 12,
     per_point: bool = False,
+    direct: Optional[DirectImuData] = None,
 ):
     """Solve the window; returns (CtState, final_cost, initial_cost).
 
@@ -461,11 +519,13 @@ def solve_ct_window(
     if not per_point:
         return solve_ct_window_block(
             high_grid, low_grid, problem, state0, weights,
-            is_tsdf=is_tsdf, num_iterations=num_iterations,
+            is_tsdf=is_tsdf, num_iterations=num_iterations, direct=direct,
         )
 
     k = state0.translation.shape[0]
-    residual = make_ct_residual(high_grid, low_grid, problem, weights, is_tsdf, per_point=per_point)
+    residual = make_ct_residual(
+        high_grid, low_grid, problem, weights, is_tsdf, per_point=per_point, direct=direct
+    )
 
     # Freeze CP0 entirely and all invalid CPs (:1268-1275).
     per_cp_fixed = ~problem.cp_mask

@@ -161,3 +161,46 @@ def test_per_point_unwarping_mode():
     assert len(results) >= 4
     errs = [np.linalg.norm(r.local_pose.t - gt_pose(r.time, speed)[0]) for r in results[1:]]
     assert max(errs) < 0.15, f"max pose error {max(errs)}"
+
+
+def test_direct_imu_cost_term():
+    """imu_cost_term=DIRECT: the solver integrates raw IMU samples inside
+    the residual (ref: proto::DIRECT +
+    prediction_direct_imu_integration_cost_functor.h). Same straight-drive
+    scenario must still track the pose."""
+    options = replace_deep(
+        make_options(),
+        {"optimizing_local_trajectory_builder.imu_cost_term": "DIRECT"},
+    )
+    builder = OptimizingLocalTrajectoryBuilder(options)
+    rng = np.random.default_rng(5)
+    dt_imu, dt_odom, dt_scan = 0.01, 0.05, 0.1
+    speed = 0.2
+    t, next_odom, next_scan = 0.0, 0.0, 0.05
+    results = []
+    while t <= 2.5:
+        _, q = gt_pose(t, speed)
+        builder.add_imu_data(t, nq.quat_rotate(nq.quat_conjugate(q), GRAVITY), np.zeros(3))
+        if t >= next_odom:
+            pt, pq = gt_pose(t, speed)
+            builder.add_odometry_data(t, NpRigid3(pt + rng.normal(0, 0.002, 3), pq))
+            next_odom += dt_odom
+        if t >= next_scan:
+            pt, pq = gt_pose(t, speed)
+            pts = raycast_box_room_3d(pt, pq, num_azimuth=96, num_elevation=24)
+            valid = ~np.isnan(pts[:, 0])
+            pts = pts[valid]
+            cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), 2560)
+            res = builder.add_range_data(
+                TimedPointCloudData(
+                    time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud, width=96
+                )
+            )
+            if res is not None:
+                results.append(res)
+            next_scan += dt_scan
+        t = round(t + dt_imu, 6)
+    assert len(results) >= 4
+    assert builder.num_optimizations > 0
+    errs = [np.linalg.norm(r.local_pose.t - gt_pose(r.time, speed)[0]) for r in results[1:]]
+    assert max(errs) < 0.15, f"max pose error {max(errs)}"
