@@ -95,3 +95,23 @@ def test_compute_relations_metrics_cli(tmp_path, capsys):
     assert "Abs translational error" in out
     mean = float(out.split()[3])
     assert mean < 0.1
+
+
+def test_scan_matching_evaluation_cli(capsys):
+    """(ref: evaluation/scan_matching_evaluation.cc — perturb/recover
+    trials with error statistics.)"""
+    from hectorgrapher_tpu.tools.cli import main
+
+    assert main(["scan-matching-evaluation", "--num_trials", "3", "--seed", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "rmse" in out.lower() or "error" in out.lower()
+
+
+def test_mapping_evaluation_cli_2d(capsys):
+    """(ref: evaluation/mapping_evaluation.cc — end-to-end synthetic SLAM
+    with ATE/relation metrics.) Short 2D run to keep CI time bounded."""
+    from hectorgrapher_tpu.tools.cli import main
+
+    assert main(["mapping-evaluation", "--duration", "1.2", "--noise", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "ate_rmse" in out or "ATE" in out
