@@ -397,17 +397,56 @@ def insert_tsdf_3d_triangles(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_pca_normals(points, valid, origin, k: int = 16, radius: float = 0.4):
+    """k-NN PCA surface normals: the TPU-native equivalent of the
+    reference's PCL/OPEN3D backends (ref: tsdf_range_data_inserter_3d.cc
+    :405-489 — Open3D EstimateNormals with KDTreeSearchParamHybrid(radius,
+    max_nn): per-point covariance over hybrid radius/k-NN neighborhoods,
+    normal = smallest-eigenvalue eigenvector, oriented toward the sensor).
+
+    KD-trees are pointer-chasing and TPU-hostile; for padded clouds
+    (P <= a few thousand) the dense (P, P) distance matrix + lax.top_k is
+    one fused MXU-friendly program.
+
+    points: (P, 3), valid: (P,), origin: (3,).
+    Returns (normals (P, 3), ok (P,)) — ok requires >= 3 in-radius
+    neighbors (a degenerate neighborhood has no defined normal).
+    """
+    p = points.shape[0]
+    big = jnp.asarray(1e30, points.dtype)
+    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid[None, :] & valid[:, None], d2, big)
+    neg, idx = jax.lax.top_k(-d2, min(k, p))  # (P, k) nearest incl. self
+    nbr = points[idx]  # (P, k, 3)
+    w = ((-neg) <= radius * radius) & valid[idx] & valid[:, None]
+    n = jnp.maximum(jnp.sum(w, axis=-1), 1).astype(points.dtype)[:, None]
+    mean = jnp.sum(jnp.where(w[..., None], nbr, 0.0), axis=1) / n
+    centered = jnp.where(w[..., None], nbr - mean[:, None, :], 0.0)
+    cov = jnp.einsum("pki,pkj->pij", centered, centered) / n[..., None]
+    _, eigvecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    normal = eigvecs[..., 0]  # (P, 3) smallest-eigenvalue direction
+    to_sensor = origin[None, :] - points
+    flip = jnp.sum(normal * to_sensor, axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    ok = valid & (jnp.sum(w, axis=-1) >= 3)
+    return normal, ok
+
+
 def make_tsdf_inserter_3d(options, resolution: float):
     """Bind TSDFRangeDataInserterOptions3D into an insert fn.
 
     options.normal_computation_method selects the normal backend:
     CLOUD_STRUCTURE uses organized-cloud neighbors (the config default,
-    ref trajectory_builder_3d.lua:89); anything else falls back to
-    ray-directed updates (InsertHit path).
+    ref trajectory_builder_3d.lua:89); KNN_PCA is the unorganized-cloud
+    backend (PCL/OPEN3D in the reference, ref :405-489) via dense k-NN
+    PCA; anything else falls back to ray-directed updates (InsertHit
+    path).
     """
     td = options.relative_truncation_distance * resolution
     num_band_samples = max(4, int(2.0 * options.relative_truncation_distance / 0.5) + 1)
     use_normals = options.normal_computation_method == "CLOUD_STRUCTURE"
+    use_knn = options.normal_computation_method in ("KNN_PCA", "PCL", "OPEN3D")
     use_triangles = options.normal_computation_method == "TRIANGLE_FILL_IN"
     num_layers = 2 * int(round(options.relative_truncation_distance)) + 1
 
@@ -434,6 +473,18 @@ def make_tsdf_inserter_3d(options, resolution: float):
                 vertical_stride=int(options.normal_computation_vertical_stride),
                 horizontal_stride=int(options.normal_computation_horizontal_stride),
                 resolution=resolution,
+            )
+            return insert_tsdf_3d(
+                grid, hits, valid & n_ok, range_data.origin, normals,
+                num_band_samples=num_band_samples, use_normals=True,
+                weight_epsilon=options.weight_function_epsilon,
+                weight_sigma=options.weight_function_sigma,
+            )
+        if use_knn:
+            normals, n_ok = knn_pca_normals(
+                hits, valid, range_data.origin,
+                k=int(options.normal_estimate_max_nn),
+                radius=float(options.normal_estimate_radius),
             )
             return insert_tsdf_3d(
                 grid, hits, valid & n_ok, range_data.origin, normals,

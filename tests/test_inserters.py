@@ -275,3 +275,75 @@ class TestF16Storage:
         t32, w32 = tsd_at_3d_weighted(g32, q)
         assert t16.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=5e-3)
+
+
+class TestKnnPcaNormals:
+    """TPU-native PCL/OPEN3D normal backend
+    (ref: tsdf_range_data_inserter_3d.cc:405-489)."""
+
+    def test_plane_normals(self):
+        from hectorgrapher_tpu.mapping.inserters_3d import knn_pca_normals
+
+        rng = np.random.default_rng(0)
+        P = 256
+        pts = np.zeros((P, 3), np.float32)
+        pts[:, 0] = rng.uniform(-1, 1, P)
+        pts[:, 1] = rng.uniform(-1, 1, P)
+        pts[:, 2] = 1.0  # z=1 plane; sensor at origin below it
+        valid = np.ones(P, bool)
+        normals, ok = knn_pca_normals(
+            jnp.asarray(pts), jnp.asarray(valid), jnp.zeros(3, jnp.float32), k=16, radius=0.5
+        )
+        normals = np.asarray(normals)
+        assert bool(np.all(np.asarray(ok)))
+        # normal is -z (toward the sensor at the origin)
+        np.testing.assert_allclose(normals[:, 2], -1.0, atol=1e-3)
+
+    def test_padding_and_degenerate(self):
+        from hectorgrapher_tpu.mapping.inserters_3d import knn_pca_normals
+
+        P = 64
+        pts = np.zeros((P, 3), np.float32)
+        pts[0] = [1, 0, 0]
+        pts[1] = [1.01, 0, 0]
+        valid = np.zeros(P, bool)
+        valid[:2] = True  # only 2 valid points: no defined normal
+        normals, ok = knn_pca_normals(
+            jnp.asarray(pts), jnp.asarray(valid), jnp.zeros(3, jnp.float32), k=8, radius=0.5
+        )
+        assert not bool(np.asarray(ok)[0])
+        assert not bool(np.asarray(ok)[5])
+
+    def test_inserter_with_knn_backend(self):
+        from hectorgrapher_tpu.common.config import TSDFRangeDataInserterOptions3D
+        from hectorgrapher_tpu.mapping.grids import make_tsdf_grid
+        from hectorgrapher_tpu.mapping.inserters_3d import make_tsdf_inserter_3d
+        from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+
+        res = 0.05
+        opts = TSDFRangeDataInserterOptions3D(normal_computation_method="KNN_PCA")
+        grid = make_tsdf_grid(res, (64, 64, 64), truncation_distance=opts.relative_truncation_distance * res, max_weight=1000.0)
+        insert = make_tsdf_inserter_3d(opts, res)
+        # wall at x=1, points spread in y/z
+        ys, zs = np.meshgrid(np.linspace(-0.4, 0.4, 16), np.linspace(-0.4, 0.4, 16))
+        pts = np.stack([np.full(ys.size, 1.0), ys.ravel(), zs.ravel()], axis=-1).astype(np.float32)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts, 512),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+        )
+        out = insert(grid, rd)
+        assert float(jnp.sum(out.weight)) > 0.0
+        # cells just behind the wall carry positive weight with negative tsd;
+        # in front, positive tsd (sensor side)
+        ci = np.asarray(out.meta.min_corner)
+        ix_front = int(round((0.9 - ci[0]) / res))
+        ix_back = int(round((1.08 - ci[0]) / res))
+        iy = int(round((0.0 - ci[1]) / res))
+        iz = int(round((0.0 - ci[2]) / res))
+        tsd = np.asarray(out.tsd)
+        w = np.asarray(out.weight)
+        assert w[ix_front, iy, iz] > 0
+        assert tsd[ix_front, iy, iz] > 0
+        if w[ix_back, iy, iz] > 0:
+            assert tsd[ix_back, iy, iz] < 0
