@@ -31,6 +31,46 @@ def _cubic_weights(t):
     return jnp.stack([w0, w1, w2, w3], axis=-1)
 
 
+def _cubic_weights_and_derivs(t):
+    """Catmull-Rom weights and their d/dt, for analytic Jacobians."""
+    t2 = t * t
+    t3 = t2 * t
+    w = jnp.stack(
+        [
+            0.5 * (-t3 + 2 * t2 - t),
+            0.5 * (3 * t3 - 5 * t2 + 2),
+            0.5 * (-3 * t3 + 4 * t2 + t),
+            0.5 * (t3 - t2),
+        ],
+        axis=-1,
+    )
+    dw = jnp.stack(
+        [
+            0.5 * (-3 * t2 + 4 * t - 1),
+            0.5 * (9 * t2 - 10 * t),
+            0.5 * (-9 * t2 + 8 * t + 1),
+            0.5 * (3 * t2 - 2 * t),
+        ],
+        axis=-1,
+    )
+    return w, dw
+
+
+def gather_rows_2d(field: "PreparedField2D", points):
+    """One contiguous 16-tap row gather per point at world xy positions.
+
+    Returns (N, 16) f32 rows; out-of-grid bases hit the pad row. Split out
+    from interp_prepared_2d so solvers can carry the rows across LM
+    iterations (the base cell — hence the rows — only changes when the
+    pose moves, so one gather per accepted trial suffices)."""
+    nx, ny = field.dims[0], field.dims[1]
+    u = (points - field.meta.min_corner) / field.meta.resolution - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    ok = (i0[..., 0] >= 0) & (i0[..., 0] < nx) & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+    flat = jnp.where(ok, i0[..., 0] * ny + i0[..., 1], nx * ny)
+    return field.patches[flat].astype(jnp.float32)
+
+
 def _patch_matrix_2d(values, pad_value, taps):
     """(nx*ny + 1, T) matrix of shifted copies: row c holds values at
     c + tap for each tap, border/overflow reads = pad_value; the appended
