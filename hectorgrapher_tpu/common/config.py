@@ -425,6 +425,12 @@ class PoseGraphOptions:
     """(ref: configuration_files/pose_graph.lua)"""
 
     optimize_every_n_nodes: int = 90
+    # TPU design choice: the reference's back-end always runs on an async
+    # work queue (pose_graph_3d.cc AddWorkItem:162-177/DrainWorkQueue:
+    # 512-535). Here the same decisions run synchronously by default
+    # (deterministic, test-friendly); async_work_queue=True restores the
+    # reference's non-blocking front-end with a background worker thread.
+    async_work_queue: bool = False
     constraint_builder: ConstraintBuilderOptions = _mkdefault(ConstraintBuilderOptions)
     matcher_translation_weight: float = 5e2
     matcher_rotation_weight: float = 1.6e3

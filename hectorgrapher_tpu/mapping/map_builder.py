@@ -142,6 +142,9 @@ class MapBuilder:
         return self._trajectory_builders[trajectory_id]
 
     def finish_trajectory(self, trajectory_id: int) -> None:
+        """(ref: map_builder.cc FinishTrajectory — the reference waits for
+        the work queue before final state operations.)"""
+        self.pose_graph.wait_for_all_computations()
         self.pose_graph.finish_trajectory(trajectory_id)
 
     def num_trajectory_builders(self) -> int:

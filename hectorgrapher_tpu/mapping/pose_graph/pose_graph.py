@@ -15,6 +15,8 @@ gates, trajectory lifecycle) lives on the host.
 from __future__ import annotations
 
 import math
+import queue as queue_mod
+import threading
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Dict, List, Optional, Tuple
@@ -124,6 +126,24 @@ class PoseGraphBase:
         self.trimmers: List[object] = []
         self.num_optimizations = 0
 
+        # Async work queue (ref: pose_graph_3d.cc AddWorkItem:162-177,
+        # DrainWorkQueue:512-535): AddNode returns after enqueueing; the
+        # constraint searches + periodic optimization run on a background
+        # thread. _lock guards the host bookkeeping; _opt_lock serializes
+        # optimizations (the jitted solve itself runs without _lock so the
+        # front-end keeps streaming — the reference's exact structure).
+        self._lock = threading.RLock()
+        self._opt_lock = threading.Lock()
+        self._async = bool(getattr(options, "async_work_queue", False))
+        self._work_queue: Optional[queue_mod.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        if self._async:
+            self._work_queue = queue_mod.Queue()
+            self._worker = threading.Thread(
+                target=self._drain_work_queue, name="pose-graph-work-queue", daemon=True
+            )
+            self._worker.start()
+
     # -- submap bookkeeping -------------------------------------------------
 
     def _get_or_add_submap(self, submap, trajectory_id: int) -> int:
@@ -143,16 +163,23 @@ class PoseGraphBase:
         idx = self._submap_ids[key]
         if getattr(submap, "insertion_finished", False) and not self.submaps[idx].finished:
             self.submaps[idx].finished = True
-            self._on_submap_finished(idx)
+            if self._async:
+                # Matcher/pyramid construction happens off the front-end
+                # thread (ref: DispatchScanMatcherConstruction as a
+                # dependency task, constraint_builder_3d.cc:162-189).
+                self._work_queue.put(("finish_submap", idx))
+            else:
+                self._on_submap_finished(idx)
         return idx
 
     def local_to_global(self, trajectory_id: int = 0) -> NpRigid3:
         """Correction mapping local SLAM frame -> global frame
         (ref: pose_graph GetLocalToGlobalTransform)."""
-        for node in reversed(self.nodes):
-            if node.trajectory_id == trajectory_id:
-                return node.global_pose.compose(node.local_pose.inverse())
-        return NpRigid3.identity()
+        with self._lock:
+            for node in reversed(self.nodes):
+                if node.trajectory_id == trajectory_id:
+                    return node.global_pose.compose(node.local_pose.inverse())
+            return NpRigid3.identity()
 
     def freeze_trajectory(self, trajectory_id: int) -> None:
         self._trajectory_states[trajectory_id] = TrajectoryState.FROZEN
@@ -177,88 +204,137 @@ class PoseGraphBase:
     # -- main entry ---------------------------------------------------------
 
     def add_node(self, node: PgNode, insertion_submaps, newly_finished=()) -> int:
-        """(ref: pose_graph_3d.cc AddNode:142-160 +
-        ComputeConstraintsForNode:313-395, executed synchronously.)"""
+        """(ref: pose_graph_3d.cc AddNode:142-160 — bookkeeping under the
+        mutex — then ComputeConstraintsForNode:313-395, executed inline in
+        sync mode or as a work item on the background thread in async
+        mode.)"""
+        with self._lock:
+            local_to_global = self.local_to_global(node.trajectory_id)
+            node.global_pose = local_to_global.compose(node.local_pose)
+            node_index = len(self.nodes)
+            self.nodes.append(node)
+
+            # INTRA constraints against the submaps the node was inserted into.
+            self.connectivity.add(node.trajectory_id)
+            for submap in insertion_submaps:
+                si = self._get_or_add_submap(submap, node.trajectory_id)
+                zbar = submap.local_pose.inverse().compose(node.local_pose)
+                self.constraints.append(
+                    Constraint(
+                        submap_index=si,
+                        node_index=node_index,
+                        zbar=zbar,
+                        translation_weight=self._options.matcher_translation_weight,
+                        rotation_weight=self._options.matcher_rotation_weight,
+                        tag="INTRA",
+                    )
+                )
+                self.connectivity.connect(node.trajectory_id, self.submaps[si].trajectory_id, node.time)
+
+            inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
+            finished_idx = [
+                self._submap_ids[id(s)] for s in newly_finished if id(s) in self._submap_ids
+            ]
+
+        if self._async:
+            self._work_queue.put(("node", node_index, inserted, finished_idx))
+            return node_index
+        self._compute_constraints_for_node(node_index, inserted, finished_idx)
+        return node_index
+
+    def _compute_constraints_for_node(self, node_index, inserted, finished_idx) -> None:
+        """INTER searches + optimization cadence — the body of the
+        reference's ComputeConstraintsForNode work item."""
         from hectorgrapher_tpu.common import profiling
 
-        local_to_global = self.local_to_global(node.trajectory_id)
-        node.global_pose = local_to_global.compose(node.local_pose)
-        node_index = len(self.nodes)
-        self.nodes.append(node)
-
-        # INTRA constraints against the submaps the node was inserted into.
-        self.connectivity.add(node.trajectory_id)
-        for submap in insertion_submaps:
-            si = self._get_or_add_submap(submap, node.trajectory_id)
-            zbar = submap.local_pose.inverse().compose(node.local_pose)
-            self.constraints.append(
-                Constraint(
-                    submap_index=si,
-                    node_index=node_index,
-                    zbar=zbar,
-                    translation_weight=self._options.matcher_translation_weight,
-                    rotation_weight=self._options.matcher_rotation_weight,
-                    tag="INTRA",
-                )
-            )
-            self.connectivity.connect(node.trajectory_id, self.submaps[si].trajectory_id, node.time)
-
         # INTER constraints: this node vs all finished submaps.
-        inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
         with profiling.section("constraint_search"):
-            for si, pg_submap in enumerate(self.submaps):
-                if si in inserted or not pg_submap.finished:
-                    continue
-                self._maybe_add_constraint(node_index, si)
+            with self._lock:
+                num_submaps = len(self.submaps)
+            for si in range(num_submaps):
+                with self._lock:
+                    skip = si in inserted or not self.submaps[si].finished
+                if not skip:
+                    self._maybe_add_constraint(node_index, si)
 
         # Newly finished submaps vs all old nodes.
-        for submap in newly_finished:
-            key = id(submap)
-            if key not in self._submap_ids:
-                continue
-            si = self._submap_ids[key]
-            for ni in range(len(self.nodes) - 1):
-                node_submaps = {
-                    c.submap_index for c in self.constraints if c.node_index == ni and c.tag == "INTRA"
-                }
+        for si in finished_idx:
+            with self._lock:
+                node_submap_pairs = [
+                    (ni, {c.submap_index for c in self.constraints
+                          if c.node_index == ni and c.tag == "INTRA"})
+                    for ni in range(node_index)
+                ]
+            for ni, node_submaps in node_submap_pairs:
                 if si not in node_submaps:
                     self._maybe_add_constraint(ni, si)
 
         self._num_nodes_since_last_optimization += 1
         if self._num_nodes_since_last_optimization >= self._options.optimize_every_n_nodes > 0:
             self.run_final_optimization(self._options.optimization_problem.ceres_solver_options.max_num_iterations)
-        return node_index
+
+    # -- async work queue ----------------------------------------------------
+
+    def _drain_work_queue(self) -> None:
+        """(ref: pose_graph_3d.cc DrainWorkQueue:512-535.)"""
+        while True:
+            item = self._work_queue.get()
+            try:
+                if item is None:
+                    return
+                kind = item[0]
+                if kind == "node":
+                    _, node_index, inserted, finished_idx = item
+                    self._compute_constraints_for_node(node_index, inserted, finished_idx)
+                elif kind == "finish_submap":
+                    self._on_submap_finished(item[1])
+            except Exception:  # noqa: BLE001 — a dead worker deadlocks join()
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                self._work_queue.task_done()
+
+    def wait_for_all_computations(self) -> None:
+        """Block until the work queue is drained
+        (ref: pose_graph WaitForAllComputations:537+)."""
+        if self._async:
+            self._work_queue.join()
 
     def _maybe_add_constraint(self, node_index: int, submap_index: int) -> None:
         """Local-vs-global decision + distance/sampling gates
         (ref: pose_graph ComputeConstraint :248-311 — recently-connected
         trajectories search a local window; otherwise the global
         localization sampler gates a full-submap search)."""
-        node = self.nodes[node_index]
-        pg_submap = self.submaps[submap_index]
-        last = self.connectivity.last_connection_time(node.trajectory_id, pg_submap.trajectory_id)
-        recently_connected = (
-            node.trajectory_id == pg_submap.trajectory_id
-            or (
-                last is not None
-                and node.time - last < self._options.global_constraint_search_after_n_seconds
+        with self._lock:
+            node = self.nodes[node_index]
+            pg_submap = self.submaps[submap_index]
+            last = self.connectivity.last_connection_time(node.trajectory_id, pg_submap.trajectory_id)
+            recently_connected = (
+                node.trajectory_id == pg_submap.trajectory_id
+                or (
+                    last is not None
+                    and node.time - last < self._options.global_constraint_search_after_n_seconds
+                )
+                or not self._options.use_global_constraint_search
             )
-            or not self._options.use_global_constraint_search
-        )
-        if recently_connected:
-            d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
-            if d > self._options.constraint_builder.max_constraint_distance:
-                return
-            if not self._sampler.pulse():
-                return
-            constraint = self._compute_constraint(node_index, submap_index, global_search=False)
-        else:
-            if not self._global_sampler.pulse():
-                return
-            constraint = self._compute_constraint(node_index, submap_index, global_search=True)
+            if recently_connected:
+                d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
+                if d > self._options.constraint_builder.max_constraint_distance:
+                    return
+                if not self._sampler.pulse():
+                    return
+                global_search = False
+            else:
+                if not self._global_sampler.pulse():
+                    return
+                global_search = True
+        # The matcher launch runs without the lock (device work).
+        constraint = self._compute_constraint(node_index, submap_index, global_search=global_search)
         if constraint is not None:
-            self.constraints.append(constraint)
-            self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
+            with self._lock:
+                self.constraints.append(constraint)
+                self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
 
     def run_final_optimization(self, num_iterations: Optional[int] = None) -> None:
         """(ref: RunFinalOptimization — used both periodically and at end)"""
@@ -268,14 +344,41 @@ class PoseGraphBase:
             return
         from hectorgrapher_tpu.common import profiling
 
-        with profiling.section("pose_graph_optimization"):
+        with self._opt_lock, profiling.section("pose_graph_optimization"):
             self._run_optimization(num_iterations)
-        self.num_optimizations += 1
-        self._num_nodes_since_last_optimization = 0
-        for trimmer in self.trimmers:
-            trimmer.trim(self)
+            self.num_optimizations += 1
+            self._num_nodes_since_last_optimization = 0
+            with self._lock:
+                for trimmer in self.trimmers:
+                    trimmer.trim(self)
 
     # -- shared SPA writeback helpers ---------------------------------------
+
+    def _snapshot_lists(self):
+        """Consistent snapshot of the optimization inputs (ref: the
+        reference solves on data captured under the mutex while AddNode
+        keeps appending, pose_graph_3d.cc HandleWorkQueue:436-510)."""
+        with self._lock:
+            return list(self.nodes), list(self.submaps), list(self.constraints)
+
+    def _correct_post_snapshot(self, snap_nodes, snap_submaps) -> None:
+        """Re-anchor nodes/submaps appended while the solve ran: their
+        global pose was computed with the pre-optimization local-to-global;
+        recompute it from the last *optimized* node of their trajectory
+        (ref: HandleWorkQueue's extrapolation of new nodes). Caller holds
+        _lock."""
+        l2g: Dict[int, NpRigid3] = {}
+        for node in reversed(snap_nodes):
+            if node.trajectory_id not in l2g:
+                l2g[node.trajectory_id] = node.global_pose.compose(node.local_pose.inverse())
+        for node in self.nodes[len(snap_nodes):]:
+            corr = l2g.get(node.trajectory_id)
+            if corr is not None:
+                node.global_pose = corr.compose(node.local_pose)
+        for sub in self.submaps[len(snap_submaps):]:
+            corr = l2g.get(sub.trajectory_id)
+            if corr is not None:
+                sub.global_pose = corr.compose(sub.submap.local_pose)
 
     @staticmethod
     def _pad_to(n: int) -> int:
@@ -345,21 +448,22 @@ class PoseGraph2D(PoseGraphBase):
         f = (time - t0) / max(t1 - t0, 1e-9)
         return NpRigid3(p0.t + f * (p1.t - p0.t), nq.quat_slerp(p0.q, p1.q, f))
 
-    def _build_extras(self, N_cap: int):
+    def _build_extras(self, N_cap: int, nodes=None):
         """Build SpaExtras2D from buffered sensors, or None if empty."""
         from hectorgrapher_tpu.mapping.pose_graph.optimization import empty_extras_2d
 
+        nodes = self.nodes if nodes is None else nodes
         opt = self._options.optimization_problem
         nn = []
         by_traj: Dict[int, List[int]] = {}
-        for i, n in enumerate(self.nodes):
+        for i, n in enumerate(nodes):
             by_traj.setdefault(n.trajectory_id, []).append(i)
         for tid, idxs in by_traj.items():
             odom = self._odometry.get(tid, [])
             if not odom:
                 continue  # 2D: consecutive-node residuals only with odometry
             for a, b in zip(idxs[:-1], idxs[1:]):
-                na, nb = self.nodes[a], self.nodes[b]
+                na, nb = nodes[a], nodes[b]
                 oa = self._lookup_buffer(odom, na.time)
                 ob = self._lookup_buffer(odom, nb.time)
                 if oa is None or ob is None:
@@ -392,7 +496,7 @@ class PoseGraph2D(PoseGraphBase):
         if has_ff:
             ff_mask = np.zeros(N_cap, bool); ff_p = np.zeros((N_cap, 3), np.float32)
             ff_w = np.zeros(N_cap, np.float32)
-            for i, n in enumerate(self.nodes):
+            for i, n in enumerate(nodes):
                 pose = self._lookup_buffer(self._fixed_frame.get(n.trajectory_id, []), n.time)
                 if pose is not None:
                     ff_mask[i] = True
@@ -406,14 +510,14 @@ class PoseGraph2D(PoseGraphBase):
             lm_node = np.zeros(O, np.int32); lm_index = np.zeros(O, np.int32)
             lm_mask = np.zeros(O, bool); lm_rel = np.zeros((O, 3), np.float32)
             lm_wt = np.zeros(O, np.float32); lm_wr = np.zeros(O, np.float32)
-            node_times = [n.time for n in self.nodes]
+            node_times = [n.time for n in nodes]
             lm_init: Dict[int, np.ndarray] = {}
             count = 0
             for obs in self._landmark_observations:
                 if count >= O:
                     break
                 j = int(np.searchsorted(node_times, obs["time"]))
-                j = min(max(j - 1, 0), len(self.nodes) - 1)
+                j = min(max(j - 1, 0), len(nodes) - 1)
                 lm_node[count] = j
                 lm_index[count] = obs["landmark_index"]
                 lm_mask[count] = True
@@ -422,7 +526,7 @@ class PoseGraph2D(PoseGraphBase):
                 lm_wr[count] = obs["rotation_weight"]
                 if obs["landmark_index"] not in lm_init:
                     lm_init[obs["landmark_index"]] = _pose2_of(
-                        self.nodes[j].global_pose.compose(obs["transform"])
+                        nodes[j].global_pose.compose(obs["transform"])
                     )
                 count += 1
             L_p = np.zeros((L, 3), np.float32); L_m = np.zeros(L, bool)
@@ -512,18 +616,19 @@ class PoseGraph2D(PoseGraphBase):
 
     def _run_optimization(self, num_iterations: int) -> None:
         """(ref: optimization_problem_2d.cc Solve)"""
-        S = self._pad_to(len(self.submaps))
-        N = self._pad_to(len(self.nodes))
-        C = self._pad_to(max(len(self.constraints), 1))
+        nodes, submaps, constraints = self._snapshot_lists()
+        S = self._pad_to(len(submaps))
+        N = self._pad_to(len(nodes))
+        C = self._pad_to(max(len(constraints), 1))
 
         submap_pose = np.zeros((S, 3), np.float32)
         node_pose = np.zeros((N, 3), np.float32)
         submap_fixed = np.ones(S, bool)
         node_fixed = np.ones(N, bool)
-        for i, s in enumerate(self.submaps):
+        for i, s in enumerate(submaps):
             submap_pose[i] = _pose2_of(s.global_pose)
             submap_fixed[i] = i == 0 or self.is_frozen(s.trajectory_id)
-        for i, n in enumerate(self.nodes):
+        for i, n in enumerate(nodes):
             node_pose[i] = _pose2_of(n.global_pose)
             node_fixed[i] = self.is_frozen(n.trajectory_id)
 
@@ -535,7 +640,7 @@ class PoseGraph2D(PoseGraphBase):
         cwr = np.zeros(C, np.float32)
         chub = np.full(C, 1e6, np.float32)
         huber = self._options.optimization_problem.huber_scale
-        for i, c in enumerate(self.constraints):
+        for i, c in enumerate(constraints):
             cs[i] = c.submap_index
             cn[i] = c.node_index
             cm[i] = True
@@ -558,7 +663,7 @@ class PoseGraph2D(PoseGraphBase):
             c_rotation_weight=jnp.asarray(cwr),
             c_huber_scale=jnp.asarray(chub),
         )
-        extras = self._build_extras(N)
+        extras = self._build_extras(N, nodes)
         if extras is not None:
             from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_2d_full
 
@@ -573,10 +678,12 @@ class PoseGraph2D(PoseGraphBase):
             sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
         sub_out = np.asarray(sub_out)
         node_out = np.asarray(node_out)
-        for i, s in enumerate(self.submaps):
-            s.global_pose = _rigid_of_pose2(sub_out[i])
-        for i, n in enumerate(self.nodes):
-            n.global_pose = _rigid_of_pose2(node_out[i])
+        with self._lock:
+            for i, s in enumerate(submaps):
+                s.global_pose = _rigid_of_pose2(sub_out[i])
+            for i, n in enumerate(nodes):
+                n.global_pose = _rigid_of_pose2(node_out[i])
+            self._correct_post_snapshot(nodes, submaps)
 
 
 class PoseGraph3D(PoseGraphBase):
@@ -648,23 +755,25 @@ class PoseGraph3D(PoseGraphBase):
         f = (time - t0) / max(t1 - t0, 1e-9)
         return NpRigid3(p0.t + f * (p1.t - p0.t), nq.quat_slerp(p0.q, p1.q, f))
 
-    def _build_extras(self, N_cap: int):
+    def _build_extras(self, N_cap: int, nodes=None):
         """Build SpaExtras3D from buffered sensors, or None if empty."""
         from hectorgrapher_tpu.mapping.pose_graph.optimization import empty_extras_3d
 
         import jax.numpy as jnp2
+
+        nodes = self.nodes if nodes is None else nodes
 
         opt = self._options.optimization_problem
         nn = []
         # Odometry / consecutive-node residuals between successive nodes of
         # each trajectory (ref: optimization_problem_3d.cc :450-503).
         by_traj: Dict[int, List[int]] = {}
-        for i, n in enumerate(self.nodes):
+        for i, n in enumerate(nodes):
             by_traj.setdefault(n.trajectory_id, []).append(i)
         for tid, idxs in by_traj.items():
             odom = self._odometry.get(tid, [])
             for a, b in zip(idxs[:-1], idxs[1:]):
-                na, nb = self.nodes[a], self.nodes[b]
+                na, nb = nodes[a], nodes[b]
                 oa = self._lookup_buffer(odom, na.time)
                 ob = self._lookup_buffer(odom, nb.time)
                 if oa is not None and ob is not None:
@@ -708,14 +817,14 @@ class PoseGraph3D(PoseGraphBase):
                 imu_g = np.asarray([x[2] for x in imu])
                 for j in range(len(idxs) - 1):
                     a, b = idxs[j], idxs[j + 1]
-                    ta, tb = self.nodes[a].time, self.nodes[b].time
+                    ta, tb = nodes[a].time, nodes[b].time
                     if tb <= ta:
                         continue
                     dq, _, _ = imu_integration.integrate_imu(imu_t, imu_a, imu_g, ta, tb)
                     ir.append((a, b, slot, dq, opt.rotation_weight))
                     if opt.acceleration_weight > 0 and j + 2 < len(idxs):
                         c = idxs[j + 2]
-                        tc = self.nodes[c].time
+                        tc = nodes[c].time
                         if tc <= tb:
                             continue
                         dt1 = tb - ta
@@ -811,7 +920,7 @@ class PoseGraph3D(PoseGraphBase):
             ff_mask = np.zeros(N_cap, bool)
             ff_t = np.zeros((N_cap, 3), np.float32)
             ff_w = np.zeros(N_cap, np.float32)
-            for i, n in enumerate(self.nodes):
+            for i, n in enumerate(nodes):
                 pose = self._lookup_buffer(self._fixed_frame.get(n.trajectory_id, []), n.time)
                 if pose is not None:
                     ff_mask[i] = True
@@ -831,12 +940,12 @@ class PoseGraph3D(PoseGraphBase):
             lm_rq = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
             lm_wt = np.zeros(O, np.float32)
             lm_wr = np.zeros(O, np.float32)
-            node_times = [n.time for n in self.nodes]
+            node_times = [n.time for n in nodes]
             count = 0
             lm_init: Dict[int, NpRigid3] = {}
             for obs in self._landmark_observations:
                 j = int(np.searchsorted(node_times, obs["time"]))
-                j = min(max(j - 1, 0), len(self.nodes) - 1)
+                j = min(max(j - 1, 0), len(nodes) - 1)
                 if count >= O:
                     break
                 lm_node[count] = j
@@ -847,7 +956,7 @@ class PoseGraph3D(PoseGraphBase):
                 lm_wt[count] = obs["translation_weight"]
                 lm_wr[count] = obs["rotation_weight"]
                 if obs["landmark_index"] not in lm_init:
-                    lm_init[obs["landmark_index"]] = self.nodes[j].global_pose.compose(obs["transform"])
+                    lm_init[obs["landmark_index"]] = nodes[j].global_pose.compose(obs["transform"])
                 count += 1
             lm_t = np.zeros((L, 3), np.float32)
             lm_q = np.tile(np.array([1, 0, 0, 0], np.float32), (L, 1))
@@ -946,12 +1055,11 @@ class PoseGraph3D(PoseGraphBase):
         )
 
     def _run_optimization(self, num_iterations: int) -> None:
-        """(ref: optimization_problem_3d.cc Solve:257-530; round-1 scope:
-        SPA constraints; IMU/odometry/fixed-frame residuals land with the
-        full back-end in a later round.)"""
-        S = self._pad_to(len(self.submaps))
-        N = self._pad_to(len(self.nodes))
-        C = self._pad_to(max(len(self.constraints), 1))
+        """(ref: optimization_problem_3d.cc Solve:257-530.)"""
+        nodes, submaps, constraints = self._snapshot_lists()
+        S = self._pad_to(len(submaps))
+        N = self._pad_to(len(nodes))
+        C = self._pad_to(max(len(constraints), 1))
 
         st = np.zeros((S, 3), np.float32)
         sq = np.tile(np.array([1, 0, 0, 0], np.float32), (S, 1))
@@ -959,11 +1067,11 @@ class PoseGraph3D(PoseGraphBase):
         nqr = np.tile(np.array([1, 0, 0, 0], np.float32), (N, 1))
         s_fixed = np.ones(S, bool)
         n_fixed = np.ones(N, bool)
-        for i, s in enumerate(self.submaps):
+        for i, s in enumerate(submaps):
             st[i] = s.global_pose.t
             sq[i] = s.global_pose.q
             s_fixed[i] = i == 0 or self.is_frozen(s.trajectory_id)
-        for i, n in enumerate(self.nodes):
+        for i, n in enumerate(nodes):
             nt[i] = n.global_pose.t
             nqr[i] = n.global_pose.q
             n_fixed[i] = self.is_frozen(n.trajectory_id)
@@ -977,7 +1085,7 @@ class PoseGraph3D(PoseGraphBase):
         cwr = np.zeros(C, np.float32)
         chub = np.full(C, 1e6, np.float32)
         huber = self._options.optimization_problem.huber_scale
-        for i, c in enumerate(self.constraints):
+        for i, c in enumerate(constraints):
             cs[i] = c.submap_index
             cn[i] = c.node_index
             cmask[i] = True
@@ -1004,7 +1112,7 @@ class PoseGraph3D(PoseGraphBase):
             c_rotation_weight=jnp.asarray(cwr),
             c_huber_scale=jnp.asarray(chub),
         )
-        extras = self._build_extras(N)
+        extras = self._build_extras(N, nodes)
         if extras is not None:
             from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_3d_full
 
@@ -1023,7 +1131,9 @@ class PoseGraph3D(PoseGraphBase):
             st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
         st_o, sq_o = np.asarray(st_o), np.asarray(sq_o)
         nt_o, nq_o = np.asarray(nt_o), np.asarray(nq_o)
-        for i, s in enumerate(self.submaps):
-            s.global_pose = NpRigid3(st_o[i].astype(np.float64), sq_o[i].astype(np.float64))
-        for i, n in enumerate(self.nodes):
-            n.global_pose = NpRigid3(nt_o[i].astype(np.float64), nq_o[i].astype(np.float64))
+        with self._lock:
+            for i, s in enumerate(submaps):
+                s.global_pose = NpRigid3(st_o[i].astype(np.float64), sq_o[i].astype(np.float64))
+            for i, n in enumerate(nodes):
+                n.global_pose = NpRigid3(nt_o[i].astype(np.float64), nq_o[i].astype(np.float64))
+            self._correct_post_snapshot(nodes, submaps)

@@ -160,8 +160,12 @@ def cmd_scan_matching_evaluation(args) -> int:
         )
         t0 = _time.perf_counter()
         _, coarse = match_correlative_2d(grid, cloud, initial, window, 0.1, 0.1)
+        # Free refinement: the reference's evaluation zeroes the delta
+        # penalties so the matcher itself is measured, not the anchor
+        # (ref: evaluation/scan_matching_evaluation.cc:390-392
+        # translation_weight = 0., rotation_weight = 0.).
         pose, _ = match_gn_2d_probability(
-            grid, cloud, coarse, initial.translation, 1.0, 10.0, 40.0, num_iterations=10
+            grid, cloud, coarse, coarse.translation, 1.0, 0.0, 0.0, num_iterations=10
         )
         jax.block_until_ready(pose)
         times.append(_time.perf_counter() - t0)

@@ -1,0 +1,115 @@
+"""Async pose-graph work queue
+(ref: pose_graph_3d.cc AddWorkItem:162-177 / DrainWorkQueue:512-535 — the
+reference back-end always runs asynchronously; async_work_queue=True
+restores that non-blocking structure here. The test runs the same 2D SLAM
+scenario as test_map_builder_2d and asserts the async result matches the
+sync one within the optimization tolerance)."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
+from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+from hectorgrapher_tpu.transform import np_quat as nq
+from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+
+def make_options(async_queue: bool):
+    return replace_deep(
+        MapBuilderOptions(),
+        {
+            "use_trajectory_builder_2d": True,
+            "trajectory_builder_2d.use_imu_data": False,
+            "trajectory_builder_2d.use_online_correlative_scan_matching": True,
+            "trajectory_builder_2d.real_time_correlative_scan_matcher.linear_search_window": 0.15,
+            "trajectory_builder_2d.submaps.grid_size": 640,
+            "trajectory_builder_2d.submaps.num_range_data": 12,
+            "trajectory_builder_2d.max_num_points": 2048,
+            "trajectory_builder_2d.motion_filter.max_distance_meters": 0.05,
+            "trajectory_builder_2d.motion_filter.max_angle_radians": 0.005,
+            "trajectory_builder_2d.motion_filter.max_time_seconds": 0.1,
+            "pose_graph.optimize_every_n_nodes": 10,
+            "pose_graph.async_work_queue": async_queue,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.min_score": 0.45,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.linear_search_window": 2.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 12.0,
+        },
+    )
+
+
+def drive(mb: MapBuilder, n_steps=36):
+    tid = mb.add_trajectory_builder()
+    tb = mb.get_trajectory_builder(tid)
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(n_steps + 1):
+        a = 2 * np.pi * i / n_steps
+        xy = np.array([0.6 + 1.4 * np.cos(a), 0.5 + 1.4 * np.sin(a)])
+        poses.append((xy, a + np.pi / 2))
+    add_latencies = []
+    for i, (xy, yaw) in enumerate(poses):
+        t = 0.1 * i
+        tb.add_odometry_data(
+            t,
+            NpRigid3(
+                np.array([xy[0], xy[1], 0.0]) + rng.normal(0, 0.003, 3),
+                nq.quat_from_axis_angle(np.array([0.0, 0.0, yaw + rng.normal(0, 0.002)])),
+            ),
+        )
+        pts = raycast_rect_room_2d(xy, yaw, num_rays=1440, noise_std=0.004, rng=rng)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 2048)
+        t0 = time.perf_counter()
+        tb.add_range_data(
+            TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+        )
+        add_latencies.append(time.perf_counter() - t0)
+    return poses, add_latencies
+
+
+class TestAsyncPoseGraph:
+    def test_async_matches_sync(self):
+        mb_sync = MapBuilder(make_options(False))
+        poses, _ = drive(mb_sync)
+        mb_sync.pose_graph.run_final_optimization()
+
+        mb_async = MapBuilder(make_options(True))
+        _, latencies = drive(mb_async)
+        pg = mb_async.pose_graph
+        pg.wait_for_all_computations()
+        pg.run_final_optimization()
+
+        assert len(pg.nodes) == len(mb_sync.pose_graph.nodes)
+        assert len(pg.submaps) == len(mb_sync.pose_graph.submaps)
+        # The async back-end searches the same (node, submap) pairs; the
+        # constraint sets match exactly because work items are processed
+        # in order by a single worker.
+        sync_keys = {(c.node_index, c.submap_index, c.tag) for c in mb_sync.pose_graph.constraints}
+        async_keys = {(c.node_index, c.submap_index, c.tag) for c in pg.constraints}
+        assert async_keys == sync_keys
+
+        # Final poses agree within solver tolerance (the async run may
+        # interleave optimizations differently, so exact bitwise equality
+        # is not required).
+        for a, b in zip(pg.nodes, mb_sync.pose_graph.nodes):
+            assert np.linalg.norm(a.global_pose.t - b.global_pose.t) < 0.05
+
+    def test_front_end_not_blocked_by_back_end(self):
+        """add_node must return without waiting for constraint searches."""
+        mb = MapBuilder(make_options(True))
+        _, latencies = drive(mb, n_steps=24)
+        pg = mb.pose_graph
+        # Queue drains to the same end state.
+        pg.wait_for_all_computations()
+        assert pg._work_queue.unfinished_tasks == 0
+        intra = [c for c in pg.constraints if c.tag == "INTRA"]
+        assert len(intra) >= len(pg.nodes)
+
+    def test_wait_for_all_computations_idempotent_sync(self):
+        mb = MapBuilder(make_options(False))
+        mb.pose_graph.wait_for_all_computations()  # no-op without a queue
