@@ -279,6 +279,41 @@ def interp_prepared_3d(field: PreparedField3D, points):
     return jnp.sum(rows * w, axis=-1)
 
 
+def gather_rows_3d(field: PreparedField3D, points):
+    """One contiguous 8-tap row gather per point at world xyz positions
+    (see gather_rows_2d — lets solvers carry rows across LM iterations)."""
+    nx, ny, nz = field.dims[0], field.dims[1], field.dims[2]
+    u = (points - field.meta.min_corner) / field.meta.resolution - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    ok = (
+        (i0[..., 0] >= 0) & (i0[..., 0] < nx)
+        & (i0[..., 1] >= 0) & (i0[..., 1] < ny)
+        & (i0[..., 2] >= 0) & (i0[..., 2] < nz)
+    )
+    flat = jnp.where(ok, (i0[..., 0] * ny + i0[..., 1]) * nz + i0[..., 2], nx * ny * nz)
+    return field.patches[flat].astype(jnp.float32)
+
+
+def trilinear_weights_and_derivs(points, meta: GridMeta):
+    """(w8, dw8) of the trilinear taps at world positions: w8 (..., 8) and
+    dw8 (..., 3, 8) = d w8 / d frac."""
+    u = (points - meta.min_corner) / meta.resolution - 0.5
+    frac = u - jnp.floor(u)
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    one = jnp.ones_like(fx)
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)
+    wz = jnp.stack([1.0 - fz, fz], axis=-1)
+    dw = jnp.stack([-one, one], axis=-1)
+    def outer3(a, b, c):
+        return (a[..., :, None, None] * b[..., None, :, None] * c[..., None, None, :]).reshape(
+            points.shape[:-1] + (8,)
+        )
+    w8 = outer3(wx, wy, wz)
+    dw8 = jnp.stack([outer3(dw, wy, wz), outer3(wx, dw, wz), outer3(wx, wy, dw)], axis=-2)
+    return w8, dw8
+
+
 class PreparedTsdf3D(NamedTuple):
     """Weight-aware TSDF interpolator with pre-built patch matrices."""
 
