@@ -153,6 +153,15 @@ def bench_spa():
 
 
 def main() -> None:
+    # Force the tunneled TPU runtime into its synchronous execution path
+    # before any timing: without one device-to-host fetch up front, the
+    # axon tunnel defers execution and block_until_ready does not actually
+    # wait, which makes every timing loop measure enqueue time only.
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.zeros(()) + 0.0)
+
     matches_per_s = bench_scan_matcher()
     try:
         ct_per_s = bench_ct_window()

@@ -11,6 +11,8 @@ cells (see inserters_2d.py/inserters_3d.py).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 MIN_PROBABILITY = 0.1
@@ -18,8 +20,11 @@ MAX_PROBABILITY = 1.0 - MIN_PROBABILITY
 MIN_CORRESPONDENCE_COST = 1.0 - MAX_PROBABILITY
 MAX_CORRESPONDENCE_COST = 1.0 - MIN_PROBABILITY
 
-MIN_LOG_ODDS = float(jnp.log(MIN_PROBABILITY / (1.0 - MIN_PROBABILITY)))
-MAX_LOG_ODDS = float(jnp.log(MAX_PROBABILITY / (1.0 - MAX_PROBABILITY)))
+# Computed in pure Python: a device computation at import time would cost a
+# device-to-host transfer before any user code runs (on the tunneled TPU a
+# single early D2H permanently degrades per-dispatch latency ~20x).
+MIN_LOG_ODDS = math.log(MIN_PROBABILITY / (1.0 - MIN_PROBABILITY))
+MAX_LOG_ODDS = math.log(MAX_PROBABILITY / (1.0 - MAX_PROBABILITY))
 
 
 def odds(probability):

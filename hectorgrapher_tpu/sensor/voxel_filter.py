@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from hectorgrapher_tpu.sensor.types import PointCloud, TimedPointCloud
 
 
-_INVALID_CELL = jnp.int32(1 << 24)
+# Plain int (promoted inside traced code): no device work at import time.
+_INVALID_CELL = 1 << 24
 
 
 def _cell_coords(positions, mask, resolution):
