@@ -44,17 +44,32 @@ def cmd_state_info(args) -> int:
 
 
 def cmd_print_configuration(args) -> int:
-    """(ref: print_configuration_main.cc — resolved options dump)"""
+    """(ref: print_configuration_main.cc — resolved options dump; flags
+    --configuration_directories/--configuration_basename/--subdictionary
+    mirror print_configuration_main.cc:27-34)"""
     from hectorgrapher_tpu.common import config as cfg
 
     options = cfg.MapBuilderOptions()
+    if args.configuration_basename:
+        from hectorgrapher_tpu.common import lua_config
+
+        dirs = (args.configuration_directories or "").split(",")
+        dirs = [d for d in dirs if d]
+        loaded = lua_config.load_map_builder_options(
+            args.configuration_basename, dirs, strict=not args.non_strict
+        )
+        options = loaded.map_builder
     if args.override:
         overrides = {}
         for item in args.override:
             key, _, value = item.partition("=")
             overrides[key] = json.loads(value)
         options = cfg.replace_deep(options, overrides)
-    print(json.dumps(cfg.to_dict(options), indent=2, default=str))
+    tree = cfg.to_dict(options)
+    if args.subdictionary:
+        for part in args.subdictionary.strip(".").split("."):
+            tree = tree[part]
+    print(json.dumps(tree, indent=2, default=str))
     return 0
 
 
@@ -334,6 +349,18 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("print-configuration", help="dump resolved options")
     p.add_argument("--override", action="append", help="dotted.key=json_value")
+    p.add_argument(
+        "--configuration_directories",
+        default="",
+        help="comma-separated dirs searched for Lua config files (first match wins)",
+    )
+    p.add_argument("--configuration_basename", default="", help="Lua file to load, e.g. map_builder.lua")
+    p.add_argument("--subdictionary", default="", help="dotted path to print only a sub-tree")
+    p.add_argument(
+        "--non_strict",
+        action="store_true",
+        help="drop Lua keys the TPU build deliberately does not carry instead of raising",
+    )
     p.set_defaults(fn=cmd_print_configuration)
 
     p = sub.add_parser("autogenerate-ground-truth")
