@@ -4,12 +4,26 @@ TPU-native replacement for RealTimeCorrelativeScanMatcher2D
 (ref: internal/2d/scan_matching/real_time_correlative_scan_matcher_2d.cc,
 correlative_scan_matcher_2d.cc SearchParameters). The reference loops over
 candidates with early discretization; here the full (theta, dx, dy)
-score volume is evaluated as one batched gather+reduction - the
+score volume is evaluated as one batched gather + MXU reduction - the
 "batch, don't queue" design from SURVEY.md section 7.
 
 Score of a candidate = mean occupancy probability at the transformed hit
 cells, down-weighted by exp(-(|t|*w_t + |theta|*w_r)^2) exactly as the
-reference's candidate penalty.
+reference's candidate penalty. Out-of-map cells score the unknown-cell
+probability 0.1 per CELL, matching the reference's Grid2D::GetProbability
+on out-of-bounds indices.
+
+TPU design (the hot loop is gather-ROW-bound at ~375M rows/s regardless
+of row width, measured): the angular step is chosen so the farthest scan
+point moves at most one cell between adjacent angles (SearchParameters
+ctor). Therefore the discretized cell of any point differs by at most
++-HALF cells (per axis) between an angle and the middle angle of its
+group of ANGLE_GROUP angles. One gather of an 11x11 "wide patch" row,
+centered at the middle angle's cell, serves the 7x7 score patches of all
+ANGLE_GROUP angles - a 5x cut in gather rows. Per-angle extraction is a
+delta-grouped one-hot matmul (MXU): rows are summed per (angle-in-group,
+cell-delta) bucket, and each bucket's 7x7 sub-window of the 11x11 sum is
+added into the score volume with a static slice.
 """
 
 from __future__ import annotations
@@ -24,6 +38,14 @@ import jax.numpy as jnp
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, cell_index
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.transform.rigid import Rigid2, rot2
+
+# Number of adjacent angle candidates sharing one gathered wide-patch row.
+# Must be odd; HALF = ANGLE_GROUP // 2 is the max per-axis cell delta
+# between a group member's discretized cell and the group center's
+# (one cell per angle step, by the SearchParameters step construction).
+ANGLE_GROUP = 5
+
+_UNKNOWN = 0.1  # probability reported for never-observed / out-of-map cells
 
 
 class SearchWindow2D(NamedTuple):
@@ -48,6 +70,57 @@ def make_search_window(
     return SearchWindow2D(num_angles=num_angles, angle_step=angle_step, num_linear=num_linear)
 
 
+def _wide_patch_table(prob: jax.Array, k: int, half: int) -> jax.Array:
+    """Shifted-copy table over the EXTENDED cell grid.
+
+    Row for extended cell e=(c+margin) holds the map value at every offset
+    a in [-margin, margin]^2 from absolute cell c, where margin = k + half;
+    cells outside the real grid read the unknown-cell probability. A final
+    all-unknown row serves cells beyond the extended grid (any candidate
+    cell reachable from them is out of map, so the flat row is exact).
+    """
+    nx, ny = prob.shape
+    m = k + half
+    pw = 2 * m + 1
+    padded = jnp.pad(prob, 2 * m, constant_values=_UNKNOWN).astype(jnp.bfloat16)
+    ex, ey = nx + 2 * m, ny + 2 * m
+    # One patch-extraction op (not pw*pw strided slices: those become ~121
+    # separate kernels when the grid is a runtime argument, dominating the
+    # match). Channel order is (a, b) row-major, matching the flat lane
+    # layout the combine matrix assumes.
+    patches = jax.lax.conv_general_dilated_patches(
+        padded[None, None, :, :],
+        filter_shape=(pw, pw),
+        window_strides=(1, 1),
+        padding="VALID",
+    )  # (1, pw*pw, ex, ey)
+    table = patches[0].reshape(pw * pw, ex * ey).T
+    return jnp.concatenate(
+        [table, jnp.full((1, pw * pw), _UNKNOWN, jnp.bfloat16)], axis=0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_matrix(k: int, half: int):
+    """Static (gsz^2 * pw^2, d^2) 0/1 matrix: entry [(j, a, b), (dx, dy)]
+    is 1 iff wide-patch lane (a, b) holds the candidate cell for score
+    offset (dx, dy) under group delta j, i.e. a = dx+k+deltax+half and
+    b = dy+k+deltay+half. Returned as numpy (a jit-trace constant): a
+    device array here would capture the enclosing trace via the cache."""
+    import numpy as np
+
+    gsz = 2 * half + 1
+    d = 2 * k + 1
+    pw = d + 2 * half
+    s = np.zeros((gsz * gsz, pw, pw, d, d), np.float32)
+    for jx in range(gsz):
+        for jy in range(gsz):
+            for dx in range(d):
+                for dy in range(d):
+                    s[jx * gsz + jy, jx + dx, jy + dy, dx, dy] = 1.0
+    return s.reshape(gsz * gsz * pw * pw, d * d)
+
+
 @functools.partial(jax.jit, static_argnames=("window",))
 def match_correlative_2d(
     grid: ProbabilityGrid,
@@ -65,46 +138,73 @@ def match_correlative_2d(
     nx, ny = prob.shape
     res = grid.meta.resolution
 
+    k = window.num_linear
+    d = 2 * k + 1
+    gsz = ANGLE_GROUP
+    half = gsz // 2
+    m = k + half
+    pw = 2 * m + 1
+
     n_th = 2 * window.num_angles + 1
-    thetas = (jnp.arange(n_th, dtype=jnp.float32) - window.num_angles) * window.angle_step
+    n_groups = -(-n_th // gsz)
+    t_pad = n_groups * gsz
+    # Padded angle slots repeat the last real angle: their cells coincide
+    # with a real slot's, keeping every delta within the +-half bound.
+    slot = jnp.minimum(jnp.arange(t_pad), n_th - 1)
+    thetas = (slot.astype(jnp.float32) - window.num_angles) * window.angle_step
     angles = initial_pose.angle + thetas
 
     pts = cloud.positions[:, :2]
     valid = cloud.mask
+    n_pts = pts.shape[0]
     n_valid = jnp.maximum(jnp.sum(valid), 1)
 
     # Rotate cloud for every angle candidate: (T, N, 2)
     rotated = rot2(angles[:, None], pts[None, :, :]) + initial_pose.translation[None, None, :]
-    base_idx = cell_index(grid.meta, rotated)  # (T, N, 2)
+    base_idx = cell_index(grid.meta, rotated)  # (T, N, 2) int32
 
-    # TPU layout: instead of an element gather per (point, offset), build a
-    # shifted-grid matrix Gshift (cells+1, D*D) once (cheap strided slices
-    # of a padded grid) and fetch one CONTIGUOUS row per (angle, point) —
-    # coalesced reads, then a dense reduction. Out-of-bounds points hit the
-    # appended pad row (probability 0.1, matching unknown cells).
-    k = window.num_linear
-    d = 2 * k + 1
-    # bf16 storage of the shifted-grid matrix halves gather bandwidth;
-    # scores accumulate in f32 (ranking is insensitive to bf16 cell values).
-    pad = jnp.pad(prob, k, constant_values=0.1).astype(jnp.bfloat16)
-    shifts = [
-        jax.lax.dynamic_slice(pad, (dx + k, dy + k), (nx, ny)).reshape(-1)
-        for dx in range(-k, k + 1)
-        for dy in range(-k, k + 1)
-    ]
-    gshift = jnp.stack(shifts, axis=-1)  # (nx*ny, D*D)
-    gshift = jnp.concatenate([gshift, jnp.full((1, d * d), 0.1, jnp.bfloat16)], axis=0)
+    table = _wide_patch_table(prob, k, half)  # (ex*ey+1, pw*pw)
+    ex, ey = nx + 2 * m, ny + 2 * m
 
-    ok = (
-        (base_idx[..., 0] >= 0)
-        & (base_idx[..., 0] < nx)
-        & (base_idx[..., 1] >= 0)
-        & (base_idx[..., 1] < ny)
+    centers = base_idx.reshape(n_groups, gsz, n_pts, 2)[:, half]  # (G, N, 2)
+    # Cell delta of each angle vs its group center; the step construction
+    # bounds it by `half` per axis (clip guards padded/degenerate clouds).
+    delta = jnp.clip(
+        base_idx - jnp.repeat(centers, gsz, axis=0), -half, half
+    )  # (T, N, 2)
+    delta_lin = (delta[..., 0] + half) * gsz + (delta[..., 1] + half)  # (T, N)
+
+    cx = centers[..., 0] + m
+    cy = centers[..., 1] + m
+    in_ext = (cx >= 0) & (cx < ex) & (cy >= 0) & (cy < ey)
+    flat = jnp.where(in_ext, cx * ey + cy, ex * ey)  # (G, N)
+    rows = jnp.take(table, flat, axis=0)  # (G, N, pw*pw) bf16
+
+    # delta-grouped one-hot reduction on the MXU: bucket[g, l, j, :] =
+    # sum of rows whose angle g*gsz+l saw cell delta j.
+    onehot = (
+        delta_lin.reshape(n_groups, gsz, 1, n_pts)
+        == jnp.arange(gsz * gsz, dtype=jnp.int32).reshape(1, 1, gsz * gsz, 1)
     )
-    flat = jnp.where(ok, base_idx[..., 0] * ny + base_idx[..., 1], nx * ny)  # (T, N)
-    rows = jnp.take(gshift, flat, axis=0).astype(jnp.float32)  # (T, N, D*D)
-    rows = jnp.where(valid[None, :, None], rows, 0.0)
-    scores = (jnp.sum(rows, axis=1) / n_valid).reshape(n_th, d, d)  # (T, Dx, Dy)
+    weights = (onehot & valid[None, None, None, :]).astype(jnp.bfloat16)
+    bucket = jax.lax.dot_general(
+        weights.reshape(n_groups, gsz * gsz * gsz, n_pts),
+        rows,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, gsz*gsz^2, pw*pw) — kept flat: a (.., pw, pw) layout would pad
+    # the 11-wide minor dim to 128 lanes (11x memory blowup).
+
+    # Each bucket's 7x7 window sits at a static offset inside the 11x11
+    # wide patch: candidate cell = center + delta + (dx, dy). One matmul
+    # against a static 0/1 selection matrix collapses (delta, wide-lane)
+    # pairs onto (dx, dy) score lanes in a single pass over the bucket.
+    scores = jax.lax.dot_general(
+        bucket.reshape(n_groups * gsz, gsz * gsz * pw * pw),
+        _combine_matrix(k, half),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(t_pad, d, d) / n_valid
 
     # Candidate penalty (ref: real_time_correlative_scan_matcher_2d.cc:140-146).
     offs = jnp.arange(-k, k + 1, dtype=jnp.int32)
@@ -118,6 +218,8 @@ def match_correlative_2d(
         )
     )
     scores = scores * penalty
+    # Padded angle slots duplicate real scores; exclude them from argmax.
+    scores = jnp.where((jnp.arange(t_pad) < n_th)[:, None, None], scores, -1.0)
 
     best = jnp.argmax(scores)
     ti, xi, yi = jnp.unravel_index(best, scores.shape)
@@ -126,3 +228,43 @@ def match_correlative_2d(
         angle=angles[ti],
     )
     return scores.reshape(-1)[best], best_pose
+
+
+def score_volume_dense(
+    grid: ProbabilityGrid,
+    cloud: PointCloud,
+    initial_pose: Rigid2,
+    window: SearchWindow2D,
+) -> jax.Array:
+    """Straightforward per-cell scoring of the full (theta, dx, dy) volume
+    (no penalty). Reference semantics spelled out one candidate cell at a
+    time - the cross-check oracle for the grouped matcher."""
+    prob = grid.probability()
+    nx, ny = prob.shape
+    n_th = 2 * window.num_angles + 1
+    k = window.num_linear
+    thetas = (jnp.arange(n_th, dtype=jnp.float32) - window.num_angles) * window.angle_step
+    angles = initial_pose.angle + thetas
+    pts = cloud.positions[:, :2]
+    valid = cloud.mask
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    rotated = rot2(angles[:, None], pts[None, :, :]) + initial_pose.translation[None, None, :]
+    base_idx = cell_index(grid.meta, rotated)  # (T, N, 2)
+    out = []
+    for dx in range(-k, k + 1):
+        row = []
+        for dy in range(-k, k + 1):
+            cell = base_idx + jnp.array([dx, dy])
+            ok = (
+                (cell[..., 0] >= 0)
+                & (cell[..., 0] < nx)
+                & (cell[..., 1] >= 0)
+                & (cell[..., 1] < ny)
+            )
+            v = prob[
+                jnp.clip(cell[..., 0], 0, nx - 1), jnp.clip(cell[..., 1], 0, ny - 1)
+            ]
+            v = jnp.where(ok, v, _UNKNOWN)
+            row.append(jnp.sum(jnp.where(valid[None, :], v, 0.0), axis=1) / n_valid)
+        out.append(jnp.stack(row, axis=-1))
+    return jnp.stack(out, axis=1)  # (T, Dx, Dy)

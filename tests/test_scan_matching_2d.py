@@ -72,3 +72,73 @@ class TestGaussNewton2D:
         )
         np.testing.assert_allclose(np.asarray(pose.translation), [0.0, 0.0], atol=0.02)
         np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.005)
+
+
+class TestCorrelativeGroupedVsDense:
+    """The grouped shared-row matcher must reproduce the straightforward
+    per-cell dense scoring exactly (modulo bf16 cell storage)."""
+
+    def _quantized_grid(self, grid):
+        # The fast path stores cell values as bf16; quantize the oracle's
+        # grid the same way so the comparison isolates the algorithm.
+        prob = grid.probability().astype(jnp.bfloat16).astype(jnp.float32)
+        log_odds = jnp.log(prob / (1.0 - prob))
+        return grid._replace(log_odds=jnp.where(grid.known, log_odds, grid.log_odds))
+
+    def test_score_volume_matches_dense_oracle(self):
+        from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+            score_volume_dense,
+        )
+
+        grid, cloud = build_room_grid_and_scan()
+        qgrid = self._quantized_grid(grid)
+        initial = Rigid2(
+            translation=jnp.array([0.12, -0.31], jnp.float32),
+            angle=jnp.asarray(0.04, jnp.float32),
+        )
+        pts = np.asarray(cloud.positions)[np.asarray(cloud.mask)]
+        max_range = float(np.linalg.norm(pts[:, :2], axis=-1).max())
+        window = make_search_window(0.15, np.radians(10.0), 0.05, max_range)
+
+        dense = np.asarray(score_volume_dense(qgrid, cloud, initial, window))
+        # Zero delta-cost weights: matcher output = raw max of the volume.
+        score, pose = match_correlative_2d(qgrid, cloud, initial, window, 0.0, 0.0)
+        np.testing.assert_allclose(float(score), dense.max(), rtol=2e-3, atol=2e-3)
+        ti, xi, yi = np.unravel_index(dense.argmax(), dense.shape)
+        expect_angle = float(initial.angle) + (ti - window.num_angles) * window.angle_step
+        expect_xy = np.asarray(initial.translation) + np.array(
+            [(xi - window.num_linear) * 0.05, (yi - window.num_linear) * 0.05]
+        )
+        np.testing.assert_allclose(float(pose.angle), expect_angle, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pose.translation), expect_xy, atol=1e-6)
+
+    def test_near_boundary_cells_score_unknown_per_cell(self):
+        from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+            score_volume_dense,
+        )
+
+        # Tiny grid so part of the scan falls off the map: exercises the
+        # per-cell out-of-map path of both implementations.
+        grid = make_probability_grid(0.05, (64, 64))
+        opts = ProbabilityGridRangeDataInserterOptions2D()
+        insert = make_probability_inserter_2d(opts, max_range=4.0, resolution=0.05)
+        pts = raycast_rect_room_2d(np.zeros(2), 0.0, half_width=1.3, half_height=1.1, num_rays=180)
+        valid = ~np.isnan(pts[:, 0])
+        cloud = pad_cloud(pts[valid].astype(np.float32), 256)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=cloud,
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+        )
+        grid = insert(grid, rd)
+        qgrid = self._quantized_grid(grid)
+        # Push the initial pose toward the map edge.
+        initial = Rigid2(
+            translation=jnp.array([1.05, 0.9], jnp.float32),
+            angle=jnp.asarray(-0.1, jnp.float32),
+        )
+        max_range = float(np.linalg.norm(pts[valid][:, :2], axis=-1).max())
+        window = make_search_window(0.2, np.radians(12.0), 0.05, max_range)
+        dense = np.asarray(score_volume_dense(qgrid, cloud, initial, window))
+        score, pose = match_correlative_2d(qgrid, cloud, initial, window, 0.0, 0.0)
+        np.testing.assert_allclose(float(score), dense.max(), rtol=2e-3, atol=2e-3)
