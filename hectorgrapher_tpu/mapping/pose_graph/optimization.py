@@ -68,10 +68,18 @@ def _spa_schur_delta(j_s, j_n, r, c_submap, c_node, s_count, n_count,
     j_s, j_n: (C, R, P) masked jacobian halves; r: (C, R) masked weighted
     residuals. Returns delta (S*P + N*P,).
     """
-    p = j_s.shape[-1]
-    fs = fixed_s[:, None, None]
-    fn = fixed_n[:, None, None]
+    blocks = _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count)
+    return _spa_schur_solve(blocks, fixed_s, fixed_n, lam)
 
+
+def _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
+    """Block normal-equation operands, summed over the given constraints.
+
+    Linear in the constraint set, so shards' partial blocks psum to the
+    global ones — the distributed solver reduces THESE over ICI instead of
+    a dense (D, D) matrix (10x less collective payload).
+    """
+    p = j_s.shape[-1]
     a_blocks = jnp.zeros((s_count, p, p), jnp.float32).at[c_submap].add(
         jnp.einsum("cri,crj->cij", j_s, j_s)
     )
@@ -87,6 +95,17 @@ def _spa_schur_delta(j_s, j_n, r, c_submap, c_node, s_count, n_count,
     g_n = jnp.zeros((n_count, p), jnp.float32).at[c_node].add(
         jnp.einsum("cri,cr->ci", j_n, r)
     )
+    return a_blocks, c_blocks, b_blocks, g_s, g_n
+
+
+def _spa_schur_solve(blocks, fixed_s, fixed_n, lam):
+    """Solve the damped block system by Schur elimination of the nodes."""
+    a_blocks, c_blocks, b_blocks, g_s, g_n = blocks
+    s_count = a_blocks.shape[0]
+    n_count = c_blocks.shape[0]
+    p = a_blocks.shape[-1]
+    fs = fixed_s[:, None, None]
+    fn = fixed_n[:, None, None]
 
     # Fixed coordinates: zero couplings and gradient, unit diagonal.
     a_blocks = jnp.where(fs, 0.0, a_blocks)

@@ -9,10 +9,12 @@ the ICI collectives.
 Implemented here:
   * solve_spa_2d_sharded / solve_spa_3d_sharded — distributed block
     Gauss-Newton: constraints are sharded across the mesh's "graph" axis,
-    each device assembles its partial normal equations, a psum reduces
-    (J^T J, g), and every device solves the (replicated) damped system.
-    Communication per iteration = one (D, D) + (D,) psum over ICI — the
-    Schur-style reduction pattern from the scaling-book recipe.
+    each device assembles its partial BLOCK normal-equation operands
+    (block-diagonal submap/node blocks + the submap-node coupling blocks),
+    a psum reduces them, and every device runs the same Schur-complement
+    solve as the local solver. Communication per iteration = the block
+    operands (~(S*N+S+N)*P^2 floats), ~10x less than psumming the dense
+    (D, D) normal matrix.
   * shard_constraint_scoring — data-parallel batched scan matching:
     candidate (node, submap) pairs sharded across devices, each scoring
     its shard with the dense correlative kernel.
@@ -35,6 +37,8 @@ from hectorgrapher_tpu.mapping.pose_graph.optimization import (
     SpaProblem3D,
     _constraint_residual_2d,
     _constraint_residual_3d,
+    _spa_partial_blocks,
+    _spa_schur_solve,
 )
 from hectorgrapher_tpu.transform.rigid import (
     quat_from_axis_angle,
@@ -67,14 +71,12 @@ def solve_spa_2d_sharded(problem: SpaProblem2D, mesh: Mesh, num_iterations: int 
     problem = _pad_constraints(problem, mesh.shape[axis])
     S = problem.submap_pose.shape[0]
     N = problem.node_pose.shape[0]
-    D = 3 * (S + N)
-    fixed = jnp.concatenate([jnp.repeat(problem.submap_fixed, 3), jnp.repeat(problem.node_fixed, 3)])
 
     c_spec = P(axis)
     rep = P()
 
     def assemble(sp, np_, c_submap, c_node, c_mask, c_rel, c_wt, c_wr, c_hub):
-        """Partial (J^T J, g, cost) for this device's constraint shard."""
+        """Partial block operands + cost for this device's constraint shard."""
 
         def one(ci):
             si = c_submap[ci]
@@ -94,29 +96,19 @@ def solve_spa_2d_sharded(problem: SpaProblem2D, mesh: Mesh, num_iterations: int 
             return jnp.where(m, J, 0.0), jnp.where(m, r, 0.0)
 
         J, r = jax.vmap(one)(jnp.arange(c_submap.shape[0]))
-        sub_base = (c_submap * 3)[:, None] + jnp.arange(3)[None, :]
-        node_base = (3 * S + c_node * 3)[:, None] + jnp.arange(3)[None, :]
-        idx = jnp.concatenate([sub_base, node_base], axis=1)
-        JtJ = jnp.zeros((D, D), jnp.float32).at[idx[:, :, None], idx[:, None, :]].add(
-            jnp.einsum("cri,crj->cij", J, J)
-        )
-        g = jnp.zeros((D,), jnp.float32).at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+        blocks = _spa_partial_blocks(J[:, :, :3], J[:, :, 3:], r, c_submap, c_node, S, N)
         cost = 0.5 * jnp.sum(r * r)
-        # ICI reduction: every device gets the global normal equations.
-        return (
-            jax.lax.psum(JtJ, axis),
-            jax.lax.psum(g, axis),
-            jax.lax.psum(cost, axis),
-        )
+        # ICI reduction: every device gets the global block operands.
+        return jax.lax.psum((blocks, cost), axis)
 
     assemble_sharded = jax.shard_map(
         assemble,
         mesh=mesh,
         in_specs=(rep, rep, c_spec, c_spec, c_spec, c_spec, c_spec, c_spec, c_spec),
-        out_specs=(rep, rep, rep),
+        out_specs=(rep, rep),
     )
 
-    def cost_and_grad(params):
+    def cost_and_blocks(params):
         sp, np_ = params
         return assemble_sharded(
             sp,
@@ -132,15 +124,11 @@ def solve_spa_2d_sharded(problem: SpaProblem2D, mesh: Mesh, num_iterations: int 
 
     def lm_step(carry, _):
         params, lam = carry
-        JtJ, g, cost = cost_and_grad(params)
-        JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
-        g = jnp.where(fixed, 0.0, g)
-        diag = jnp.diag(JtJ)
-        damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
-        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
+        blocks, cost = cost_and_blocks(params)
+        delta = _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
         sp, np_ = params
         new_params = (sp + delta[: 3 * S].reshape(S, 3), np_ + delta[3 * S :].reshape(N, 3))
-        _, _, new_cost = cost_and_grad(new_params)
+        _, new_cost = cost_and_blocks(new_params)
         accept = new_cost < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
         params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
@@ -160,8 +148,6 @@ def solve_spa_3d_sharded(problem: SpaProblem3D, mesh: Mesh, num_iterations: int 
     problem = _pad_constraints(problem, mesh.shape[axis])
     S = problem.submap_translation.shape[0]
     N = problem.node_translation.shape[0]
-    D = 6 * (S + N)
-    fixed = jnp.concatenate([jnp.repeat(problem.submap_fixed, 6), jnp.repeat(problem.node_fixed, 6)])
 
     c_spec = P(axis)
     rep = P()
@@ -188,24 +174,18 @@ def solve_spa_3d_sharded(problem: SpaProblem3D, mesh: Mesh, num_iterations: int 
             return jnp.where(m, J, 0.0), jnp.where(m, r0 * w, 0.0)
 
         J, r = jax.vmap(one)(jnp.arange(c_submap.shape[0]))
-        sub_base = (c_submap * 6)[:, None] + jnp.arange(6)[None, :]
-        node_base = (6 * S + c_node * 6)[:, None] + jnp.arange(6)[None, :]
-        idx = jnp.concatenate([sub_base, node_base], axis=1)
-        JtJ = jnp.zeros((D, D), jnp.float32).at[idx[:, :, None], idx[:, None, :]].add(
-            jnp.einsum("cri,crj->cij", J, J)
-        )
-        g = jnp.zeros((D,), jnp.float32).at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+        blocks = _spa_partial_blocks(J[:, :, :6], J[:, :, 6:], r, c_submap, c_node, S, N)
         cost = 0.5 * jnp.sum(r * r)
-        return jax.lax.psum(JtJ, axis), jax.lax.psum(g, axis), jax.lax.psum(cost, axis)
+        return jax.lax.psum((blocks, cost), axis)
 
     assemble_sharded = jax.shard_map(
         assemble,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep) + (c_spec,) * 8,
-        out_specs=(rep, rep, rep),
+        out_specs=(rep, rep),
     )
 
-    def cost_and_grad(params):
+    def cost_and_blocks(params):
         st, sq, nt, nq = params
         return assemble_sharded(
             st, sq, nt, nq,
@@ -228,14 +208,10 @@ def solve_spa_3d_sharded(problem: SpaProblem3D, mesh: Mesh, num_iterations: int 
 
     def lm_step(carry, _):
         params, lam = carry
-        JtJ, g, cost = cost_and_grad(params)
-        JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
-        g = jnp.where(fixed, 0.0, g)
-        diag = jnp.diag(JtJ)
-        damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
-        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
+        blocks, cost = cost_and_blocks(params)
+        delta = _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
         new_params = retract(params, delta)
-        _, _, new_cost = cost_and_grad(new_params)
+        _, new_cost = cost_and_blocks(new_params)
         accept = new_cost < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
         params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
