@@ -6,14 +6,20 @@ cost via bicubic interpolation, occupied_space_cost_function_2d.cc:47-74;
 TSDF cost via InterpolatedTSDF2D, tsdf_match_cost_function_2d.cc; plus
 translation/rotation delta penalties).
 
-The LM loop here is specialized for grid matching: the 16-tap bicubic
-patch rows gathered per point are *carried across iterations* and only
-re-gathered when a trial pose is evaluated — one gather pass per LM
-iteration instead of two (the gather is the TPU bottleneck; the rows are
-piecewise-constant in the pose, so the autodiff Jacobian through
-jax.jacfwd treats them as constants anyway). The Jacobian is written out
-analytically — identical values to jacfwd of the residual, since floor()
-has zero derivative.
+The LM loop here is specialized for grid matching: ONE wide patch row
+(the 4x4 bicubic neighborhood widened by SLACK cells per side) is
+gathered per point at the initial pose, and every LM iteration — current
+AND trial cost, gradient, Jacobian — is evaluated from the carried rows
+by scattering the 4-tap cubic weights to the pose's shifted base cell
+inside the wide row. Zero gathers inside the iteration loop (the gather
+is the TPU bottleneck: row-count-bound, so the wide row costs the same
+as a 16-tap row). Exact as long as the refinement moves the base cell by
+at most SLACK cells per axis — GN refinement starts within half a cell
+of the correlative optimum and is pulled to the target by the
+translation penalty, so SLACK=3 cells (0.15 m at 5 cm) bounds it with
+a wide margin; beyond that the lookup clamps to the patch border. The
+Jacobian is written out analytically — identical values to jacfwd of
+the residual, since floor() has zero derivative.
 """
 
 from __future__ import annotations
@@ -28,9 +34,10 @@ from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
 from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
     _cubic_weights_and_derivs,
     gather_rows_2d,
-    prepare_probability_2d,
-    prepare_tsdf_2d,
+    prepare_field_2d_wide,
 )
+
+_GN_SLACK = 3  # carried-row slack cells per side (0.15 m at 5 cm)
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.transform.rigid import Rigid2, rot2
 
@@ -53,6 +60,26 @@ def _solve3_sym(a, g):
     return jnp.stack([x0, x1, x2])
 
 
+def _catmull(d):
+    """Catmull-Rom convolution kernel K(d) and K'(d), supported on |d|<2.
+
+    Evaluating K directly at every wide-patch lane offset is the
+    fusion-friendly form of "scatter the 4 cubic weights at the shifted
+    base cell": the weights live only as elementwise math inside the row
+    contraction — no (N, W, 4) one-hot (tiny batched matmul) and no
+    (N, W, W) outer-product intermediate (whose (8, 128) tile padding
+    costs a ~10x HBM blowup if materialized). K at integer-offset lanes
+    equals _cubic_weights of the fractional part exactly."""
+    t = jnp.abs(d)
+    k_near = ((1.5 * t - 2.5) * t) * t + 1.0
+    k_far = ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0
+    k = jnp.where(t < 1.0, k_near, jnp.where(t < 2.0, k_far, 0.0))
+    dk_near = (4.5 * t - 5.0) * t
+    dk_far = (-1.5 * t + 5.0) * t - 4.0
+    dk = jnp.sign(d) * jnp.where(t < 1.0, dk_near, jnp.where(t < 2.0, dk_far, 0.0))
+    return k, dk
+
+
 def _lm_grid_2d(
     value_of_rows,
     gather_fn,
@@ -65,19 +92,22 @@ def _lm_grid_2d(
     rotation_weight,
     meta,
     num_iterations: int,
+    slack: int = _GN_SLACK,
     init_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
     max_lambda: float = 1e6,
 ):
-    """Carried-rows LM over (tx, ty, theta) against a prepared 2D field.
+    """Wide-carried-rows LM over (tx, ty, theta) against a prepared field.
 
-    value_of_rows(rows, w16) -> (value, dval_scale) where `value` is the
+    value_of_rows(rows, w) -> (value, dval_scale) where `value` is the
     per-point match residual before `scale` and dval_scale gates the
     derivative (0 where the residual is hard-gated). gather_fn(world)
-    returns the pytree of gathered rows for world xy positions.
+    returns the pytree of (N, (4+2*slack)^2) wide rows for world xy
+    positions — called exactly ONCE, at the initial pose.
     """
     theta0 = initial_pose.angle
     res = meta.resolution
+    width = 4 + 2 * slack
     # Pin f32: weights arrive as weak f64 under the x64 test config.
     scale = jnp.asarray(scale, jnp.float32)
     translation_weight = jnp.asarray(translation_weight, jnp.float32)
@@ -87,13 +117,29 @@ def _lm_grid_2d(
     def world_of(pose):
         return rot2(pose.angle, pts) + pose.translation
 
-    def terms(pose, rows):
+    rows = gather_fn(world_of(initial_pose))
+    i0_init = jnp.floor(
+        (world_of(initial_pose) - meta.min_corner) / res - 0.5
+    ).astype(jnp.int32)
+    # Patch-local lane coordinates, flat (dx-major) to match the patch
+    # channel order; the patch's (0, 0) lane holds cell i0_init - 1 - slack.
+    lane = jnp.arange(width * width, dtype=jnp.int32)
+    lane_x = (lane // width).astype(jnp.float32)[None, :]
+    lane_y = (lane % width).astype(jnp.float32)[None, :]
+    base = (i0_init - (1 + slack)).astype(jnp.float32)  # (N, 2)
+
+    def lane_weights(pose):
+        """w, dwx, dwy over the flat wide lanes at the pose's positions —
+        pure elementwise math that fuses into the row contractions.
+        Unused outputs are dead-code-eliminated per call site."""
         u = (world_of(pose) - meta.min_corner) / res - 0.5
-        frac = u - jnp.floor(u)
-        wx, dwx = _cubic_weights_and_derivs(frac[..., 0])
-        wy, dwy = _cubic_weights_and_derivs(frac[..., 1])
-        w16 = (wx[..., :, None] * wy[..., None, :]).reshape(pts.shape[0], 16)
-        value, dgate = value_of_rows(rows, w16)
+        kx, dkx = _catmull((u[..., 0] - base[..., 0])[:, None] - lane_x)
+        ky, dky = _catmull((u[..., 1] - base[..., 1])[:, None] - lane_y)
+        return kx * ky, dkx * ky, kx * dky
+
+    def terms(pose):
+        w, _, _ = lane_weights(pose)
+        value, dgate = value_of_rows(rows, w)
         r_occ = jnp.where(valid, value, 0.0) * scale
         dt = pose.translation - target_translation
         dth = pose.angle - theta0
@@ -102,15 +148,13 @@ def _lm_grid_2d(
             + translation_weight**2 * jnp.sum(dt * dt)
             + rotation_weight**2 * dth * dth
         )
-        aux = (rows, w16, wx, wy, dwx, dwy, dgate, dt, dth)
+        aux = (dgate, dt, dth)
         return cost, r_occ, aux
 
     def jacobian(pose, r_occ, aux):
-        rows, w16, wx, wy, dwx, dwy, dgate, dt, dth = aux
-        flat = jax.tree.leaves(rows)[0]
-        # d value / d frac via the separable weight derivatives.
-        dwx16 = (dwx[..., :, None] * wy[..., None, :]).reshape(pts.shape[0], 16)
-        dwy16 = (wx[..., :, None] * dwy[..., None, :]).reshape(pts.shape[0], 16)
+        dgate, dt, dth = aux
+        # d value / d frac via the separable kernel derivatives.
+        _, dwx16, dwy16 = lane_weights(pose)
         dv_dfx, dv_dfy = value_grad_rows(rows, dwx16, dwy16)
         gate = jnp.where(valid, dgate, 0.0) * scale
         dv_dfx = dv_dfx * gate
@@ -134,27 +178,32 @@ def _lm_grid_2d(
     value_grad_rows = value_of_rows.grad_rows
 
     def step(carry, _):
-        pose, lam, rows, cost = carry
-        c, r_occ, aux = terms(pose, rows)
+        # The current pose's residuals/aux are CARRIED from the iteration
+        # that accepted it (terms() per iteration: one for the trial, none
+        # for the incumbent — one fewer full row pass).
+        pose, lam, cost, r_occ, aux = carry
         jtj, g = jacobian(pose, r_occ, aux)
         diag = jnp.diagonal(jtj)
         damped = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-12)) + 1e-12 * jnp.eye(3, dtype=jtj.dtype)
         delta = -_solve3_sym(damped, g)
         pose_new = Rigid2(translation=pose.translation + delta[:2], angle=pose.angle + delta[2])
-        rows_new = gather_fn(world_of(pose_new))
-        cost_new, _, _ = terms(pose_new, rows_new)
+        cost_new, r_occ_new, aux_new = terms(pose_new)
         accept = cost_new < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
-        pose_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), pose, pose_new)
-        rows_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), rows, rows_new)
-        cost_next = jnp.where(accept, cost_new, cost)
-        return (pose_next, lam_next, rows_next, cost_next), cost_next
+        sel = lambda a, b: jnp.where(accept, b, a)
+        carry_next = (
+            jax.tree.map(sel, pose, pose_new),
+            lam_next,
+            jnp.where(accept, cost_new, cost),
+            jax.tree.map(sel, r_occ, r_occ_new),
+            jax.tree.map(sel, aux, aux_new),
+        )
+        return carry_next, carry_next[2]
 
-    rows0 = gather_fn(world_of(initial_pose))
-    cost0, _, _ = terms(initial_pose, rows0)
-    (pose_f, _, _, cost_f), _ = jax.lax.scan(
+    cost0, r_occ0, aux0 = terms(initial_pose)
+    (pose_f, _, cost_f, _, _), _ = jax.lax.scan(
         step,
-        (initial_pose, jnp.asarray(init_lambda, jnp.float32), rows0, cost0),
+        (initial_pose, jnp.asarray(init_lambda, jnp.float32), cost0, r_occ0, aux0),
         None,
         length=num_iterations,
     )
@@ -210,10 +259,14 @@ def match_gn_2d_probability(
       * translation: w_t * (t - target_translation)
       * rotation: w_r * (theta - theta0)
     """
+    from hectorgrapher_tpu.mapping import probability_values as pv
+
     valid = cloud.mask
     n = jnp.maximum(jnp.sum(valid), 1)
     pts = cloud.positions[:, :2]
-    prepared = prepare_probability_2d(grid)
+    prepared = prepare_field_2d_wide(
+        grid.probability(), grid.meta, pv.MIN_PROBABILITY, _GN_SLACK
+    )
     scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
     pose, cost = _lm_grid_2d(
         _ProbabilityCost(),
@@ -247,13 +300,16 @@ def match_gn_2d_tsdf(
     valid = cloud.mask
     n = jnp.maximum(jnp.sum(valid), 1)
     pts = cloud.positions[:, :2]
-    prepared = prepare_tsdf_2d(grid)
+    tsd_field = prepare_field_2d_wide(
+        grid.tsd, grid.meta, grid.truncation_distance, _GN_SLACK
+    )
+    weight_field = prepare_field_2d_wide(grid.weight, grid.meta, 0.0, _GN_SLACK)
     scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
     pose, cost = _lm_grid_2d(
         _TsdfCost(),
         lambda world: (
-            gather_rows_2d(prepared.tsd_field, world),
-            gather_rows_2d(prepared.weight_field, world),
+            gather_rows_2d(tsd_field, world),
+            gather_rows_2d(weight_field, world),
         ),
         pts,
         valid,

@@ -363,6 +363,40 @@ def prepare_field_2d(values, meta: GridMeta, pad_value) -> PreparedField2D:
     )
 
 
+def prepare_field_2d_wide(values, meta: GridMeta, pad_value, slack: int) -> PreparedField2D:
+    """Bicubic patch matrix widened by `slack` cells per side: row c holds
+    the (4+2*slack)^2 neighborhood at c + (-1-slack .. 2+slack)^2.
+
+    Row gathers are row-count-bound on TPU, not byte-bound, so one wide
+    row costs the same as a 16-tap row — but it serves EVERY bicubic
+    lookup whose base cell lies within `slack` cells of c, which lets the
+    GN solver gather once and run all LM iterations from carried rows."""
+    nx, ny = values.shape
+    w = 4 + 2 * slack
+    lo = 1 + slack  # window starts at base cell - (1 + slack)
+    hi = 2 + slack
+    # One patch-extraction op, not w*w dynamic slices — those compile to
+    # ~w^2 separate kernels when the grid is a runtime argument and
+    # dominate the match (same lesson as the correlative kernel's
+    # _wide_patch_table). Channel order is (dx, dy) row-major.
+    padded = jnp.pad(values, ((lo, hi), (lo, hi)), constant_values=pad_value)
+    patches = jax.lax.conv_general_dilated_patches(
+        padded[None, None, :, :].astype(jnp.float32),
+        filter_shape=(w, w),
+        window_strides=(1, 1),
+        padding="VALID",
+    )  # (1, w*w, nx, ny)
+    table = patches[0].reshape(w * w, nx * ny).T
+    table = jnp.concatenate(
+        [table, jnp.full((1, w * w), pad_value, jnp.float32)], axis=0
+    )
+    return PreparedField2D(
+        patches=table,
+        meta=meta,
+        dims=jnp.asarray(values.shape, jnp.int32),
+    )
+
+
 def interp_prepared_2d(field: PreparedField2D, points):
     nx, ny = field.dims[0], field.dims[1]
     u = (points - field.meta.min_corner) / field.meta.resolution - 0.5

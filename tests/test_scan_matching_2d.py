@@ -142,3 +142,42 @@ class TestCorrelativeGroupedVsDense:
         dense = np.asarray(score_volume_dense(qgrid, cloud, initial, window))
         score, pose = match_correlative_2d(qgrid, cloud, initial, window, 0.0, 0.0)
         np.testing.assert_allclose(float(score), dense.max(), rtol=2e-3, atol=2e-3)
+
+
+class TestWideCarriedRowsExact:
+    """The wide-carried-rows LM must read the TRUE grid values at the
+    final pose: recomputing the occupied-space cost with direct bicubic
+    interpolation at the returned pose must reproduce the returned cost
+    (the carried patch covers the whole refinement motion)."""
+
+    def test_final_cost_matches_direct_interpolation(self):
+        from hectorgrapher_tpu.mapping import probability_values as pv
+        from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+            interp_bicubic_2d,
+        )
+
+        grid, cloud = build_room_grid_and_scan()
+        # Refinement motion here stays within the carried patch's slack
+        # envelope (per-axis base-cell shift <= 3 cells); beyond it the
+        # carried evaluation degrades gracefully instead of re-gathering.
+        initial = Rigid2(
+            translation=jnp.array([0.04, -0.03], jnp.float32),
+            angle=jnp.asarray(0.01, jnp.float32),
+        )
+        tw, rw = 0.3, 1.0
+        pose, cost = match_gn_2d_probability(
+            grid, cloud, initial, initial.translation,
+            occupied_space_weight=1.0, translation_weight=tw, rotation_weight=rw,
+            num_iterations=15,
+        )
+        pts = cloud.positions[:, :2]
+        world = apply2(pose, pts)
+        p = interp_bicubic_2d(grid.probability(), grid.meta, world, pv.MIN_PROBABILITY)
+        n = jnp.maximum(jnp.sum(cloud.mask), 1)
+        r = jnp.where(cloud.mask, 1.0 - p, 0.0) / jnp.sqrt(n.astype(jnp.float32))
+        dt = pose.translation - initial.translation
+        dth = pose.angle - initial.angle
+        direct = 0.5 * (
+            jnp.sum(r * r) + tw**2 * jnp.sum(dt * dt) + rw**2 * dth * dth
+        )
+        np.testing.assert_allclose(float(cost), float(direct), rtol=1e-5, atol=1e-7)
