@@ -96,6 +96,7 @@ def _lm_grid_2d(
     init_lambda: float = 1e-4,
     min_lambda: float = 1e-10,
     max_lambda: float = 1e6,
+    function_tolerance: float = 1e-6,
 ):
     """Wide-carried-rows LM over (tx, ty, theta) against a prepared field.
 
@@ -104,6 +105,13 @@ def _lm_grid_2d(
     derivative (0 where the residual is hard-gated). gather_fn(world)
     returns the pytree of (N, (4+2*slack)^2) wide rows for world xy
     positions — called exactly ONCE, at the initial pose.
+
+    Termination mirrors Ceres (the reference's solver): at most
+    num_iterations (ceres_solver_options.max_num_iterations,
+    trajectory_builder_2d.lua:51), stopping early once an accepted step
+    decreases the cost by less than function_tolerance * cost (Ceres
+    default 1e-6). Under vmap the loop runs until every lane converges;
+    converged lanes are frozen.
     """
     theta0 = initial_pose.angle
     res = meta.resolution
@@ -177,11 +185,15 @@ def _lm_grid_2d(
     # value_of_rows' structure; defined below per cost type.
     value_grad_rows = value_of_rows.grad_rows
 
-    def step(carry, _):
+    def cond(carry):
+        it, done, *_ = carry
+        return (it < num_iterations) & ~done
+
+    def step(carry):
         # The current pose's residuals/aux are CARRIED from the iteration
         # that accepted it (terms() per iteration: one for the trial, none
         # for the incumbent — one fewer full row pass).
-        pose, lam, cost, r_occ, aux = carry
+        it, done, pose, lam, cost, r_occ, aux = carry
         jtj, g = jacobian(pose, r_occ, aux)
         diag = jnp.diagonal(jtj)
         damped = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-12)) + 1e-12 * jnp.eye(3, dtype=jtj.dtype)
@@ -190,24 +202,33 @@ def _lm_grid_2d(
         cost_new, r_occ_new, aux_new = terms(pose_new)
         accept = cost_new < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
+        done_next = done | (accept & (cost - cost_new <= function_tolerance * cost))
         sel = lambda a, b: jnp.where(accept, b, a)
-        carry_next = (
+        return (
+            it + 1,
+            done_next,
             jax.tree.map(sel, pose, pose_new),
             lam_next,
             jnp.where(accept, cost_new, cost),
             jax.tree.map(sel, r_occ, r_occ_new),
             jax.tree.map(sel, aux, aux_new),
         )
-        return carry_next, carry_next[2]
 
     cost0, r_occ0, aux0 = terms(initial_pose)
-    (pose_f, _, cost_f, _, _), _ = jax.lax.scan(
+    carry = jax.lax.while_loop(
+        cond,
         step,
-        (initial_pose, jnp.asarray(init_lambda, jnp.float32), cost0, r_occ0, aux0),
-        None,
-        length=num_iterations,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            initial_pose,
+            jnp.asarray(init_lambda, jnp.float32),
+            cost0,
+            r_occ0,
+            aux0,
+        ),
     )
-    return pose_f, cost_f
+    return carry[2], carry[4]
 
 
 class _ProbabilityCost:
@@ -322,3 +343,33 @@ def match_gn_2d_tsdf(
         num_iterations,
     )
     return pose, cost
+
+
+# ---------------------------------------------------------------------------
+# Batched refinement
+# ---------------------------------------------------------------------------
+
+
+def match_gn_2d_probability_batched(
+    grid,
+    clouds: PointCloud,
+    initial_poses: Rigid2,
+    target_translations,
+    occupied_space_weight,
+    translation_weight,
+    rotation_weight,
+    num_iterations: int = 20,
+):
+    """Batched CeresScanMatcher2D refinement over B independent matches.
+
+    vmap over the carried-rows LM; the while-loop termination runs until
+    every match in the batch converges (Ceres function_tolerance
+    semantics, see _lm_grid_2d)."""
+    return jax.vmap(
+        lambda cl, ip, tt: match_gn_2d_probability(
+            grid, cl, ip, tt,
+            occupied_space_weight, translation_weight, rotation_weight,
+            num_iterations=num_iterations,
+        ),
+        in_axes=(0, 0, 0),
+    )(clouds, initial_poses, target_translations)

@@ -363,7 +363,9 @@ def prepare_field_2d(values, meta: GridMeta, pad_value) -> PreparedField2D:
     )
 
 
-def prepare_field_2d_wide(values, meta: GridMeta, pad_value, slack: int) -> PreparedField2D:
+def prepare_field_2d_wide(
+    values, meta: GridMeta, pad_value, slack: int, lanes: int | None = None
+) -> PreparedField2D:
     """Bicubic patch matrix widened by `slack` cells per side: row c holds
     the (4+2*slack)^2 neighborhood at c + (-1-slack .. 2+slack)^2.
 
@@ -390,6 +392,10 @@ def prepare_field_2d_wide(values, meta: GridMeta, pad_value, slack: int) -> Prep
     table = jnp.concatenate(
         [table, jnp.full((1, w * w), pad_value, jnp.float32)], axis=0
     )
+    if lanes is not None and lanes > w * w:
+        # Zero-filled spare lanes (e.g. up to the 128-lane VPU tile for the
+        # pallas LM kernel); in-envelope kernel weights there are zero.
+        table = jnp.pad(table, ((0, 0), (0, lanes - w * w)))
     return PreparedField2D(
         patches=table,
         meta=meta,

@@ -181,3 +181,44 @@ class TestWideCarriedRowsExact:
             jnp.sum(r * r) + tw**2 * jnp.sum(dt * dt) + rw**2 * dth * dth
         )
         np.testing.assert_allclose(float(cost), float(direct), rtol=1e-5, atol=1e-7)
+
+
+class TestBatchedGN:
+    """The batched wrapper must reproduce the per-match path."""
+
+    def test_matches_single_path(self):
+        from hectorgrapher_tpu.mapping.scan_matching.gn_2d import (
+            match_gn_2d_probability_batched,
+        )
+        from hectorgrapher_tpu.sensor.types import PointCloud
+
+        grid, cloud = build_room_grid_and_scan()
+        rng = np.random.default_rng(7)
+        B = 3
+        offs = rng.uniform(-0.05, 0.05, (B, 2)).astype(np.float32)
+        angs = rng.uniform(-0.015, 0.015, B).astype(np.float32)
+        clouds = PointCloud(
+            positions=jnp.broadcast_to(
+                cloud.positions, (B,) + cloud.positions.shape
+            ),
+            mask=jnp.broadcast_to(cloud.mask, (B,) + cloud.mask.shape),
+        )
+        initials = Rigid2(translation=jnp.asarray(offs), angle=jnp.asarray(angs))
+        poses_b, costs_b = match_gn_2d_probability_batched(
+            grid, clouds, initials, initials.translation, 1.0, 10.0, 40.0,
+            num_iterations=8,
+        )
+        for i in range(B):
+            one = PointCloud(positions=clouds.positions[i], mask=clouds.mask[i])
+            pose_x, cost_x = match_gn_2d_probability(
+                grid, one,
+                Rigid2(translation=initials.translation[i], angle=initials.angle[i]),
+                initials.translation[i], 1.0, 10.0, 40.0, num_iterations=8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(poses_b.translation[i]),
+                np.asarray(pose_x.translation), atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                float(poses_b.angle[i]), float(pose_x.angle), atol=2e-4
+            )
