@@ -84,17 +84,17 @@ def _wide_patch_table(prob: jax.Array, k: int, half: int) -> jax.Array:
     pw = 2 * m + 1
     padded = jnp.pad(prob, 2 * m, constant_values=_UNKNOWN).astype(jnp.bfloat16)
     ex, ey = nx + 2 * m, ny + 2 * m
-    # One patch-extraction op (not pw*pw strided slices: those become ~121
-    # separate kernels when the grid is a runtime argument, dominating the
-    # match). Channel order is (a, b) row-major, matching the flat lane
-    # layout the combine matrix assumes.
-    patches = jax.lax.conv_general_dilated_patches(
-        padded[None, None, :, :],
-        filter_shape=(pw, pw),
-        window_strides=(1, 1),
-        padding="VALID",
-    )  # (1, pw*pw, ex, ey)
-    table = patches[0].reshape(pw * pw, ex * ey).T
+    # Two-stage shifted stack: pw x-slices then pw y-slices (2*pw kernels
+    # + one relayout) instead of pw^2 separate strided-slice kernels or an
+    # im2col conv (conv_general_dilated_patches measured 3.6 ms for a
+    # 256^2 grid — the convolution machinery, not the 18 MB of movement,
+    # is the cost). Channel order is (a, b) row-major, matching the flat
+    # lane layout the combine matrix assumes.
+    xs = jnp.stack([padded[dx : dx + ex, :] for dx in range(pw)])  # (pw, ex, ny+4m)
+    xy = jnp.stack(
+        [xs[:, :, dy : dy + ey] for dy in range(pw)], axis=1
+    )  # (pw_a, pw_b, ex, ey)
+    table = xy.transpose(2, 3, 0, 1).reshape(ex * ey, pw * pw)
     return jnp.concatenate(
         [table, jnp.full((1, pw * pw), _UNKNOWN, jnp.bfloat16)], axis=0
     )

@@ -377,18 +377,15 @@ def prepare_field_2d_wide(
     w = 4 + 2 * slack
     lo = 1 + slack  # window starts at base cell - (1 + slack)
     hi = 2 + slack
-    # One patch-extraction op, not w*w dynamic slices — those compile to
-    # ~w^2 separate kernels when the grid is a runtime argument and
-    # dominate the match (same lesson as the correlative kernel's
-    # _wide_patch_table). Channel order is (dx, dy) row-major.
-    padded = jnp.pad(values, ((lo, hi), (lo, hi)), constant_values=pad_value)
-    patches = jax.lax.conv_general_dilated_patches(
-        padded[None, None, :, :].astype(jnp.float32),
-        filter_shape=(w, w),
-        window_strides=(1, 1),
-        padding="VALID",
-    )  # (1, w*w, nx, ny)
-    table = patches[0].reshape(w * w, nx * ny).T
+    # Two-stage shifted stack (see correlative_2d._wide_patch_table): 2*w
+    # slice kernels + one relayout; both w^2 separate slices and an im2col
+    # conv are far slower. Channel order is (dx, dy) row-major.
+    padded = jnp.pad(
+        values.astype(jnp.float32), ((lo, hi), (lo, hi)), constant_values=pad_value
+    )
+    xs = jnp.stack([padded[dx : dx + nx, :] for dx in range(w)])  # (w, nx, ny+w)
+    xy = jnp.stack([xs[:, :, dy : dy + ny] for dy in range(w)], axis=1)
+    table = xy.transpose(2, 3, 0, 1).reshape(nx * ny, w * w)
     table = jnp.concatenate(
         [table, jnp.full((1, w * w), pad_value, jnp.float32)], axis=0
     )
