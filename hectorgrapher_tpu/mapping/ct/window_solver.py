@@ -475,8 +475,15 @@ def solve_ct_window_block(
     def cost_of(state):
         return assemble(state)[2]
 
-    def lm_step(carry, _):
-        state, lam = carry
+    def lm_cond(carry):
+        it, done = carry[0], carry[1]
+        return (it < num_iterations) & ~done
+
+    def lm_step(carry):
+        # Ceres-style termination (the reference drives this solve through
+        # Ceres, optimizing_local_trajectory_builder.cc): stop once an
+        # accepted step improves the cost by < function_tolerance * cost.
+        it, done, state, lam, cost_c = carry
         JtJ, g, cost = assemble(state)
         JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
         g = jnp.where(fixed, 0.0, g)
@@ -488,13 +495,22 @@ def solve_ct_window_block(
         accept = new_cost < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e6))
         state_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
-        return (state_next, lam_next), new_cost
+        done_next = done | (accept & (cost - new_cost <= 1e-6 * cost))
+        return (it + 1, done_next, state_next, lam_next, jnp.where(accept, new_cost, cost))
 
     initial_cost = cost_of(state0)
-    (state, _), _ = jax.lax.scan(
-        lm_step, (state0, jnp.asarray(1e-4, jnp.float32)), None, length=num_iterations
+    _, _, state, _, final_cost = jax.lax.while_loop(
+        lm_cond,
+        lm_step,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            state0,
+            jnp.asarray(1e-4, jnp.float32),
+            initial_cost,
+        ),
     )
-    return state, cost_of(state), initial_cost
+    return state, final_cost, initial_cost
 
 
 @functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point"))

@@ -160,8 +160,13 @@ def match_gn_3d(
         j_r = jnp.einsum("ni,nik->nk", dv, rot_cols)  # (N, 3)
         return r, jnp.concatenate([j_t, j_r], axis=-1)  # (N, 6)
 
-    def step(carry, _):
-        pose, lam, rows_hi, rows_lo, cost = carry
+    def cond(carry):
+        it, done = carry[0], carry[1]
+        return (it < num_iterations) & ~done
+
+    def step(carry):
+        # Ceres-style function_tolerance termination (see gn_2d).
+        it, done, pose, lam, rows_hi, rows_lo, cost = carry
         r_hi, J_hi = grid_jacobian(pose, rows_hi, prepared_hi, high_cloud, s_hi)
         r_lo, J_lo = grid_jacobian(pose, rows_lo, prepared_lo, low_cloud, s_lo)
 
@@ -199,14 +204,22 @@ def match_gn_3d(
         rows_hi_next = jax.tree.map(sel, rows_hi, rows_hi_new)
         rows_lo_next = jax.tree.map(sel, rows_lo, rows_lo_new)
         cost_next = jnp.where(accept, cost_new, cost)
-        return (pose_next, lam_next, rows_hi_next, rows_lo_next, cost_next), cost_next
+        done_next = done | (accept & (cost - cost_new <= 1e-6 * cost))
+        return (it + 1, done_next, pose_next, lam_next, rows_hi_next, rows_lo_next, cost_next)
 
     rows_hi0, rows_lo0 = gather_all(initial_pose)
     cost0 = cost_at(initial_pose, rows_hi0, rows_lo0)
-    (pose_f, _, _, _, cost_f), _ = jax.lax.scan(
+    carry = jax.lax.while_loop(
+        cond,
         step,
-        (initial_pose, jnp.asarray(1e-4, jnp.float32), rows_hi0, rows_lo0, cost0),
-        None,
-        length=num_iterations,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            initial_pose,
+            jnp.asarray(1e-4, jnp.float32),
+            rows_hi0,
+            rows_lo0,
+            cost0,
+        ),
     )
-    return pose_f, cost_f
+    return carry[2], carry[6]

@@ -66,6 +66,7 @@ def levenberg_marquardt(
     max_lambda: float = 1e6,
     fixed_mask: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    function_tolerance: float = 1e-6,
 ) -> SolveResult:
     """Minimize 0.5*||residual_fn(x)||^2 over the manifold.
 
@@ -75,6 +76,11 @@ def levenberg_marquardt(
 
     The Jacobian is dense (num_residuals, tangent_dim): suitable while
     tangent_dim is O(100). Larger problems (SPA) use solvers/cg.py.
+
+    Termination mirrors Ceres (the reference's solver throughout): at most
+    num_iterations, stopping once an accepted step improves the cost by
+    less than function_tolerance * cost (Ceres default 1e-6); pass
+    function_tolerance=0.0 to force the fixed iteration count.
     """
 
     def cost_of(x):
@@ -82,8 +88,12 @@ def levenberg_marquardt(
         r = f(jnp.zeros((tangent_dim,), dtype))
         return 0.5 * jnp.sum(r * r)
 
-    def step(carry, _):
-        x, lam = carry
+    def cond(carry):
+        it, done = carry[0], carry[1]
+        return (it < num_iterations) & ~done
+
+    def step(carry):
+        it, done, x, lam, cost_prev = carry
         f = _flat_residual(residual_fn, retract, x)
         zero = jnp.zeros((tangent_dim,), dtype)
         r = f(zero)
@@ -106,15 +116,26 @@ def levenberg_marquardt(
         accept = cost_new < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
         x_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_new)
-        return (x_next, lam_next), cost_new
+        done_next = done | (accept & (cost - cost_new <= function_tolerance * cost))
+        return (it + 1, done_next, x_next, lam_next, jnp.where(accept, cost_new, cost))
 
     initial_cost = cost_of(x0)
-    (x_final, _), costs = jax.lax.scan(step, (x0, jnp.asarray(init_lambda, dtype)), None, length=num_iterations)
+    it_final, _, x_final, _, final_cost = jax.lax.while_loop(
+        cond,
+        step,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            x0,
+            jnp.asarray(init_lambda, dtype),
+            initial_cost,
+        ),
+    )
     return SolveResult(
         x=x_final,
-        final_cost=cost_of(x_final),
+        final_cost=final_cost,
         initial_cost=initial_cost,
-        num_iterations=jnp.asarray(num_iterations),
+        num_iterations=it_final,
     )
 
 
