@@ -170,7 +170,7 @@ def main() -> None:
         print(f"ct bench failed: {e}", file=sys.stderr)
     try:
         spa_s = bench_spa()
-        print(f"spa_solve_50iters_64submaps_512nodes_s: {spa_s:.3f}", file=sys.stderr)
+        print(f"spa_solve_max50iters_ftol1e-6_64submaps_512nodes_s: {spa_s:.3f}", file=sys.stderr)
     except Exception as e:
         print(f"spa bench failed: {e}", file=sys.stderr)
 

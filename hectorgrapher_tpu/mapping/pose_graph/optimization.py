@@ -72,6 +72,69 @@ def _spa_schur_delta(j_s, j_n, r, c_submap, c_node, s_count, n_count,
     return _spa_schur_solve(blocks, fixed_s, fixed_n, lam)
 
 
+def _lm_drive(
+    eval_fn,
+    delta_of,
+    retract,
+    params0,
+    num_iterations: int,
+    init_lambda: float,
+    max_lambda: float = 1e8,
+    function_tolerance: float = 1e-6,
+):
+    """Carried-evaluation LM driver shared by every SPA solver.
+
+    eval_fn(params) -> (quantities, cost): ONE normal-equation assembly
+    per iteration — the trial evaluation is reused as the incumbent's on
+    accept (the scan-based loops paid 2-3 evaluations per iteration).
+    delta_of(quantities, lam) -> tangent step.
+
+    Termination mirrors Ceres (ref: pose_graph.lua ceres solver options):
+    at most num_iterations, stopping once an accepted step improves the
+    cost by less than function_tolerance * cost (Ceres default 1e-6);
+    function_tolerance=0.0 forces the full iteration count.
+    """
+
+    def cond(carry):
+        it, done = carry[0], carry[1]
+        return (it < num_iterations) & ~done
+
+    def body(carry):
+        it, done, params, lam, quant, cost = carry
+        delta = delta_of(quant, lam)
+        new_params = retract(params, delta)
+        new_quant, new_cost = eval_fn(new_params)
+        accept = new_cost < cost
+        sel = lambda a, b: jnp.where(accept, b, a)
+        lam_next = jnp.where(
+            accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, max_lambda)
+        )
+        done_next = done | (accept & (cost - new_cost <= function_tolerance * cost))
+        return (
+            it + 1,
+            done_next,
+            jax.tree.map(sel, params, new_params),
+            lam_next,
+            jax.tree.map(sel, quant, new_quant),
+            jnp.where(accept, new_cost, cost),
+        )
+
+    quant0, cost0 = eval_fn(params0)
+    carry = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            params0,
+            jnp.asarray(init_lambda, jnp.float32),
+            quant0,
+            cost0,
+        ),
+    )
+    return carry[2], carry[5]
+
+
 def _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
     """Block normal-equation operands, summed over the given constraints.
 
@@ -215,10 +278,6 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
         w = jnp.where(norm <= scale, 1.0, jnp.sqrt(scale / jnp.maximum(norm, 1e-12)))
         return r, w
 
-    def cost_of(params):
-        r, w = residuals_and_weights(params)
-        return 0.5 * jnp.sum((r * w[:, None]) ** 2)
-
     def per_constraint_jac(params, w):
         st, sq, nt, nq = params
 
@@ -251,27 +310,19 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
         [jnp.repeat(problem.submap_fixed, 6), jnp.repeat(problem.node_fixed, 6)]
     )
 
-    def lm_step(carry, _):
-        params, lam = carry
+    def eval_fn(params):
         _, w = residuals_and_weights(params)
         J, r = per_constraint_jac(params, w)  # (C, 6, 12), (C, 6)
         m = problem.c_mask[:, None, None]
         J = jnp.where(m, J, 0.0)
         r = jnp.where(problem.c_mask[:, None], r, 0.0)
-
-        delta = _spa_schur_delta(
-            J[:, :, :6], J[:, :, 6:], r,
-            problem.c_submap, problem.c_node, S, N,
-            problem.submap_fixed, problem.node_fixed, lam,
+        blocks = _spa_partial_blocks(
+            J[:, :, :6], J[:, :, 6:], r, problem.c_submap, problem.c_node, S, N
         )
+        return blocks, 0.5 * jnp.sum(r * r)
 
-        cost = cost_of(params)
-        new_params = retract(params, delta)
-        new_cost = cost_of(new_params)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
+    def delta_of(blocks, lam):
+        return _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
 
     params0 = (
         problem.submap_translation,
@@ -279,8 +330,10 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
         problem.node_translation,
         problem.node_rotation,
     )
-    (params, _), _ = jax.lax.scan(lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations)
-    return params + (cost_of(params),)
+    params, final_cost = _lm_drive(
+        eval_fn, delta_of, retract, params0, num_iterations, init_lambda
+    )
+    return params + (final_cost,)
 
 
 # ---------------------------------------------------------------------------
@@ -666,23 +719,17 @@ def solve_spa_3d_full(
             cost = cost + 0.5 * jnp.sum(r * r)
         return JtJ, g, cost
 
-    def cost_of(params):
-        return assemble(params)[2]
-
-    def lm_step(carry, _):
-        params, lam = carry
+    def eval_fn(params):
         JtJ, g, cost = assemble(params)
         JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
         g = jnp.where(fixed, 0.0, g)
+        return (JtJ, g), cost
+
+    def delta_of(quant, lam):
+        JtJ, g = quant
         diag = jnp.diag(JtJ)
         damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
-        delta = jnp.where(fixed, 0.0, -_chol_solve(damped, g))
-        new_params = retract(params, delta)
-        new_cost = cost_of(new_params)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
+        return jnp.where(fixed, 0.0, -_chol_solve(damped, g))
 
     params0 = (
         problem.submap_translation,
@@ -694,10 +741,10 @@ def solve_spa_3d_full(
         extras.traj_calibration,
         extras.traj_gravity,
     )
-    (params, _), _ = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
+    params, final_cost = _lm_drive(
+        eval_fn, delta_of, retract, params0, num_iterations, init_lambda
     )
-    return params + (cost_of(params),)
+    return params + (final_cost,)
 
 
 # ---------------------------------------------------------------------------
@@ -776,34 +823,29 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: f
 
         return jax.vmap(one)(jnp.arange(problem.c_submap.shape[0]))
 
-    def lm_step(carry, _):
-        params, lam = carry
+    def eval_fn(params):
         _, w = residuals_and_weights(params)
         J, r = per_constraint_jac(params, w)  # (C, 3, 6), (C, 3)
         m = problem.c_mask[:, None, None]
         J = jnp.where(m, J, 0.0)
         r = jnp.where(problem.c_mask[:, None], r, 0.0)
-
-        delta = _spa_schur_delta(
-            J[:, :, :3], J[:, :, 3:], r,
-            problem.c_submap, problem.c_node, S, N,
-            problem.submap_fixed, problem.node_fixed, lam,
+        blocks = _spa_partial_blocks(
+            J[:, :, :3], J[:, :, 3:], r, problem.c_submap, problem.c_node, S, N
         )
+        return blocks, 0.5 * jnp.sum(r * r)
 
-        cost = cost_of(params)
+    def delta_of(blocks, lam):
+        return _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
+
+    def retract(params, delta):
         sp, np_ = params
-        new_params = (sp + delta[: 3 * S].reshape(S, 3), np_ + delta[3 * S :].reshape(N, 3))
-        new_cost = cost_of(new_params)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
+        return (sp + delta[: 3 * S].reshape(S, 3), np_ + delta[3 * S :].reshape(N, 3))
 
     params0 = (problem.submap_pose, problem.node_pose)
-    (params, _), _ = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
+    params, final_cost = _lm_drive(
+        eval_fn, delta_of, retract, params0, num_iterations, init_lambda
     )
-    return params + (cost_of(params),)
+    return params + (final_cost,)
 
 
 # ---------------------------------------------------------------------------
@@ -998,28 +1040,28 @@ def solve_spa_2d_full(
             cost = cost + 0.5 * jnp.sum(r * r)
         return JtJ, g, cost
 
-    def lm_step(carry, _):
-        params, lam = carry
+    def eval_fn(params):
         JtJ, g, cost = assemble(params)
         JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
         g = jnp.where(fixed, 0.0, g)
+        return (JtJ, g), cost
+
+    def delta_of(quant, lam):
+        JtJ, g = quant
         diag = jnp.diag(JtJ)
         damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-8) + 1e-8) + jnp.diag(fixed.astype(jnp.float32))
-        delta = jnp.where(fixed, 0.0, -_chol_solve(damped, g))
+        return jnp.where(fixed, 0.0, -_chol_solve(damped, g))
+
+    def retract(params, delta):
         sp, np_, lp = params
-        new_params = (
+        return (
             sp + delta[: 3 * S].reshape(S, 3),
             np_ + delta[3 * S : 3 * (S + N)].reshape(N, 3),
             lp + delta[3 * (S + N) :].reshape(L, 3),
         )
-        new_cost = assemble(new_params)[2]
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
 
     params0 = (problem.submap_pose, problem.node_pose, extras.landmark_pose)
-    (params, _), costs = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(init_lambda, jnp.float32)), None, length=num_iterations
+    params, final_cost = _lm_drive(
+        eval_fn, delta_of, retract, params0, num_iterations, init_lambda
     )
-    return params + (costs[-1],)
+    return params + (final_cost,)

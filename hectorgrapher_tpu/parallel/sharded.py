@@ -37,6 +37,7 @@ from hectorgrapher_tpu.mapping.pose_graph.optimization import (
     SpaProblem3D,
     _constraint_residual_2d,
     _constraint_residual_3d,
+    _lm_drive,
     _spa_partial_blocks,
     _spa_schur_solve,
 )
@@ -122,23 +123,25 @@ def solve_spa_2d_sharded(problem: SpaProblem2D, mesh: Mesh, num_iterations: int 
             problem.c_huber_scale,
         )
 
-    def lm_step(carry, _):
-        params, lam = carry
-        blocks, cost = cost_and_blocks(params)
-        delta = _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
+    def retract(params, delta):
         sp, np_ = params
-        new_params = (sp + delta[: 3 * S].reshape(S, 3), np_ + delta[3 * S :].reshape(N, 3))
-        _, new_cost = cost_and_blocks(new_params)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
+        return (sp + delta[: 3 * S].reshape(S, 3), np_ + delta[3 * S :].reshape(N, 3))
 
     params0 = (problem.submap_pose, problem.node_pose)
-    (params, _), costs = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(1e-4, jnp.float32)), None, length=num_iterations
+    # Carried-evaluation LM with Ceres-style termination; one psum'd block
+    # assembly per iteration (the cond consumes replicated scalars, so the
+    # while_loop composes with the shard_map collectives).
+    params, final_cost = _lm_drive(
+        cost_and_blocks,
+        lambda blocks, lam: _spa_schur_solve(
+            blocks, problem.submap_fixed, problem.node_fixed, lam
+        ),
+        retract,
+        params0,
+        num_iterations,
+        1e-4,
     )
-    return params[0], params[1], costs[-1]
+    return params[0], params[1], final_cost
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "num_iterations"))
@@ -206,24 +209,20 @@ def solve_spa_3d_sharded(problem: SpaProblem3D, mesh: Mesh, num_iterations: int 
             quat_normalize(quat_multiply(nq, quat_from_axis_angle(dn[:, 3:]))),
         )
 
-    def lm_step(carry, _):
-        params, lam = carry
-        blocks, cost = cost_and_blocks(params)
-        delta = _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
-        new_params = retract(params, delta)
-        _, new_cost = cost_and_blocks(new_params)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e8))
-        params_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), params, new_params)
-        return (params_next, lam_next), new_cost
-
     params0 = (
         problem.submap_translation,
         problem.submap_rotation,
         problem.node_translation,
         problem.node_rotation,
     )
-    (params, _), costs = jax.lax.scan(
-        lm_step, (params0, jnp.asarray(1e-4, jnp.float32)), None, length=num_iterations
+    params, final_cost = _lm_drive(
+        cost_and_blocks,
+        lambda blocks, lam: _spa_schur_solve(
+            blocks, problem.submap_fixed, problem.node_fixed, lam
+        ),
+        retract,
+        params0,
+        num_iterations,
+        1e-4,
     )
-    return params + (costs[-1],)
+    return params + (final_cost,)
