@@ -495,7 +495,16 @@ def solve_ct_window_block(
         accept = new_cost < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e6))
         state_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
-        done_next = done | (accept & (cost - new_cost <= 1e-6 * cost))
+        x_norm = jnp.sqrt(
+            jnp.sum(state.translation**2)
+            + jnp.sum(state.velocity**2)
+            + state.rotation.shape[0]
+        )
+        done_next = (
+            done
+            | (accept & (cost - new_cost <= 1e-6 * cost))
+            | (jnp.linalg.norm(delta) <= 1e-7 * (x_norm + 1e-7))
+        )
         return (it + 1, done_next, state_next, lam_next, jnp.where(accept, new_cost, cost))
 
     initial_cost = cost_of(state0)

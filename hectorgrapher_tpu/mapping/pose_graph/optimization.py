@@ -81,6 +81,7 @@ def _lm_drive(
     init_lambda: float,
     max_lambda: float = 1e8,
     function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-7,
 ):
     """Carried-evaluation LM driver shared by every SPA solver.
 
@@ -91,8 +92,10 @@ def _lm_drive(
 
     Termination mirrors Ceres (ref: pose_graph.lua ceres solver options):
     at most num_iterations, stopping once an accepted step improves the
-    cost by less than function_tolerance * cost (Ceres default 1e-6);
-    function_tolerance=0.0 forces the full iteration count.
+    cost by less than function_tolerance * cost (Ceres default 1e-6) or
+    the attempted step shrinks below parameter_tolerance (Ceres's second
+    criterion — fires when damping has collapsed the step at a plateau).
+    Zero tolerances force the full iteration count.
     """
 
     def cond(carry):
@@ -110,6 +113,12 @@ def _lm_drive(
             accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, max_lambda)
         )
         done_next = done | (accept & (cost - new_cost <= function_tolerance * cost))
+        if parameter_tolerance > 0.0:
+            step_norm = jnp.sqrt(sum(jnp.sum(d * d) for d in jax.tree.leaves(delta)))
+            x_norm = jnp.sqrt(sum(jnp.sum(q * q) for q in jax.tree.leaves(params)))
+            done_next = done_next | (
+                step_norm <= parameter_tolerance * (x_norm + parameter_tolerance)
+            )
         return (
             it + 1,
             done_next,

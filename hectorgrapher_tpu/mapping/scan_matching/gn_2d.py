@@ -202,7 +202,12 @@ def _lm_grid_2d(
         cost_new, r_occ_new, aux_new = terms(pose_new)
         accept = cost_new < cost
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
-        done_next = done | (accept & (cost - cost_new <= function_tolerance * cost))
+        x_norm = jnp.sqrt(jnp.sum(pose.translation**2) + pose.angle**2)
+        done_next = (
+            done
+            | (accept & (cost - cost_new <= function_tolerance * cost))
+            | (jnp.linalg.norm(delta) <= 1e-7 * (x_norm + 1e-7))
+        )
         sel = lambda a, b: jnp.where(accept, b, a)
         return (
             it + 1,

@@ -204,7 +204,12 @@ def match_gn_3d(
         rows_hi_next = jax.tree.map(sel, rows_hi, rows_hi_new)
         rows_lo_next = jax.tree.map(sel, rows_lo, rows_lo_new)
         cost_next = jnp.where(accept, cost_new, cost)
-        done_next = done | (accept & (cost - cost_new <= 1e-6 * cost))
+        x_norm = jnp.sqrt(jnp.sum(pose.translation**2) + 1.0)  # unit quat
+        done_next = (
+            done
+            | (accept & (cost - cost_new <= 1e-6 * cost))
+            | (jnp.linalg.norm(delta) <= 1e-7 * (x_norm + 1e-7))
+        )
         return (it + 1, done_next, pose_next, lam_next, rows_hi_next, rows_lo_next, cost_next)
 
     rows_hi0, rows_lo0 = gather_all(initial_pose)

@@ -67,6 +67,7 @@ def levenberg_marquardt(
     fixed_mask: Optional[jax.Array] = None,
     dtype=jnp.float32,
     function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-7,
 ) -> SolveResult:
     """Minimize 0.5*||residual_fn(x)||^2 over the manifold.
 
@@ -79,8 +80,9 @@ def levenberg_marquardt(
 
     Termination mirrors Ceres (the reference's solver throughout): at most
     num_iterations, stopping once an accepted step improves the cost by
-    less than function_tolerance * cost (Ceres default 1e-6); pass
-    function_tolerance=0.0 to force the fixed iteration count.
+    less than function_tolerance * cost (Ceres default 1e-6) or the
+    attempted step shrinks below parameter_tolerance; zero tolerances
+    force the fixed iteration count.
     """
 
     def cost_of(x):
@@ -117,6 +119,11 @@ def levenberg_marquardt(
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
         x_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), x, x_new)
         done_next = done | (accept & (cost - cost_new <= function_tolerance * cost))
+        if parameter_tolerance > 0.0:
+            x_norm = jnp.sqrt(sum(jnp.sum(q * q) for q in jax.tree.leaves(x)))
+            done_next = done_next | (
+                jnp.linalg.norm(delta) <= parameter_tolerance * (x_norm + parameter_tolerance)
+            )
         return (it + 1, done_next, x_next, lam_next, jnp.where(accept, cost_new, cost))
 
     initial_cost = cost_of(x0)
