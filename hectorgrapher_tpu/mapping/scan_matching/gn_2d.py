@@ -267,7 +267,50 @@ class _TsdfCost:
         return jnp.sum(tsd_rows * dwx16, axis=-1), jnp.sum(tsd_rows * dwy16, axis=-1)
 
 
+@jax.jit
+def prepare_gn_probability_field(grid: ProbabilityGrid):
+    """Wide carried-row field for repeated probability-grid refinement.
+
+    Build once per grid VERSION and amortize across matches against it —
+    the analog of the reference's per-submap precomputation grids."""
+    from hectorgrapher_tpu.mapping import probability_values as pv
+
+    return prepare_field_2d_wide(
+        grid.probability(), grid.meta, pv.MIN_PROBABILITY, _GN_SLACK
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
+def _match_gn_2d_probability_field(
+    prepared,
+    cloud: PointCloud,
+    initial_pose: Rigid2,
+    target_translation,
+    occupied_space_weight,
+    translation_weight,
+    rotation_weight,
+    num_iterations: int = 20,
+) -> Tuple[Rigid2, jax.Array]:
+    valid = cloud.mask
+    n = jnp.maximum(jnp.sum(valid), 1)
+    pts = cloud.positions[:, :2]
+    scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
+    pose, cost = _lm_grid_2d(
+        _ProbabilityCost(),
+        lambda world: gather_rows_2d(prepared, world),
+        pts,
+        valid,
+        scale,
+        initial_pose,
+        target_translation,
+        translation_weight,
+        rotation_weight,
+        prepared.meta,
+        num_iterations,
+    )
+    return pose, cost
+
+
 def match_gn_2d_probability(
     grid: ProbabilityGrid,
     cloud: PointCloud,
@@ -285,29 +328,16 @@ def match_gn_2d_probability(
       * translation: w_t * (t - target_translation)
       * rotation: w_r * (theta - theta0)
     """
-    from hectorgrapher_tpu.mapping import probability_values as pv
-
-    valid = cloud.mask
-    n = jnp.maximum(jnp.sum(valid), 1)
-    pts = cloud.positions[:, :2]
-    prepared = prepare_field_2d_wide(
-        grid.probability(), grid.meta, pv.MIN_PROBABILITY, _GN_SLACK
-    )
-    scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
-    pose, cost = _lm_grid_2d(
-        _ProbabilityCost(),
-        lambda world: gather_rows_2d(prepared, world),
-        pts,
-        valid,
-        scale,
+    return _match_gn_2d_probability_field(
+        prepare_gn_probability_field(grid),
+        cloud,
         initial_pose,
         target_translation,
+        occupied_space_weight,
         translation_weight,
         rotation_weight,
-        prepared.meta,
-        num_iterations,
+        num_iterations=num_iterations,
     )
-    return pose, cost
 
 
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
@@ -364,15 +394,20 @@ def match_gn_2d_probability_batched(
     translation_weight,
     rotation_weight,
     num_iterations: int = 20,
+    prepared_field=None,
 ):
     """Batched CeresScanMatcher2D refinement over B independent matches.
 
     vmap over the carried-rows LM; the while-loop termination runs until
     every match in the batch converges (Ceres function_tolerance
-    semantics, see _lm_grid_2d)."""
+    semantics, see _lm_grid_2d). Pass prepared_field (from
+    prepare_gn_probability_field) to amortize the wide-row field across
+    calls against the same grid version."""
+    if prepared_field is None:
+        prepared_field = prepare_gn_probability_field(grid)
     return jax.vmap(
-        lambda cl, ip, tt: match_gn_2d_probability(
-            grid, cl, ip, tt,
+        lambda cl, ip, tt: _match_gn_2d_probability_field(
+            prepared_field, cl, ip, tt,
             occupied_space_weight, translation_weight, rotation_weight,
             num_iterations=num_iterations,
         ),

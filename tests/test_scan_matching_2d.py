@@ -222,3 +222,46 @@ class TestBatchedGN:
             np.testing.assert_allclose(
                 float(poses_b.angle[i]), float(pose_x.angle), atol=2e-4
             )
+
+
+class TestBatchedCorrelative:
+    """The batched matcher (pallas prep kernel, interpret mode on CPU)
+    must reproduce the per-match matcher exactly — the kernel evaluates
+    the same f32 expression tree for the cell discretization."""
+
+    def test_matches_single_path(self):
+        from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+            match_correlative_2d_batched,
+        )
+        from hectorgrapher_tpu.sensor.types import PointCloud
+
+        grid, cloud = build_room_grid_and_scan()
+        window = make_search_window(0.15, np.radians(6.0), 0.05, 10.0)
+        rng = np.random.default_rng(3)
+        B = 8
+        offs = rng.uniform(-0.1, 0.1, (B, 2)).astype(np.float32)
+        angs = rng.uniform(-0.05, 0.05, B).astype(np.float32)
+        clouds = PointCloud(
+            positions=jnp.broadcast_to(cloud.positions, (B,) + cloud.positions.shape),
+            mask=jnp.broadcast_to(cloud.mask, (B,) + cloud.mask.shape),
+        )
+        initials = Rigid2(translation=jnp.asarray(offs), angle=jnp.asarray(angs))
+        scores_b, poses_b = match_correlative_2d_batched(
+            grid, clouds, initials, window, 0.1, 0.1,
+            use_pallas=True, interpret=True,
+        )
+        for i in range(B):
+            one = PointCloud(positions=clouds.positions[i], mask=clouds.mask[i])
+            score, pose = match_correlative_2d(
+                grid, one,
+                Rigid2(translation=initials.translation[i], angle=initials.angle[i]),
+                window, 0.1, 0.1,
+            )
+            np.testing.assert_allclose(float(scores_b[i]), float(score), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(poses_b.translation[i]), np.asarray(pose.translation),
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                float(poses_b.angle[i]), float(pose.angle), atol=1e-6
+            )
