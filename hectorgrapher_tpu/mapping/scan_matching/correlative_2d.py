@@ -364,11 +364,22 @@ def _match_correlative_2d_batched_pallas(
     flat = flat[:b]
     delta_lin = delta_lin[:b]
 
-    scores = jax.vmap(
-        _scores_from_prep, in_axes=(None, 0, 0, 0, 0, None)
-    )(table, flat, delta_lin, valid, n_valid, window)
+    # Fused score assembly: one-hot + bucket dot + combine in one pallas
+    # kernel, producing scores in WIDE-LANE coordinates (lane ox*pw + oy).
+    from hectorgrapher_tpu.ops.pallas_corr2d import (
+        LANES,
+        correlative_scores_2d_batched,
+    )
 
-    # Penalty + argmax, batched (same math as match_correlative_2d).
+    table_p = jnp.pad(table, ((0, 0), (0, LANES - pw * pw)))
+    rows = jnp.take(table_p, flat, axis=0)  # (B, G, N, LANES) bf16
+    scores_wide = correlative_scores_2d_batched(
+        delta_lin, valid.astype(jnp.float32), rows,
+        n_groups=n_groups, gsz=gsz, pw=pw, interpret=interpret,
+    ) / n_valid[:, None, None].astype(jnp.float32)  # (B, T, LANES)
+
+    # Penalty + argmax on the wide-lane layout (same math as
+    # match_correlative_2d; non-window lanes masked to -1).
     offs = jnp.arange(-k, k + 1, dtype=jnp.int32)
     dxy = offs.astype(jnp.float32) * res
     dist = jnp.sqrt(dxy[:, None] ** 2 + dxy[None, :] ** 2)
@@ -378,12 +389,25 @@ def _match_correlative_2d_batched_pallas(
              + jnp.abs(thetas)[:, None, None] * rotation_delta_cost_weight)
             ** 2
         )
-    )
-    scores = scores * penalty[None]
-    scores = jnp.where((jnp.arange(t_pad) < n_th)[None, :, None, None], scores, -1.0)
+    )  # (T, d, d)
+    lane = jnp.arange(LANES)
+    ox = lane // pw
+    oy = lane % pw
+    in_window = (ox < d) & (oy < d) & (lane < pw * pw)
+    pen_wide = jnp.where(
+        in_window[None],
+        penalty[:, jnp.clip(ox, 0, d - 1), jnp.clip(oy, 0, d - 1)],
+        0.0,
+    )  # (T, LANES)
+    scores = scores_wide * pen_wide[None]
+    ok_t = (jnp.arange(t_pad) < n_th)[None, :, None]
+    scores = jnp.where(ok_t & in_window[None, None, :], scores, -1.0)
     flat_scores = scores.reshape(b, -1)
     best = jnp.argmax(flat_scores, axis=1)
-    ti, xi, yi = jnp.unravel_index(best, scores.shape[1:])
+    ti = best // LANES
+    p_lane = best % LANES
+    xi = p_lane // pw
+    yi = p_lane % pw
     best_poses = Rigid2(
         translation=initial_poses.translation
         + jnp.stack([dxy[xi], dxy[yi]], axis=-1),
