@@ -255,7 +255,6 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
     node_rotation, final_cost)."""
     S = problem.submap_translation.shape[0]
     N = problem.node_translation.shape[0]
-    D = 6 * (S + N)
 
     def retract(params, delta):
         st, sq, nt, nq = params
@@ -314,10 +313,6 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
             return J, r
 
         return jax.vmap(one)(jnp.arange(problem.c_submap.shape[0]))
-
-    fixed = jnp.concatenate(
-        [jnp.repeat(problem.submap_fixed, 6), jnp.repeat(problem.node_fixed, 6)]
-    )
 
     def eval_fn(params):
         _, w = residuals_and_weights(params)
@@ -789,7 +784,6 @@ def _constraint_residual_2d(sub, node, rel, wt, wr):
 def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: float = 1e-4):
     S = problem.submap_pose.shape[0]
     N = problem.node_pose.shape[0]
-    D = 3 * (S + N)
 
     def residuals_and_weights(params):
         sp, np_ = params
@@ -805,12 +799,6 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: f
         scale = problem.c_huber_scale
         w = jnp.where(norm <= scale, 1.0, jnp.sqrt(scale / jnp.maximum(norm, 1e-12)))
         return r, w
-
-    def cost_of(params):
-        r, w = residuals_and_weights(params)
-        return 0.5 * jnp.sum((r * w[:, None]) ** 2)
-
-    fixed = jnp.concatenate([jnp.repeat(problem.submap_fixed, 3), jnp.repeat(problem.node_fixed, 3)])
 
     def per_constraint_jac(params, w):
         sp, np_ = params

@@ -33,12 +33,18 @@ from hectorgrapher_tpu.mapping.pose_graph.optimization import (
 )
 from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
     make_fast_search_config,
-    match_fast_2d,
+    match_fast_2d_prepared,
+    prepare_fast_matcher_2d,
 )
 from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
     FastCorrelativeScanMatcher3D,
 )
-from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_probability, match_gn_2d_tsdf
+from hectorgrapher_tpu.mapping.scan_matching.gn_2d import (
+    _match_gn_2d_probability_field,
+    _match_gn_2d_tsdf_fields,
+    prepare_gn_probability_field,
+    prepare_gn_tsdf_fields,
+)
 from hectorgrapher_tpu.mapping.scan_matching.gn_3d import match_gn_3d
 from hectorgrapher_tpu.mapping.grids import TSDFGrid
 from hectorgrapher_tpu.sensor.types import PointCloud
@@ -405,6 +411,8 @@ class PoseGraph2D(PoseGraphBase):
     def __init__(self, options, max_scan_range: float = 30.0):
         super().__init__(options)
         self._max_scan_range = max_scan_range
+        # submap_index -> (pyramid depth, PreparedFastMatcher2D, GN fields)
+        self._matcher_cache: Dict[int, tuple] = {}
         self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._landmark_ids: Dict[str, int] = {}
@@ -542,7 +550,25 @@ class PoseGraph2D(PoseGraphBase):
         return extras
 
     def _on_submap_finished(self, submap_index: int) -> None:
-        pass  # pyramid built lazily inside match_fast_2d
+        pass  # matcher built lazily on first constraint candidate
+
+    def _submap_matcher(self, submap_index: int, depth: int):
+        """Per-submap precomputation, built once per finished submap and
+        reused across every candidate scored against it (ref:
+        constraint_builder_2d.cc DispatchScanMatcherConstruction /
+        SubmapScanMatcher). Constraints only target finished submaps, so
+        the cached artifacts never go stale."""
+        cached = self._matcher_cache.get(submap_index)
+        if cached is not None and cached[0] == depth:
+            return cached[1], cached[2]
+        grid = self.submaps[submap_index].submap.grid
+        fast = prepare_fast_matcher_2d(grid, depth)
+        if isinstance(grid, TSDFGrid):
+            gn = prepare_gn_tsdf_fields(grid)
+        else:
+            gn = prepare_gn_probability_field(grid)
+        self._matcher_cache[submap_index] = (depth, fast, gn)
+        return fast, gn
 
     def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
@@ -584,15 +610,16 @@ class PoseGraph2D(PoseGraphBase):
                 cb.fast_correlative_scan_matcher.branch_and_bound_depth,
             )
             min_score = cb.min_score
-        score, pose = match_fast_2d(submap.grid, node.cloud, initial, config)
+        fast, gn_prepared = self._submap_matcher(submap_index, config.depth)
+        score, pose = match_fast_2d_prepared(fast, node.cloud, initial, config)
         if float(score) < min_score:
             return None
 
         cm = cb.ceres_scan_matcher
         is_tsdf = isinstance(submap.grid, TSDFGrid)
-        refine = match_gn_2d_tsdf if is_tsdf else match_gn_2d_probability
+        refine = _match_gn_2d_tsdf_fields if is_tsdf else _match_gn_2d_probability_field
         refined, _ = refine(
-            submap.grid,
+            gn_prepared,
             node.cloud,
             pose,
             pose.translation,

@@ -346,6 +346,11 @@ def _match_correlative_2d_batched_pallas(
         ],
         axis=1,
     )
+    n_pad = -n_pts % 128
+    if n_pad:
+        # Lane-tile alignment for the kernels; padded points carry mask 0.
+        pts = jnp.pad(pts, ((0, 0), (0, n_pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, n_pad)))
     b_pad = -b % TILE_B
     pad = lambda a: jnp.pad(a, ((0, b_pad),) + ((0, 0),) * (a.ndim - 1))
     flat, delta_lin = correlative_prep_2d_batched(
@@ -416,6 +421,19 @@ def _match_correlative_2d_batched_pallas(
     return jnp.take_along_axis(flat_scores, best[:, None], axis=1)[:, 0], best_poses
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _match_correlative_2d_batched_xla(
+    grid, clouds, initial_poses, window,
+    translation_delta_cost_weight, rotation_delta_cost_weight,
+):
+    return jax.vmap(
+        lambda c, p: match_correlative_2d(
+            grid, c, p, window,
+            translation_delta_cost_weight, rotation_delta_cost_weight,
+        )
+    )(clouds, initial_poses)
+
+
 def match_correlative_2d_batched(
     grid: ProbabilityGrid,
     clouds: PointCloud,
@@ -436,16 +454,18 @@ def match_correlative_2d_batched(
     evaluates the same f32 expression tree)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    k, gsz, half, m, pw, n_th, n_groups = _window_geometry(window)
+    if pw * pw > 128:
+        # The fused score kernel packs the pw^2 wide-patch lanes into one
+        # 128-lane tile (and its lane-rolls assume no wraparound), which
+        # holds for linear windows up to 3 cells (pw = 11). Wider windows
+        # take the per-match XLA path.
+        use_pallas = False
     if not use_pallas and not interpret:
-        return jax.jit(
-            jax.vmap(
-                lambda c, p: match_correlative_2d(
-                    grid, c, p, window,
-                    translation_delta_cost_weight, rotation_delta_cost_weight,
-                ),
-            ),
-            static_argnames=(),
-        )(clouds, initial_poses)
+        return _match_correlative_2d_batched_xla(
+            grid, clouds, initial_poses, window,
+            translation_delta_cost_weight, rotation_delta_cost_weight,
+        )
     if prepared_table is None:
         prepared_table = prepare_correlative_table(grid, window)
     return _match_correlative_2d_batched_pallas(

@@ -70,7 +70,32 @@ def make_fast_search_config(
     return FastSearchConfig(num_angles, angle_step, linear_cells, depth, top_k)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+class PreparedFastMatcher2D(NamedTuple):
+    """Per-submap precomputation (the reference's SubmapScanMatcher /
+    PrecomputationGridStack2D, constraint_builder_2d.cc
+    DispatchScanMatcherConstruction): build ONCE per finished submap and
+    reuse across every constraint candidate scored against it."""
+
+    flat_levels: jax.Array  # (depth, nx*ny + 1) pyramid levels + OOB slot
+    meta: object  # GridMeta
+    dims: jax.Array  # (2,) int32
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def prepare_fast_matcher_2d(grid: ProbabilityGrid, depth: int) -> PreparedFastMatcher2D:
+    prob = grid.probability()
+    pyramid = precompute_pyramid_2d(prob, depth)
+    # Pad each level with a slot row for out-of-bounds (score 0.1).
+    flat_levels = jnp.stack(
+        [jnp.concatenate([p.reshape(-1), jnp.array([0.1], p.dtype)]) for p in pyramid]
+    )
+    return PreparedFastMatcher2D(
+        flat_levels=flat_levels,
+        meta=grid.meta,
+        dims=jnp.asarray(prob.shape, jnp.int32),
+    )
+
+
 def match_fast_2d(
     grid: ProbabilityGrid,
     cloud: PointCloud,
@@ -82,12 +107,21 @@ def match_fast_2d(
     Score is the mean occupancy probability at hit cells (same scale as
     the reference's CandidateScore; min_score gates apply outside).
     """
-    prob = grid.probability()
-    nx, ny = prob.shape
-    res = grid.meta.resolution
-    pyramid = precompute_pyramid_2d(prob, config.depth)
-    # Pad each level with a slot row for out-of-bounds (score 0.1).
-    flat_levels = jnp.stack([jnp.concatenate([p.reshape(-1), jnp.array([0.1], p.dtype)]) for p in pyramid])
+    return match_fast_2d_prepared(
+        prepare_fast_matcher_2d(grid, config.depth), cloud, initial_pose, config
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def match_fast_2d_prepared(
+    prepared: PreparedFastMatcher2D,
+    cloud: PointCloud,
+    initial_pose: Rigid2,
+    config: FastSearchConfig,
+) -> Tuple[jax.Array, Rigid2]:
+    flat_levels = prepared.flat_levels
+    nx, ny = prepared.dims[0], prepared.dims[1]
+    res = prepared.meta.resolution
 
     n_th = 2 * config.num_angles + 1
     thetas = (jnp.arange(n_th, dtype=jnp.float32) - config.num_angles) * config.angle_step
@@ -98,7 +132,7 @@ def match_fast_2d(
     n_valid = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
 
     rotated = rot2(angles[:, None], pts[None, :, :]) + initial_pose.translation[None, None, :]
-    base_idx = cell_index(grid.meta, rotated)  # (T, N, 2)
+    base_idx = cell_index(prepared.meta, rotated)  # (T, N, 2)
 
     def score_candidates(level: int, cand_t, cand_ox, cand_oy):
         """Mean pooled probability for candidates (K,) at pyramid level."""

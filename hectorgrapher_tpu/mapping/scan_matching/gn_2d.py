@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
 from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
-    _cubic_weights_and_derivs,
     gather_rows_2d,
     prepare_field_2d_wide,
 )
@@ -340,7 +339,16 @@ def match_gn_2d_probability(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_iterations",))
+@jax.jit
+def prepare_gn_tsdf_fields(grid: TSDFGrid):
+    """Wide carried-row (tsd, weight) fields for repeated TSDF refinement
+    (build once per grid version; see prepare_gn_probability_field)."""
+    return (
+        prepare_field_2d_wide(grid.tsd, grid.meta, grid.truncation_distance, _GN_SLACK),
+        prepare_field_2d_wide(grid.weight, grid.meta, 0.0, _GN_SLACK),
+    )
+
+
 def match_gn_2d_tsdf(
     grid: TSDFGrid,
     cloud: PointCloud,
@@ -353,13 +361,28 @@ def match_gn_2d_tsdf(
 ) -> Tuple[Rigid2, jax.Array]:
     """Refine pose against a 2D TSDF (ref: tsdf_match_cost_function_2d.cc —
     residual is the interpolated TSD at each transformed point)."""
+    return _match_gn_2d_tsdf_fields(
+        prepare_gn_tsdf_fields(grid), cloud, initial_pose, target_translation,
+        occupied_space_weight, translation_weight, rotation_weight,
+        num_iterations=num_iterations,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def _match_gn_2d_tsdf_fields(
+    fields,
+    cloud: PointCloud,
+    initial_pose: Rigid2,
+    target_translation,
+    occupied_space_weight,
+    translation_weight,
+    rotation_weight,
+    num_iterations: int = 20,
+) -> Tuple[Rigid2, jax.Array]:
+    tsd_field, weight_field = fields
     valid = cloud.mask
     n = jnp.maximum(jnp.sum(valid), 1)
     pts = cloud.positions[:, :2]
-    tsd_field = prepare_field_2d_wide(
-        grid.tsd, grid.meta, grid.truncation_distance, _GN_SLACK
-    )
-    weight_field = prepare_field_2d_wide(grid.weight, grid.meta, 0.0, _GN_SLACK)
     scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
     pose, cost = _lm_grid_2d(
         _TsdfCost(),
@@ -374,7 +397,7 @@ def match_gn_2d_tsdf(
         target_translation,
         translation_weight,
         rotation_weight,
-        prepared.tsd_field.meta,
+        tsd_field.meta,
         num_iterations,
     )
     return pose, cost

@@ -14,9 +14,11 @@ Design:
   * Dense normal equations: J^T J is (dim, dim) with dim <= a few hundred
     (3 for 2D matching, 6-7 for 3D, ~10*K for the CT window) — a dense
     Cholesky on the MXU beats any sparse scheme at this size.
-  * Fixed iteration count under lax.fori_loop with classic LM damping
-    (multiplicative lambda update on accept/reject), so the whole solve
-    jits to one XLA program with static shapes.
+  * One lax.while_loop with classic LM damping (multiplicative lambda
+    update on accept/reject) and Ceres-style function/parameter tolerance
+    termination, capped at num_iterations — the whole solve jits to one
+    XLA program with static shapes; pass zero tolerances for a fixed
+    iteration count.
   * Optional per-coordinate freezing via `fixed_mask` (replaces Ceres's
     SetParameterBlockConstant / SubsetParameterization).
 

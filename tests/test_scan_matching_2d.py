@@ -265,3 +265,39 @@ class TestBatchedCorrelative:
             np.testing.assert_allclose(
                 float(poses_b.angle[i]), float(pose.angle), atol=1e-6
             )
+
+
+class TestGaussNewtonTsdf2D:
+    """TSDF refinement path (ref: tsdf_match_cost_function_2d.cc)."""
+
+    def test_refines_small_offset_on_tsdf(self):
+        from hectorgrapher_tpu.common.config import TSDFRangeDataInserterOptions2D
+        from hectorgrapher_tpu.mapping.grids import make_tsdf_grid
+        from hectorgrapher_tpu.mapping.inserters_2d import make_tsdf_inserter_2d
+        from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_tsdf
+
+        grid = make_tsdf_grid(0.05, (512, 512), truncation_distance=0.3, max_weight=10.0)
+        insert = make_tsdf_inserter_2d(
+            TSDFRangeDataInserterOptions2D(), resolution=0.05
+        )
+        pts = raycast_rect_room_2d(np.zeros(2), 0.0, num_rays=720)
+        valid = ~np.isnan(pts[:, 0])
+        cloud = pad_cloud(pts[valid].astype(np.float32), 1024)
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=cloud,
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+        )
+        for _ in range(5):
+            grid = insert(grid, rd)
+        initial = Rigid2(
+            translation=jnp.array([0.05, -0.04], jnp.float32),
+            angle=jnp.asarray(0.015, jnp.float32),
+        )
+        pose, cost = match_gn_2d_tsdf(
+            grid, cloud, initial, initial.translation,
+            occupied_space_weight=1.0, translation_weight=0.1, rotation_weight=0.1,
+            num_iterations=20,
+        )
+        np.testing.assert_allclose(np.asarray(pose.translation), [0.0, 0.0], atol=0.03)
+        np.testing.assert_allclose(float(pose.angle), 0.0, atol=0.01)
