@@ -143,6 +143,13 @@ class MapBuilderServer:
                     builder.add_imu_data(*payload)
                 elif kind == "odometry":
                     builder.add_odometry_data(*payload)
+            except Exception:
+                # One bad item (unknown trajectory, malformed payload) must
+                # not kill the SLAM thread: a dead thread deadlocks every
+                # RPC waiting on _sensor_queue.join().
+                import traceback
+
+                traceback.print_exc()
             finally:
                 self._sensor_queue.task_done()
 

@@ -33,6 +33,7 @@ class LocalTrajectoryUploader:
         self._thread: Optional[threading.Thread] = None
         self._local_to_uplink_trajectory: Dict[int, int] = {}
         self._pending_trajectories: Dict[int, None] = {}
+        self._inflight_batch = False  # worker holds dequeued-but-unsent items
         self.num_batches_uploaded = 0
         self.num_recoveries = 0
 
@@ -51,7 +52,9 @@ class LocalTrajectoryUploader:
 
     def wait_until_idle(self, timeout: float = 10.0) -> None:
         deadline = time.monotonic() + timeout
-        while not self._queue.empty() and time.monotonic() < deadline:
+        while (
+            not self._queue.empty() or self._inflight_batch
+        ) and time.monotonic() < deadline:
             time.sleep(0.02)
 
     # -- API used by the serving MapBuilderServer --------------------------
@@ -98,10 +101,26 @@ class LocalTrajectoryUploader:
 
     def _process_queue(self) -> None:
         batch: List = []
+
+        def send(batch):
+            self._ensure_trajectories()
+            items = [
+                {
+                    "trajectory_id": self._local_to_uplink_trajectory[tid],
+                    "kind": kind,
+                    "payload": payload,
+                }
+                for tid, kind, payload in batch
+                if tid in self._local_to_uplink_trajectory
+            ]
+            self._call("AddSensorDataBatch", {"items": items})
+            self.num_batches_uploaded += 1
+
         while not self._shutdown.is_set():
             try:
                 item = self._queue.get(timeout=self.POP_TIMEOUT)
                 batch.append(item)
+                self._inflight_batch = True
                 self._queue.task_done()
             except queue.Empty:
                 pass
@@ -110,20 +129,21 @@ class LocalTrajectoryUploader:
             if len(batch) < self.BATCH_SIZE and not self._queue.empty():
                 continue  # keep batching
             try:
-                self._ensure_trajectories()
-                items = [
-                    {
-                        "trajectory_id": self._local_to_uplink_trajectory[tid],
-                        "kind": kind,
-                        "payload": payload,
-                    }
-                    for tid, kind, payload in batch
-                    if tid in self._local_to_uplink_trajectory
-                ]
-                self._call("AddSensorDataBatch", {"items": items})
-                self.num_batches_uploaded += 1
+                send(batch)
                 batch = []
+                self._inflight_batch = False
             except Exception:
                 # Buffer and retry after recovery (bounded backoff).
                 time.sleep(self.RECOVERY_INTERVAL)
                 self._try_recovery()
+        if batch:
+            # Final flush on shutdown: one attempt, then surface the loss
+            # instead of silently dropping the trajectory tail.
+            try:
+                send(batch)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "uplink shutdown dropped %d unsent sensor items", len(batch)
+                )

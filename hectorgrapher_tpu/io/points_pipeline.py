@@ -366,7 +366,12 @@ class OutlierRemovingPointsProcessor(PointsProcessor):
                 k = (int(c[0]), int(c[1]), int(c[2]))
                 self._hits[k] = self._hits.get(k, 0) + 1
         elif self._phase == 2:
-            # Sample each beam every voxel_size; count rays through hit voxels.
+            # Sample each beam every voxel_size; count rays through hit
+            # voxels. Faithful to the reference INCLUDING its endpoint
+            # behavior (outlier_removing_points_processor.cc:107 samples
+            # x in [0, length) so ~half of rays count a pass-through in
+            # their own hit voxel — upstream carries a TODO about it; we
+            # keep identical semantics rather than 'fixing' parity).
             for p in batch.points:
                 delta = np.asarray(p, np.float64) - batch.origin
                 length = float(np.linalg.norm(delta))

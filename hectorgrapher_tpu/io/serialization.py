@@ -96,8 +96,22 @@ def _cloud_from_payload(prefix: str, data) -> Optional[PointCloud]:
     return PointCloud(positions=jnp.asarray(data[key]), mask=jnp.asarray(data[f"{prefix}_mask"]))
 
 
+import contextlib
+
+
 def save_state(pose_graph, path: str) -> None:
-    """Serialize the pose graph (nodes, submaps, constraints) to .npz."""
+    """Serialize the pose graph (nodes, submaps, constraints) to .npz.
+
+    Takes the pose graph's host lock (if present) for the whole snapshot:
+    with the async work queue, a background constraint append between the
+    index pass and the zbar pass would desynchronize
+    index['constraints'] from constraint_zbars."""
+    lock = getattr(pose_graph, "_lock", None) or contextlib.nullcontext()
+    with lock:
+        _save_state_locked(pose_graph, path)
+
+
+def _save_state_locked(pose_graph, path: str) -> None:
     arrays: Dict[str, np.ndarray] = {}
     index: Dict = {
         "magic": MAGIC,

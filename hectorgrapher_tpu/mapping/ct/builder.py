@@ -603,6 +603,11 @@ class OptimizingLocalTrajectoryBuilder:
         if not self._active_submaps.submaps:
             # Map init: accumulate all clouds before the last control point
             # assuming the (identity-ish) interpolated states (:1297-1329).
+            # Deliberately WITHOUT popping — the reference keeps
+            # point_cloud_data_ intact here too (:1301-1329 never pops);
+            # the bootstrap insertion gives the first submap content to
+            # match against, and the same clouds are later re-inserted
+            # with their optimized poses when they leave the horizon.
             for pcs in self._clouds:
                 if pcs.time < self._control_points[-1].time:
                     tf = inv.compose(self._interp_cp_pose(pcs.time))

@@ -145,8 +145,11 @@ def calibrate_imu_static(
     """Static IMU calibration: gravity constant + accel scale matrix.
 
     (ref: internal/3d/imu_static_calibration.h CalibrateIMU — assumes the
-    robot is static during initialization; estimates the gravity constant
-    from the mean acceleration magnitude and a diagonal scale correction.)
+    robot is static during initialization; the scale correction rescales
+    the mean acceleration magnitude to the given gravity constant, which
+    stays the authoritative gravity for integration. Returning the RAW
+    norm as the gravity constant while also rescaling would leave a
+    constant vertical acceleration bias in every window solve.)
     Returns (gravity_constant, 3x3 linear_acceleration_calibration).
     """
     if len(linear_accelerations) == 0:
@@ -156,7 +159,7 @@ def calibrate_imu_static(
     if norm < 1e-6:
         return gravity_magnitude, np.eye(3)
     scale = gravity_magnitude / norm
-    return norm, np.eye(3) * scale
+    return gravity_magnitude, np.eye(3) * scale
 
 
 def direct_imu_samples(

@@ -475,49 +475,27 @@ def solve_ct_window_block(
     def cost_of(state):
         return assemble(state)[2]
 
-    def lm_cond(carry):
-        it, done = carry[0], carry[1]
-        return (it < num_iterations) & ~done
+    # Shared carried-evaluation LM driver (one assembly per iteration,
+    # Ceres-style termination — the reference drives this solve through
+    # Ceres, optimizing_local_trajectory_builder.cc).
+    from hectorgrapher_tpu.mapping.pose_graph.optimization import _lm_drive
 
-    def lm_step(carry):
-        # Ceres-style termination (the reference drives this solve through
-        # Ceres, optimizing_local_trajectory_builder.cc): stop once an
-        # accepted step improves the cost by < function_tolerance * cost.
-        it, done, state, lam, cost_c = carry
+    def eval_fn(state):
         JtJ, g, cost = assemble(state)
         JtJ = jnp.where(fixed[:, None] | fixed[None, :], 0.0, JtJ)
         g = jnp.where(fixed, 0.0, g)
+        return (JtJ, g), cost
+
+    def delta_of(quant, lam):
+        JtJ, g = quant
         diag = jnp.diag(JtJ)
         damped = JtJ + jnp.diag(lam * jnp.maximum(diag, 1e-12) + 1e-12) + jnp.diag(fixed.astype(jnp.float32))
-        delta = jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
-        new_state = ct_retract(state, delta)
-        new_cost = cost_of(new_state)
-        accept = new_cost < cost
-        lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e6))
-        state_next = jax.tree.map(lambda a, b: jnp.where(accept, b, a), state, new_state)
-        x_norm = jnp.sqrt(
-            jnp.sum(state.translation**2)
-            + jnp.sum(state.velocity**2)
-            + state.rotation.shape[0]
-        )
-        done_next = (
-            done
-            | (accept & (cost - new_cost <= 1e-6 * cost))
-            | (jnp.linalg.norm(delta) <= 1e-7 * (x_norm + 1e-7))
-        )
-        return (it + 1, done_next, state_next, lam_next, jnp.where(accept, new_cost, cost))
+        return jnp.where(fixed, 0.0, -jnp.linalg.solve(damped, g))
 
     initial_cost = cost_of(state0)
-    _, _, state, _, final_cost = jax.lax.while_loop(
-        lm_cond,
-        lm_step,
-        (
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(False),
-            state0,
-            jnp.asarray(1e-4, jnp.float32),
-            initial_cost,
-        ),
+    state, final_cost = _lm_drive(
+        eval_fn, delta_of, ct_retract, state0, num_iterations,
+        init_lambda=1e-4, max_lambda=1e6,
     )
     return state, final_cost, initial_cost
 

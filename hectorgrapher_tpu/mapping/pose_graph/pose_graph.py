@@ -263,16 +263,17 @@ class PoseGraphBase:
                 if not skip:
                     self._maybe_add_constraint(node_index, si)
 
-        # Newly finished submaps vs all old nodes.
+        # Newly finished submaps vs all old nodes. One pass over the
+        # constraint list (per-node scans are O(nodes * constraints) and
+        # stall the front-end while holding the lock).
         for si in finished_idx:
             with self._lock:
-                node_submap_pairs = [
-                    (ni, {c.submap_index for c in self.constraints
-                          if c.node_index == ni and c.tag == "INTRA"})
-                    for ni in range(node_index)
-                ]
-            for ni, node_submaps in node_submap_pairs:
-                if si not in node_submaps:
+                intra: Dict[int, set] = {}
+                for c in self.constraints:
+                    if c.tag == "INTRA" and c.node_index < node_index:
+                        intra.setdefault(c.node_index, set()).add(c.submap_index)
+            for ni in range(node_index):
+                if si not in intra.get(ni, ()):
                     self._maybe_add_constraint(ni, si)
 
         self._num_nodes_since_last_optimization += 1
@@ -344,6 +345,13 @@ class PoseGraphBase:
 
     def run_final_optimization(self, num_iterations: Optional[int] = None) -> None:
         """(ref: RunFinalOptimization — used both periodically and at end)"""
+        # Drain in-flight constraint work first (ref: RunFinalOptimization
+        # -> WaitForAllComputations): trimming remaps indices, which must
+        # not race the lock-free matcher section of _maybe_add_constraint.
+        # The periodic cadence calls this FROM the worker thread, where
+        # joining the queue would wait on the worker's own current item.
+        if threading.current_thread() is not self._worker:
+            self.wait_for_all_computations()
         if num_iterations is None:
             num_iterations = self._options.max_num_final_iterations
         if not self.nodes or not self.submaps:

@@ -41,6 +41,10 @@ def trim_submaps(pose_graph, submap_indices: Set[int]) -> None:
         pose_graph._submap_ids.pop(id(s.submap), None)
     for new_i, s in enumerate(pose_graph.submaps):
         pose_graph._submap_ids[id(s.submap)] = new_i
+    # Index-keyed per-submap caches are stale after the remap.
+    cache = getattr(pose_graph, "_matcher_cache", None)
+    if cache is not None:
+        cache.clear()
 
 
 class PureLocalizationTrimmer:

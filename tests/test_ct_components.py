@@ -41,8 +41,12 @@ class TestImuIntegration:
         times = np.linspace(0.0, 1.0, 50)
         acc = np.tile(np.array([0.0, 0.0, 9.5]), (50, 1))
         g, cal = imu_integration.calibrate_imu_static(times, acc)
-        np.testing.assert_allclose(g, 9.5, atol=1e-6)
+        # The calibration rescales accel to the standard gravity constant,
+        # which stays authoritative — calibrated magnitude == g, so the
+        # integrator's gravity subtraction is bias-free.
+        np.testing.assert_allclose(g, 9.80665, atol=1e-6)
         np.testing.assert_allclose(cal[0, 0], 9.80665 / 9.5, atol=1e-6)
+        np.testing.assert_allclose(np.linalg.norm(cal @ acc[0]), g, atol=1e-6)
 
 
 def box_cloud(yaw=0.0, n=400, seed=0):

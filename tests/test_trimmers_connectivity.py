@@ -94,3 +94,13 @@ class TestTrimmers:
         # The kept submaps are the newest ones.
         xs = [s.submap.local_pose.t[0] for s in pg.submaps]
         assert xs == sorted(xs) and xs[0] == 3.0
+
+
+class TestMatcherCacheInvalidation:
+    def test_trim_clears_per_submap_matcher_cache(self):
+        # Stale index-keyed matcher artifacts after a trim would score
+        # candidates against the WRONG submap's grid.
+        pg = build_graph()
+        pg._matcher_cache[2] = ("sentinel",)
+        trim_submaps(pg, {0})
+        assert pg._matcher_cache == {}
