@@ -145,11 +145,13 @@ def structured_cloud_normals(
     """Surface normals from an organized cloud's neighbor structure.
 
     (ref: tsdf_range_data_inserter_3d.cc:503-607 CLOUD_STRUCTURE — for
-    each point, find the nearest valid neighbor at index offsets up to
-    +-vertical_stride (adjacent points) and +-horizontal_stride*width
-    (adjacent scan lines) whose range differs by < resolution/0.05; the
-    normal is the normalized cross product of the two neighbor
-    differences.)
+    each point, search index offsets FARTHEST-FIRST (the reference
+    decrements from the stride toward 0) up to +-vertical_stride
+    (adjacent points) and +-horizontal_stride*width (adjacent scan
+    lines) for a neighbor whose range differs by < resolution/0.05,
+    falling back to the point itself at offset 0; the normal is the
+    normalized cross product of the two neighbor differences, gated on
+    the two indices per axis being distinct.)
 
     Returns (normals (N, 3), normal_valid (N,)).
     """
@@ -159,10 +161,13 @@ def structured_cloud_normals(
     max_range_delta = resolution / 0.05
 
     def find_neighbor(offsets):
-        """First valid offset per point (offsets tried in order), else 0."""
-        best = jnp.zeros((n,), jnp.int32)
-        found = jnp.zeros((n,), dtype=bool)
+        """First valid offset per point (offsets tried farthest-first,
+        as in the reference); falls back to the point's OWN index —
+        offset 0 — so a one-sided hit yields a one-sided difference and
+        a no-hit axis is rejected by the i_upper != i_lower gate."""
         base = jnp.arange(n, dtype=jnp.int32)
+        best = base
+        found = jnp.zeros((n,), dtype=bool)
         for off in offsets:
             j = base + off
             ok = (j >= 0) & (j < n)

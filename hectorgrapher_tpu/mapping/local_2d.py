@@ -30,12 +30,11 @@ from hectorgrapher_tpu.sensor.types import (
     TimedPointCloudData,
     crop_range_data_z,
     pad_cloud,
-    transform_range_data,
 )
-from hectorgrapher_tpu.sensor.voxel_filter import adaptive_voxel_filter, compact_cloud, voxel_filter
+from hectorgrapher_tpu.sensor.voxel_filter import adaptive_voxel_filter, voxel_filter
 from hectorgrapher_tpu.transform import np_quat as nq
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
-from hectorgrapher_tpu.transform.rigid import Rigid2, Rigid3
+from hectorgrapher_tpu.transform.rigid import Rigid2
 
 
 @dataclass
@@ -131,9 +130,14 @@ class LocalTrajectoryBuilder2D:
         gravity_alignment = self._extrapolator.estimate_gravity_orientation(time)
 
         # z-crop in the gravity-aligned frame applies to insertion too
-        # (ref: :51-63 CropRangeData before insertion and matching).
-        aligned_z = (nq.quat_rotate(gravity_alignment, pts) if len(pts) else pts)[..., 2]
+        # (ref: :51-63 CropRangeData before insertion and matching) — for
+        # the shortened miss rays as well, else an out-of-slice beam with
+        # no return inside max_range carves free space through the grid.
+        aligned_pts = nq.quat_rotate(gravity_alignment, pts) if len(pts) else pts
+        aligned_z = aligned_pts[..., 2]
         in_range = in_range & (aligned_z >= self._options.min_z) & (aligned_z <= self._options.max_z)
+        miss_z = (nq.quat_rotate(gravity_alignment, miss_pts) if len(miss_pts) else miss_pts)[..., 2]
+        too_far = too_far & (miss_z >= self._options.min_z) & (miss_z <= self._options.max_z)
 
         # Transform to local frame, then gravity-align.
         # 2D pose prediction: project the 3D pose through gravity alignment
@@ -149,7 +153,6 @@ class LocalTrajectoryBuilder2D:
         # Gravity-aligned cloud in tracking frame: rotate points by
         # gravity_alignment (ref: TransformToGravityAlignedFrameAndFilter).
         cap = self._options.max_num_points
-        aligned_pts = nq.quat_rotate(gravity_alignment, pts) if len(pts) else pts
         aligned = pad_cloud(aligned_pts.astype(np.float32), cap)
         aligned = aligned._replace(mask=aligned.mask & jnp.asarray(in_range[:cap] if len(in_range) >= cap else np.pad(in_range, (0, cap - len(in_range)))))
         aligned_rd = RangeData(

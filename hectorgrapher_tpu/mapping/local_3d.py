@@ -99,16 +99,23 @@ class LocalTrajectoryBuilder3D:
         mask = np.asarray(data.ranges.mask)
         origin = np.asarray(data.origin)
         r = np.linalg.norm(pts - origin[None, :], axis=-1)
+        # Out-of-range points are MASKED, never compacted: the organized
+        # row structure (data.width) must survive for the structured-cloud
+        # normal / triangle inserters, which pair i +- width neighbors
+        # (same as the 2D path's mask-only cropping, local_2d.py).
         keep = mask & (r >= self._options.min_range) & (r <= self._options.max_range)
-        pts = pts[keep]
-        if len(pts) == 0:
+        if not keep.any():
             return None
 
         pose_prediction = self._extrapolator.extrapolate_pose(time)
         gravity_alignment = self._extrapolator.estimate_gravity_orientation(time)
 
         cloud_dev = voxel_filter(
-            pad_cloud(pts.astype(np.float32), self._cloud_cap), self._options.voxel_filter_size
+            PointCloud(
+                positions=jnp.asarray(pts.astype(np.float32)),
+                mask=jnp.asarray(keep),
+            ),
+            self._options.voxel_filter_size,
         )
         high = compact_cloud(
             adaptive_voxel_filter(cloud_dev, self._options.high_resolution_adaptive_voxel_filter),
@@ -125,14 +132,17 @@ class LocalTrajectoryBuilder3D:
         local_pts = nq.quat_rotate(pose_estimate.q, pts) + pose_estimate.t
         range_data_in_local = RangeData(
             origin=jnp.asarray(pose_estimate.apply(origin), jnp.float32),
-            returns=pad_cloud(local_pts.astype(np.float32), self._cloud_cap),
+            returns=PointCloud(
+                positions=jnp.asarray(local_pts.astype(np.float32)),
+                mask=jnp.asarray(keep),
+            ),
             misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
             width=int(data.width),
         )
 
         insertion_result = None
         if not self._motion_filter.is_similar(time, pose_estimate):
-            aligned = nq.quat_rotate(gravity_alignment, pts)
+            aligned = nq.quat_rotate(gravity_alignment, pts[keep])
             hist_cloud = pad_cloud(aligned.astype(np.float32), self._cloud_cap)
             hist = np.asarray(
                 compute_histogram(

@@ -15,9 +15,6 @@ Implemented here:
     solve as the local solver. Communication per iteration = the block
     operands (~(S*N+S+N)*P^2 floats), ~10x less than psumming the dense
     (D, D) normal matrix.
-  * shard_constraint_scoring — data-parallel batched scan matching:
-    candidate (node, submap) pairs sharded across devices, each scoring
-    its shard with the dense correlative kernel.
 
 Single-chip training still works: with a 1-device mesh these reduce to
 the local solvers.
@@ -26,11 +23,10 @@ the local solvers.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from hectorgrapher_tpu.mapping.pose_graph.optimization import (
     SpaProblem2D,

@@ -120,7 +120,15 @@ def adaptive_voxel_filter(cloud: PointCloud, options) -> PointCloud:
     length = adaptive_voxel_filter_length(
         cloud, options.max_length, int(options.min_num_points), options.max_range
     )
-    return voxel_filter(ranged, length)
+    filtered = voxel_filter(ranged, length)
+    # Already-sparse clouds pass through UNFILTERED (ref:
+    # adaptive_voxel_filter.h:49-52) — filtering them at max_length would
+    # starve the matcher exactly when data is scarcest.
+    sparse = jnp.sum(in_range) <= options.min_num_points
+    return PointCloud(
+        positions=jnp.where(sparse, ranged.positions, filtered.positions),
+        mask=jnp.where(sparse, ranged.mask, filtered.mask),
+    )
 
 
 @jax.jit
