@@ -489,16 +489,40 @@ def from_dict(cls, data: Mapping[str, Any]):
 def merge(cfg, overrides: Mapping[str, Any]):
     """Return cfg with nested overrides from a dict applied."""
     kwargs: Dict[str, Any] = {}
-    known = {f.name for f in fields(cfg)}
+    field_by_name = {f.name: f for f in fields(cfg)}
     for key, value in overrides.items():
-        if key not in known:
+        if key not in field_by_name:
             raise KeyError(f"unknown config key {key!r} for {type(cfg).__name__}")
         current = getattr(cfg, key)
         if isinstance(value, Mapping) and is_dataclass(current):
             kwargs[key] = merge(current, value)
+        elif isinstance(value, Mapping) and current is None:
+            # Optional nested config left at None: construct the dataclass
+            # from the field's declared type so unknown keys are still
+            # rejected (a raw dict here would silently defeat strictness).
+            sub_cls = _optional_dataclass_type(field_by_name[key].type)
+            if sub_cls is None:
+                kwargs[key] = value
+            else:
+                kwargs[key] = merge(sub_cls(), value)
         else:
             kwargs[key] = value
     return dataclasses.replace(cfg, **kwargs)
+
+
+def _optional_dataclass_type(annotation):
+    """Dataclass type inside Optional[X] / direct X annotations, else None.
+    Annotations may be strings (from __future__ annotations) — resolve
+    against this module's globals."""
+    import typing
+
+    if isinstance(annotation, str):
+        annotation = eval(annotation, globals())  # noqa: S307 — module-local names
+    origin = typing.get_origin(annotation)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(annotation) if a is not type(None)]
+        annotation = args[0] if len(args) == 1 else None
+    return annotation if is_dataclass(annotation) else None
 
 
 def replace_deep(cfg, dotted: Mapping[str, Any]):

@@ -357,18 +357,33 @@ class _Interp:
     def _expression(self) -> Any:
         return self._or_expr()
 
+    def _skip_operand(self, parse) -> None:
+        """Advance past an operand whose VALUE is dead (short-circuited):
+        Lua never evaluates it, so errors it would raise (e.g. indexing a
+        nil in the guard idiom `t and t.field or default`) must not
+        surface. Side-effect-free parsing is assumed — reference configs
+        only use field accesses and literals in these positions."""
+        try:
+            parse()
+        except LuaError:
+            pass
+
     def _or_expr(self) -> Any:
         value = self._and_expr()
         while self._accept("or"):
-            rhs = self._and_expr()
-            value = value if _truthy(value) else rhs
+            if _truthy(value):
+                self._skip_operand(self._and_expr)  # short-circuit
+            else:
+                value = self._and_expr()
         return value
 
     def _and_expr(self) -> Any:
         value = self._cmp_expr()
         while self._accept("and"):
-            rhs = self._cmp_expr()
-            value = rhs if _truthy(value) else value
+            if _truthy(value):
+                value = self._cmp_expr()
+            else:
+                self._skip_operand(self._cmp_expr)  # short-circuit
         return value
 
     def _cmp_expr(self) -> Any:

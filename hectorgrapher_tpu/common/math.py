@@ -14,9 +14,12 @@ def pow2(a):
 
 
 def normalize_angle_difference(angle):
-    """Wrap angle to (-pi, pi] (ref: common/math.h NormalizeAngleDifference)."""
+    """Wrap angle to (-pi, pi] (ref: common/math.h NormalizeAngleDifference
+    — the reference's while-loop form leaves exactly +pi unchanged)."""
     two_pi = 2.0 * jnp.pi
-    return angle - two_pi * jnp.floor((angle + jnp.pi) / two_pi)
+    wrapped = angle - two_pi * jnp.floor((angle + jnp.pi) / two_pi)
+    # floor() puts the boundary at -pi; the reference keeps it at +pi.
+    return jnp.where(wrapped <= -jnp.pi, wrapped + two_pi, wrapped)
 
 
 def atan2(y, x):

@@ -150,17 +150,22 @@ def autogenerate_relations_from_pose_graph(
     for a, b in zip(pose_graph.nodes[:-1], pose_graph.nodes[1:]):
         covered.append(covered[-1] + float(np.linalg.norm(b.global_pose.t - a.global_pose.t)))
 
+    # Node nearest to each submap origin stands in for the submap time —
+    # one vectorized argmin per submap, not one full-node scan per
+    # constraint (O(constraints x nodes) was minutes on long runs).
+    node_ts = np.stack([n.global_pose.t for n in pose_graph.nodes])
+    nearest_node = [
+        int(np.argmin(np.linalg.norm(node_ts - s.global_pose.t[None, :], axis=1)))
+        for s in pose_graph.submaps
+    ]
+
     relations = []
     for c in pose_graph.constraints:
         if c.tag != "INTER":
             continue
         node = pose_graph.nodes[c.node_index]
         submap = pose_graph.submaps[c.submap_index]
-        # Node nearest to the submap origin stands in for the submap time.
-        submap_node_idx = min(
-            range(len(pose_graph.nodes)),
-            key=lambda i: np.linalg.norm(pose_graph.nodes[i].global_pose.t - submap.global_pose.t),
-        )
+        submap_node_idx = nearest_node[c.submap_index]
         if abs(covered[c.node_index] - covered[submap_node_idx]) < min_covered_distance:
             continue
         expected = c.zbar  # submap frame <- node

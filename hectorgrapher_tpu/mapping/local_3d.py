@@ -189,7 +189,6 @@ class LocalTrajectoryBuilder3D:
                 self._options.real_time_correlative_scan_matcher.rotation_delta_cost_weight,
             )
         cm = self._options.ceres_scan_matcher
-        is_tsdf = self._active_submaps._is_tsdf
         refined, _ = match_gn_3d(
             submap.high_resolution_grid,
             submap.low_resolution_grid,
@@ -201,7 +200,6 @@ class LocalTrajectoryBuilder3D:
             cm.occupied_space_weight_1,
             cm.translation_weight,
             cm.rotation_weight,
-            is_tsdf=is_tsdf,
             num_iterations=cm.ceres_solver_options.max_num_iterations,
             only_optimize_yaw=bool(cm.only_optimize_yaw),
         )

@@ -1061,7 +1061,6 @@ class PoseGraph3D(PoseGraphBase):
             return None
 
         cm = cb.ceres_scan_matcher_3d
-        is_tsdf = isinstance(pg_submap.submap.high_resolution_grid, TSDFGrid)
         refined, _ = match_gn_3d(
             pg_submap.submap.high_resolution_grid,
             pg_submap.submap.low_resolution_grid,
@@ -1073,7 +1072,6 @@ class PoseGraph3D(PoseGraphBase):
             cm.occupied_space_weight_1,
             cm.translation_weight,
             cm.rotation_weight,
-            is_tsdf=is_tsdf,
             num_iterations=cm.ceres_solver_options.max_num_iterations,
         )
         refined_np = NpRigid3(

@@ -77,10 +77,17 @@ def match_correlative_3d(
     rot = quat_rotate(yaw_q[:, None, :], rel[None, :, :]) + initial_pose.translation[None, None, :]
     base_idx = cell_index(grid.meta, rot)  # (T, N, 3)
 
-    # Shifted-field matrix (cells+1, d^3).
-    pad = jnp.pad(scores_field, k, constant_values=0.1)
+    # Shifted-field matrix over the EXTENDED cell grid (margin k per
+    # side): a point whose base cell is just outside the map still has
+    # candidate offsets landing INSIDE it, which must read real grid
+    # values (ref: the per-candidate probe in
+    # real_time_correlative_scan_matcher_3d.cc; same construction as the
+    # 2D matcher's _wide_patch_table). The final all-unknown row serves
+    # bases beyond the extended grid.
+    ex, eyd, ez = nx + 2 * k, ny + 2 * k, nz + 2 * k
+    pad = jnp.pad(scores_field, 2 * k, constant_values=0.1)
     shifts = [
-        jax.lax.dynamic_slice(pad, (dx + k, dy + k, dz + k), (nx, ny, nz)).reshape(-1)
+        jax.lax.dynamic_slice(pad, (dx + k, dy + k, dz + k), (ex, eyd, ez)).reshape(-1)
         for dx in range(-k, k + 1)
         for dy in range(-k, k + 1)
         for dz in range(-k, k + 1)
@@ -88,14 +95,11 @@ def match_correlative_3d(
     gshift = jnp.stack(shifts, axis=-1)
     gshift = jnp.concatenate([gshift, jnp.full((1, d**3), 0.1, gshift.dtype)], axis=0)
 
-    ok = (
-        (base_idx[..., 0] >= 0) & (base_idx[..., 0] < nx)
-        & (base_idx[..., 1] >= 0) & (base_idx[..., 1] < ny)
-        & (base_idx[..., 2] >= 0) & (base_idx[..., 2] < nz)
-    )
-    flat = jnp.where(
-        ok, (base_idx[..., 0] * ny + base_idx[..., 1]) * nz + base_idx[..., 2], nx * ny * nz
-    )
+    cx = base_idx[..., 0] + k
+    cy = base_idx[..., 1] + k
+    cz = base_idx[..., 2] + k
+    ok = (cx >= 0) & (cx < ex) & (cy >= 0) & (cy < eyd) & (cz >= 0) & (cz < ez)
+    flat = jnp.where(ok, (cx * eyd + cy) * ez + cz, ex * eyd * ez)
     rows = jnp.take(gshift, flat, axis=0)  # (T, N, d^3)
     rows = jnp.where(valid[None, :, None], rows, 0.0)
     scores = (jnp.sum(rows, axis=1) / n_valid).reshape(n_th, d, d, d)

@@ -135,11 +135,25 @@ def match_fast_2d_prepared(
     base_idx = cell_index(prepared.meta, rotated)  # (T, N, 2)
 
     def score_candidates(level: int, cand_t, cand_ox, cand_oy):
-        """Mean pooled probability for candidates (K,) at pyramid level."""
+        """Mean pooled probability for candidates (K,) at pyramid level.
+
+        At levels > 0 negative block starts clamp to 0: level[0] pools
+        [0, 2^level) which is a SUPERSET of the in-grid part of a block
+        starting below 0, so the bound stays admissible (the reference
+        extends the pooled grids by width-1 for the same reason,
+        PrecomputationGrid2D offset_). Fully-outside blocks and level-0
+        cells keep the exact 0.1 unknown score."""
         idx = base_idx[cand_t]  # (K, N, 2)
         ix = idx[..., 0] + cand_ox[:, None]
         iy = idx[..., 1] + cand_oy[:, None]
-        ok = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & valid[None, :]
+        if level > 0:
+            span = 2 ** level
+            inside = (ix > -span) & (ix < nx) & (iy > -span) & (iy < ny)
+            ix = jnp.maximum(ix, 0)
+            iy = jnp.maximum(iy, 0)
+        else:
+            inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+        ok = inside & valid[None, :]
         flat = jnp.where(ok, ix * ny + iy, nx * ny)
         v = flat_levels[level][flat]
         v = jnp.where(valid[None, :], v, 0.0)

@@ -84,8 +84,12 @@ def make_fast_search_3d_config(
     max_scan_range: float,
     full_submap: bool = False,
     top_k: int = 2048,
+    grid_cells: int = 0,
 ) -> FastSearch3DConfig:
-    """options: FastCorrelativeScanMatcherOptions3D."""
+    """options: FastCorrelativeScanMatcherOptions3D. For full-submap
+    (global localization) searches pass grid_cells — the linear window is
+    sized to cover the whole submap (ref: MatchFullSubmap widens the
+    linear window, not only yaw)."""
     yaw_step = math.acos(
         max(-1.0, min(1.0, 1.0 - resolution**2 / (2.0 * max(max_scan_range, resolution) ** 2)))
     )
@@ -99,6 +103,9 @@ def make_fast_search_3d_config(
         num_yaw = max_yaw_candidates
     xy_cells = int(math.ceil(options.linear_xy_search_window / resolution))
     z_cells = int(math.ceil(options.linear_z_search_window / resolution))
+    if full_submap and grid_cells > 0:
+        xy_cells = max(xy_cells, grid_cells // 2)
+        z_cells = max(z_cells, grid_cells // 4)
     depth = max(1, min(options.branch_and_bound_depth, int(math.log2(max(2 * xy_cells, 2)))))
     return FastSearch3DConfig(
         linear_xy_cells=xy_cells,
@@ -151,13 +158,26 @@ def match_fast_3d(
     base_idx = cell_index(grid_shape_meta, rot)  # (T, N, 3)
 
     def score_candidates(level, cand_t, cand_ox, cand_oy, cand_oz):
+        # Low-edge admissibility: see fast_correlative_2d.score_candidates.
         idx = base_idx[cand_t]
         ix = idx[..., 0] + cand_ox[:, None]
         iy = idx[..., 1] + cand_oy[:, None]
         iz = idx[..., 2] + cand_oz[:, None]
-        ok = (
-            (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz) & valid[None, :]
-        )
+        if level > 0:
+            span = 2 ** level
+            inside = (
+                (ix > -span) & (ix < nx)
+                & (iy > -span) & (iy < ny)
+                & (iz > -span) & (iz < nz)
+            )
+            ix = jnp.maximum(ix, 0)
+            iy = jnp.maximum(iy, 0)
+            iz = jnp.maximum(iz, 0)
+        else:
+            inside = (
+                (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+            )
+        ok = inside & valid[None, :]
         flat = jnp.where(ok, (ix * ny + iy) * nz + iz, nx * ny * nz)
         v = high_scores_pyramid_flat[level][flat]
         v = jnp.where(valid[None, :], v, 0.0)
@@ -296,6 +316,8 @@ class FastCorrelativeScanMatcher3D:
         """(ref: MatchFullSubmap :177 — full yaw range, window sized to
         cover the submap)"""
         config = make_fast_search_3d_config(
-            self._options, float(self._high_grid.meta.resolution), max_scan_range, True, top_k
+            self._options, float(self._high_grid.meta.resolution), max_scan_range, True, top_k,
+            grid_cells=int(self._high_grid.tsd.shape[0]) if hasattr(self._high_grid, "tsd")
+            else int(self._high_grid.log_odds.shape[0]),
         )
         return self._run(high_cloud, low_cloud, initial_pose, config, scan_histogram, initial_yaw)

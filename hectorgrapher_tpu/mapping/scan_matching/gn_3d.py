@@ -87,7 +87,7 @@ def _skew_apply(p, world_rot):
     return jnp.stack(cols, axis=-1)  # (N, 3, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "only_optimize_yaw"))
+@functools.partial(jax.jit, static_argnames=("num_iterations", "only_optimize_yaw"))
 def match_gn_3d(
     high_grid,
     low_grid,
@@ -99,7 +99,6 @@ def match_gn_3d(
     occupied_space_weight_1,
     translation_weight,
     rotation_weight,
-    is_tsdf: bool,
     num_iterations: int = 10,
     only_optimize_yaw: bool = False,
 ) -> Tuple[Rigid3, jax.Array]:

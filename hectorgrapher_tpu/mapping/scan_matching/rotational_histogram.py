@@ -73,8 +73,9 @@ def compute_histogram(positions, mask, histogram_size: int = 120):
     # approximation: bucket points by cumulative arc length within the
     # slice and keep the first point of each ~MIN_DISTANCE bucket, then
     # pair consecutive kept points.
+    first = jnp.arange(s_sorted.shape[0]) > 0  # roll wraps row 0 onto row N-1
     step = jnp.linalg.norm(p_sorted[:, :2] - jnp.roll(p_sorted[:, :2], 1, axis=0), axis=-1)
-    same_slice_step = (s_sorted == jnp.roll(s_sorted, 1)) & v_sorted & jnp.roll(v_sorted, 1)
+    same_slice_step = (s_sorted == jnp.roll(s_sorted, 1)) & v_sorted & jnp.roll(v_sorted, 1) & first
     step = jnp.where(same_slice_step, step, 0.0)
     cum = jnp.cumsum(step)
     slice_start_cum = jnp.where(same_slice_step, 0.0, cum)
@@ -95,7 +96,10 @@ def compute_histogram(positions, mask, histogram_size: int = 120):
     c2 = c_sorted[order2]
     k2 = kept[order2]
 
-    same_slice = (s2 == jnp.roll(s2, 1)) & k2 & jnp.roll(k2, 1)
+    same_slice = (
+        (s2 == jnp.roll(s2, 1)) & k2 & jnp.roll(k2, 1)
+        & (jnp.arange(s2.shape[0]) > 0)  # roll wraps row 0 onto row N-1
+    )
     delta = (p2 - jnp.roll(p2, 1, axis=0))[:, :2]
     direction = (p2 - c2)[:, :2]
     dist = jnp.linalg.norm(delta, axis=-1)

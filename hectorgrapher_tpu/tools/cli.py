@@ -187,7 +187,8 @@ def cmd_scan_matching_evaluation(args) -> int:
         errors.append(float(jnp.linalg.norm(pose.translation)))
     print(f"trials: {args.num_trials}")
     print(f"mean translation error: {np.mean(errors):.4f} m (max {np.max(errors):.4f})")
-    print(f"mean match time: {np.mean(times[1:]) * 1e3:.2f} ms")
+    warm = times[1:] if len(times) > 1 else times  # single trial: no warm-up split
+    print(f"mean match time: {np.mean(warm) * 1e3:.2f} ms")
     return 0
 
 
