@@ -16,9 +16,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+# JAX_PLATFORMS=cpu must also go through jax.config BEFORE any backend
+# initialization: the ambient axon TPU plugin otherwise still initializes
+# its tunneled client on first device use, and a dead tunnel hangs a
+# pure-CPU evaluation indefinitely (same guard as tests/conftest).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def cmd_state_info(args) -> int:
