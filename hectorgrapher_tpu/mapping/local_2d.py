@@ -59,7 +59,10 @@ class MatchingResult:
 class LocalTrajectoryBuilder2D:
     def __init__(self, options):
         self._options = options
-        self._active_submaps = ActiveSubmaps2D(options.submaps)
+        self._active_submaps = ActiveSubmaps2D(
+            options.submaps,
+            max_ray_length=max(options.max_range, options.missing_data_ray_length),
+        )
         self._motion_filter = MotionFilter(options.motion_filter)
         self._extrapolator: Optional[PoseExtrapolator] = None
         res = options.submaps.grid_options_2d.resolution

@@ -139,7 +139,10 @@ class PoseExtrapolator:
         t_new, p_new = self._timed_pose_queue[-1]
         t_old, p_old = self._timed_pose_queue[0]
         dt = t_new - t_old
-        if dt <= 1e-9:
+        # (ref: pose_extrapolator.cc UpdateVelocitiesFromPoses — a queue
+        # shorter than pose_queue_duration gives noise-dominated velocity
+        # estimates; keep the previous ones.)
+        if dt < self._pose_queue_duration or dt <= 1e-9:
             return
         self._linear_velocity_from_poses = (p_new.t - p_old.t) / dt
         delta = p_old.inverse().compose(p_new)

@@ -11,17 +11,16 @@ matching are static-shape kernels; there is no grow-by-doubling.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, List, Optional
+from dataclasses import dataclass
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid, make_probability_grid, make_tsdf_grid
+from hectorgrapher_tpu.mapping.grids import make_probability_grid, make_tsdf_grid
 from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d, make_tsdf_inserter_2d
-from hectorgrapher_tpu.sensor.types import RangeData, transform_range_data
+from hectorgrapher_tpu.sensor.types import RangeData
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
-from hectorgrapher_tpu.transform.rigid import Rigid3
 
 
 @dataclass
@@ -46,7 +45,7 @@ class Submap2D:
 class ActiveSubmaps2D:
     """(ref: submap_2d.cc ActiveSubmaps2D::InsertRangeData/AddSubmap)"""
 
-    def __init__(self, options):
+    def __init__(self, options, max_ray_length: float = 0.0):
         self._options = options
         self._submaps: List[Submap2D] = []
         resolution = options.grid_options_2d.resolution
@@ -64,7 +63,13 @@ class ActiveSubmaps2D:
             self._inserter = make_tsdf_inserter_2d(tsdf_opts, resolution)
         else:
             pg_opts = ins_opts.probability_grid_range_data_inserter
-            max_range = size * resolution  # rays are clipped to the grid anyway
+            # The free-space sampling budget must cover the LONGEST inserted
+            # ray (hits up to the trajectory's max_range, misses shortened
+            # to missing_data_ray_length) — samples spread over the whole
+            # origin->end segment, so sizing by the grid extent alone makes
+            # sub-cell spacing fail for rays longer than the grid and
+            # leaves unknown stripes inside carved free space.
+            max_range = max(size * resolution, max_ray_length)
             self._make_grid = lambda: make_probability_grid(resolution, (size, size))
             self._inserter = make_probability_inserter_2d(pg_opts, max_range=max_range, resolution=resolution)
 

@@ -13,15 +13,13 @@ insertion and matching are static-shape kernels.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from hectorgrapher_tpu.mapping.grids import (
-    ProbabilityGrid,
-    TSDFGrid,
     make_probability_grid,
     make_tsdf_grid,
 )

@@ -14,6 +14,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from hectorgrapher_tpu.transform import np_quat as nq
 from hectorgrapher_tpu.transform import rigid
 from hectorgrapher_tpu.transform.rigid import Rigid3
 
@@ -84,14 +85,22 @@ class TransformInterpolationBuffer:
         return idx - 1, idx
 
     def lookup(self, time: float) -> Rigid3:
-        """(ref: transform_interpolation_buffer.cc Lookup)"""
+        """(ref: transform_interpolation_buffer.cc Lookup)
+
+        Pure host-side numpy interpolation: one buffer lookup per odometry
+        sample / control point in the streaming path, so device dispatch
+        here (and f64 -> f32 truncation of the stored poses) would defeat
+        the class's stated design. Returns a Rigid3 of numpy arrays —
+        callers convert with NpRigid3.from_jax / np.asarray as before."""
         assert self.has(time), f"time {time} outside buffer [{self._times[0] if self._times else None}, {self._times[-1] if self._times else None}]"
         lo, hi = self._bracket(time)
-        pose_lo = Rigid3(jnp.asarray(self._translations[lo]), jnp.asarray(self._rotations[lo]))
         if lo == hi:
-            return pose_lo
-        pose_hi = Rigid3(jnp.asarray(self._translations[hi]), jnp.asarray(self._rotations[hi]))
-        return interpolate_stamped(self._times[lo], pose_lo, self._times[hi], pose_hi, time)
+            return Rigid3(self._translations[lo], self._rotations[lo])
+        t0, t1 = self._times[lo], self._times[hi]
+        f = (time - t0) / max(t1 - t0, 1e-12)
+        trans = self._translations[lo] + f * (self._translations[hi] - self._translations[lo])
+        rot = nq.quat_slerp(self._rotations[lo], self._rotations[hi], f)
+        return Rigid3(trans, rot)
 
     def lookup_until_delta(
         self,

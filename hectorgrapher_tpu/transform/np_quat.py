@@ -80,7 +80,8 @@ def quat_from_two_vectors(a, b):
         axis = axis / np.linalg.norm(axis)
         return np.array([0.0, axis[0], axis[1], axis[2]])
     s = np.sqrt((1.0 + d) * 2.0)
-    return quat_normalize(np.array([s * 0.5, c[0] / s * 2.0 * 0.5, c[1] / s * 2.0 * 0.5, c[2] / s * 2.0 * 0.5]))
+    # Eigen FromTwoVectors: w = s/2, vec = c/s.
+    return quat_normalize(np.concatenate([[0.5 * s], c / s]))
 
 
 def quat_yaw(q):
