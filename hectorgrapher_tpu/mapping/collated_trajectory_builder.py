@@ -29,6 +29,7 @@ class CollatedTrajectoryBuilder:
         self._collator = collator
         self.trajectory_id = trajectory_id
         self._rate_timers: Dict[str, RateTimer] = {}
+        self._last_log_time: Dict[str, float] = {}
         self._log_fn = log_fn
         collator.add_trajectory(trajectory_id, list(expected_sensor_ids), self._handle)
 
@@ -44,7 +45,13 @@ class CollatedTrajectoryBuilder:
         timer = self._rate_timers.setdefault(sensor_id, RateTimer(self.RATE_WINDOW_SECONDS))
         timer.pulse(time)
         if self._log_fn is not None:
-            self._log_fn(sensor_id, timer.compute_rate())
+            # Once per window, not per sample (ref: LOG_EVERY via
+            # kSensorDataRatesLoggingPeriodSeconds) — a kHz IMU would
+            # otherwise log hundreds of lines per second.
+            last = self._last_log_time.get(sensor_id)
+            if last is None or time - last >= self.RATE_WINDOW_SECONDS:
+                self._last_log_time[sensor_id] = time
+                self._log_fn(sensor_id, timer.compute_rate())
         kind, payload = item
         if kind == "range":
             self._wrapped.add_range_data(payload)

@@ -64,6 +64,13 @@ def detect_floors(
             if i < len(times):
                 span_start = times[i]
                 current = snapped[i]
+    if not floors:
+        # Short log: every span fell under min_timespan — report the whole
+        # trajectory as one floor rather than none (a valid 3-second log
+        # must still export).
+        lvl = int(snapped[0])
+        floors[lvl] = [Timespan(float(times[0]), float(times[-1]))]
+        zs[snapped[0]].extend(z.tolist())
     return [
         Floor(timespans=spans, z=float(np.mean(zs[lvl])) if zs[lvl] else lvl * z_bin)
         for lvl, spans in sorted(floors.items())

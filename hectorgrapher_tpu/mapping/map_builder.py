@@ -41,11 +41,18 @@ class TrajectoryBuilder:
         self._pose_graph = pose_graph
         self._use_3d = use_3d
         self._callback = callback
-        self._known_finished: set = set()
 
     def add_range_data(self, data: TimedPointCloudData):
         result = self._local.add_range_data(data)
-        if result is None or result.insertion_result is None:
+        if result is None:
+            return result
+        if result.insertion_result is None:
+            # The reference invokes the local-SLAM callback for EVERY
+            # matching result, including motion-filtered ones with no
+            # insertion (global_trajectory_builder.cc) — pose streaming
+            # must not stall while the robot is stationary.
+            if self._callback is not None:
+                self._callback(self.trajectory_id, result)
             return result
         ir = result.insertion_result
         if self._use_3d:
@@ -70,8 +77,11 @@ class TrajectoryBuilder:
             )
         newly_finished = []
         for submap in ir.insertion_submaps:
-            if submap.insertion_finished and id(submap) not in self._known_finished:
-                self._known_finished.add(id(submap))
+            # Reported-state lives ON the submap (an id()-keyed set would
+            # grow unboundedly and misfire when CPython recycles the
+            # address of a trimmed submap for a new one).
+            if submap.insertion_finished and not getattr(submap, "_finish_reported", False):
+                submap._finish_reported = True
                 newly_finished.append(submap)
         self._pose_graph.add_node(node, ir.insertion_submaps, newly_finished)
         if self._callback is not None:
@@ -135,7 +145,7 @@ class MapBuilder:
             use_3d = False
         builder = TrajectoryBuilder(trajectory_id, local, self.pose_graph, use_3d, callback)
         self._trajectory_builders.append(builder)
-        self.pose_graph._trajectory_states.setdefault(trajectory_id, TrajectoryState.ACTIVE)
+        self.pose_graph.register_trajectory(trajectory_id)
         return trajectory_id
 
     def get_trajectory_builder(self, trajectory_id: int) -> TrajectoryBuilder:

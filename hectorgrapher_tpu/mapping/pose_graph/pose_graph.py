@@ -187,6 +187,11 @@ class PoseGraphBase:
                     return node.global_pose.compose(node.local_pose.inverse())
             return NpRigid3.identity()
 
+    def register_trajectory(self, trajectory_id: int) -> None:
+        """Mark a trajectory ACTIVE (idempotent) — the public entry for
+        MapBuilder/deserialization instead of poking _trajectory_states."""
+        self._trajectory_states.setdefault(trajectory_id, TrajectoryState.ACTIVE)
+
     def freeze_trajectory(self, trajectory_id: int) -> None:
         self._trajectory_states[trajectory_id] = TrajectoryState.FROZEN
 

@@ -69,6 +69,7 @@ class Histogram:
 
     @staticmethod
     def scaled_powers_of(base: float, scale_factor: float, max_value: float) -> "Histogram":
+        assert base > 1.0, "scaled_powers_of requires base > 1 (ref: histogram.h CHECK)"
         bounds = []
         v = scale_factor
         while v < max_value:
@@ -123,12 +124,17 @@ class Family:
         self.description = description
         self._factory = factory
         self._metrics: Dict[Tuple[Tuple[str, str], ...], object] = {}
+        self._lock = threading.Lock()
 
     def add(self, labels: Optional[Dict[str, str]] = None):
         key = tuple(sorted((labels or {}).items()))
-        if key not in self._metrics:
-            self._metrics[key] = self._factory()
-        return self._metrics[key]
+        # Lock: front-end and the async pose-graph worker may register the
+        # same label set concurrently; a check-then-set race would hand one
+        # thread a metric instance that text_format never sees.
+        with self._lock:
+            if key not in self._metrics:
+                self._metrics[key] = self._factory()
+            return self._metrics[key]
 
     def items(self):
         return [(dict(k), v) for k, v in self._metrics.items()]
@@ -166,8 +172,16 @@ class FamilyFactory:
                 label_part = "{" + label_str + "}" if label_str else ""
                 if isinstance(metric, Histogram):
                     lines.append(f"{fam.name}_sum{label_part} {metric.sum}")
-                    for b, c in zip(list(metric._boundaries) + ["+Inf"], metric.counts_by_bucket):
-                        lines.append(f'{fam.name}_bucket{{le="{b}"}} {c}')
+                    # Prometheus buckets are CUMULATIVE and carry the
+                    # family's labels alongside `le`.
+                    counts = metric.counts_by_bucket
+                    total = 0
+                    for b, c in zip(list(metric._boundaries) + ["+Inf"], counts):
+                        total += c
+                        le = f'le="{b}"'
+                        joined = f"{{{label_str},{le}}}" if label_str else f"{{{le}}}"
+                        lines.append(f"{fam.name}_bucket{joined} {total}")
+                    lines.append(f"{fam.name}_count{label_part} {total}")
                 else:
                     lines.append(f"{fam.name}{label_part} {metric.value}")
         return "\n".join(lines)
@@ -182,13 +196,15 @@ class RateTimer:
     collated_trajectory_builder.cc:66-84)."""
 
     def __init__(self, window_duration: float):
+        from collections import deque
+
         self._window = window_duration
-        self._events: List[float] = []
+        self._events = deque()
 
     def pulse(self, time: float) -> None:
         self._events.append(time)
         while self._events and self._events[0] < time - self._window:
-            self._events.pop(0)
+            self._events.popleft()  # O(1); list.pop(0) is O(n) at kHz rates
 
     def compute_rate(self) -> float:
         if len(self._events) < 2:

@@ -45,7 +45,11 @@ def _build() -> bool:
 
 def load() -> Optional[object]:
     """Import the native module, building it if needed; None on failure."""
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
+    # A prebuilt .so without the .cc source (binary-only deployment) is
+    # valid — only rebuild when the source exists and is newer.
+    if not os.path.exists(_SO_PATH) or (
+        os.path.exists(_SRC) and os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)
+    ):
         if not _build():
             return None
     try:
