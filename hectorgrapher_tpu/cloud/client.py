@@ -8,7 +8,7 @@ tell local from remote.)
 
 from __future__ import annotations
 
-import pickle
+from hectorgrapher_tpu.cloud import wire
 from typing import Dict, List, Optional
 
 import grpc
@@ -25,8 +25,8 @@ class _Channel:
     def call(self, method: str, request: dict):
         callable_ = self._channel.unary_unary(
             f"/{SERVICE}/{method}",
-            request_serializer=pickle.dumps,
-            response_deserializer=pickle.loads,
+            request_serializer=wire.dumps,
+            response_deserializer=wire.loads,
         )
         return callable_(request)
 
@@ -34,8 +34,8 @@ class _Channel:
         """Server-streaming call; returns an iterator of responses."""
         callable_ = self._channel.unary_stream(
             f"/{SERVICE}/{method}",
-            request_serializer=pickle.dumps,
-            response_deserializer=pickle.loads,
+            request_serializer=wire.dumps,
+            response_deserializer=wire.loads,
         )
         return callable_(request)
 
@@ -70,6 +70,30 @@ class TrajectoryBuilderStub:
         self._channel.call(
             "AddSensorData",
             {"trajectory_id": self.trajectory_id, "kind": "odometry", "payload": (time, pose)},
+        )
+
+    def add_fixed_frame_pose_data(self, time, pose: NpRigid3) -> None:
+        """(ref: map_builder_service.proto AddFixedFramePoseData +
+        add_fixed_frame_pose_data_handler.cc — GPS-like global poses)"""
+        self._channel.call(
+            "AddSensorData",
+            {"trajectory_id": self.trajectory_id, "kind": "fixed_frame", "payload": (time, pose)},
+        )
+
+    def add_landmark_data(
+        self, time, landmark_id: str, landmark_to_tracking: NpRigid3,
+        translation_weight: float, rotation_weight: float,
+    ) -> None:
+        """(ref: map_builder_service.proto AddLandmarkData +
+        add_landmark_data_handler.cc)"""
+        self._channel.call(
+            "AddSensorData",
+            {
+                "trajectory_id": self.trajectory_id,
+                "kind": "landmark",
+                "payload": (time, landmark_id, landmark_to_tracking,
+                            translation_weight, rotation_weight),
+            },
         )
 
 

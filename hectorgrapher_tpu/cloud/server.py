@@ -8,14 +8,16 @@ cloud/proto/map_builder_service.proto — the RPC surface.)
 
 Transport: real gRPC/HTTP2, but with generic method handlers and
 pickle-serialized numpy payloads instead of protoc-generated stubs (the
-image has grpcio but no python grpc codegen plugin). The RPC names mirror
-the reference service. Trust model: the data plane is for a private
-cluster, as in the reference deployment.
+image has grpcio but no python grpc codegen plugin). Deserialization goes
+through cloud/wire.py's RESTRICTED unpickler — only whitelisted data
+containers resolve, so a peer reaching the port cannot execute code via
+crafted pickles. The RPC names mirror the reference service. Trust model:
+the data plane is for a private cluster, as in the reference deployment.
 """
 
 from __future__ import annotations
 
-import pickle
+from hectorgrapher_tpu.cloud import wire
 import queue
 import threading
 from concurrent import futures
@@ -49,6 +51,9 @@ class MapBuilderServer:
 
             self.uploader = LocalTrajectoryUploader(uplink_address)
         self._sensor_queue: "queue.Queue" = queue.Queue()
+        # Per-trajectory index of the FRONT insertion submap, advanced when
+        # it finishes (ref: map_builder_server.h starting_submap_index_).
+        self._starting_submap_index: Dict[int, int] = {}
         self._shutdown = threading.Event()
         self._slam_thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -75,8 +80,8 @@ class MapBuilderServer:
         method_handlers = {
             name: grpc.unary_unary_rpc_method_handler(
                 self._wrap(fn),
-                request_deserializer=pickle.loads,
-                response_serializer=pickle.dumps,
+                request_deserializer=wire.loads,
+                response_serializer=wire.dumps,
             )
             for name, fn in handlers.items()
         }
@@ -84,8 +89,8 @@ class MapBuilderServer:
         # ReceiveLocalSlamResults — returns (stream ReceiveLocalSlamResultsResponse)).
         method_handlers["ReceiveLocalSlamResults"] = grpc.unary_stream_rpc_method_handler(
             self._handle_receive_local_slam_results,
-            request_deserializer=pickle.loads,
-            response_serializer=pickle.dumps,
+            request_deserializer=wire.loads,
+            response_serializer=wire.dumps,
         )
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, method_handlers),)
@@ -139,10 +144,20 @@ class MapBuilderServer:
                             )
                             for q in self._subscribers.get(trajectory_id, ()):
                                 q.put((result.time, result.local_pose))
+                        if self.uploader is not None and result.insertion_result is not None:
+                            self._upload_local_slam_result(trajectory_id, result)
+                elif kind == "local_slam_result":
+                    # Uplink ingestion: inject past local SLAM
+                    # (ref: global_trajectory_builder.cc:118-123).
+                    builder.add_local_slam_result(payload)
                 elif kind == "imu":
                     builder.add_imu_data(*payload)
                 elif kind == "odometry":
                     builder.add_odometry_data(*payload)
+                elif kind == "fixed_frame":
+                    builder.add_fixed_frame_pose_data(*payload)
+                elif kind == "landmark":
+                    builder.add_landmark_data(*payload)
             except Exception:
                 # One bad item (unknown trajectory, malformed payload) must
                 # not kill the SLAM thread: a dead thread deadlocks every
@@ -153,10 +168,26 @@ class MapBuilderServer:
             finally:
                 self._sensor_queue.task_done()
 
+    def _upload_local_slam_result(self, trajectory_id: int, result) -> None:
+        """Package + enqueue a local-SLAM result for the uplink
+        (ref: map_builder_server.cc OnLocalSlamResult:178-205 — upload
+        results, not raw data; starting_submap_index_ advances when the
+        front insertion submap finished)."""
+        from hectorgrapher_tpu.cloud.local_slam_result import make_local_slam_result_payload
+
+        use_3d = self.map_builder._options.use_trajectory_builder_3d
+        start = self._starting_submap_index.setdefault(trajectory_id, 0)
+        payload = make_local_slam_result_payload(result, use_3d, start)
+        if result.insertion_result.insertion_submaps[0].insertion_finished:
+            self._starting_submap_index[trajectory_id] = start + 1
+        self.uploader.enqueue_sensor_data(trajectory_id, "local_slam_result", payload)
+
     # -- handlers (ref: cloud/internal/handlers/*) ----------------------------
 
     def _handle_add_trajectory(self, request):
-        trajectory_id = self.map_builder.add_trajectory_builder()
+        trajectory_id = self.map_builder.add_trajectory_builder(
+            local_slam_results=bool(request.get("local_slam_results", False))
+        )
         if self.uploader:
             self.uploader.add_trajectory(trajectory_id)
         return {"trajectory_id": trajectory_id}
@@ -172,9 +203,16 @@ class MapBuilderServer:
         return {}
 
     def _handle_add_sensor_data(self, request):
-        """(ref: add_rangefinder_data_handler.cc:30-41 — enqueue)"""
+        """(ref: add_rangefinder_data_handler.cc:30-41 — enqueue)
+
+        IMU/odometry/fixed-frame/landmark data forwards raw to the uplink
+        (its optimization problem consumes them, ref: add_imu_data_handler
+        etc.); range data does NOT — the uplink receives local-SLAM
+        RESULTS from the SLAM thread instead, so it never re-runs local
+        SLAM (ref: local_trajectory_uploader.h:32-66).
+        """
         self._sensor_queue.put((request["trajectory_id"], request["kind"], request["payload"]))
-        if self.uploader:
+        if self.uploader and request["kind"] != "range":
             self.uploader.enqueue_sensor_data(
                 request["trajectory_id"], request["kind"], request["payload"]
             )
@@ -260,6 +298,10 @@ class MapBuilderServer:
     def _handle_load_state(self, request):
         from hectorgrapher_tpu.io.serialization import load_state
 
+        # Drain in-flight sensor data first (mirrors _handle_write_state):
+        # loading while the SLAM thread appends nodes would misalign the
+        # node_offset/submap_offset-based constraint indices.
+        self._sensor_queue.join()
         remap = load_state(
             self.map_builder.pose_graph,
             request["filename"],

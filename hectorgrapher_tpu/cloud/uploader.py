@@ -9,7 +9,7 @@ trajectory) before resuming.)
 
 from __future__ import annotations
 
-import pickle
+from hectorgrapher_tpu.cloud import wire
 import queue
 import threading
 import time
@@ -72,14 +72,18 @@ class LocalTrajectoryUploader:
             self._channel = grpc.insecure_channel(self._address)
         fn = self._channel.unary_unary(
             f"/{SERVICE}/{method}",
-            request_serializer=pickle.dumps,
-            response_deserializer=pickle.loads,
+            request_serializer=wire.dumps,
+            response_deserializer=wire.loads,
         )
         return fn(request, timeout=5.0)
 
     def _ensure_trajectories(self) -> None:
         for local_id in list(self._pending_trajectories):
-            uplink_id = self._call("AddTrajectory", {})["trajectory_id"]
+            # Uplink trajectories ingest local-SLAM RESULTS, not raw range
+            # data — the uplink must not build a local trajectory builder
+            # (ref: local_trajectory_uploader.cc AddTrajectory announces a
+            # LOCAL_SLAM_RESULT sensor id; map_builder.cc:126-133).
+            uplink_id = self._call("AddTrajectory", {"local_slam_results": True})["trajectory_id"]
             self._local_to_uplink_trajectory[local_id] = uplink_id
             del self._pending_trajectories[local_id]
 

@@ -187,8 +187,14 @@ def load_state(pose_graph, path: str, load_frozen_state: bool = True) -> Dict[in
     Returns a trajectory-id remapping {serialized_id: new_id}
     (ref: map_builder.cc LoadState:237-252 trajectory remapping +
     FreezeTrajectory when load_frozen_state).
+
+    Takes the pose graph's host lock (mirroring save_state): loading into
+    a live graph must not interleave with the async work queue appending
+    nodes/constraints, or the node_offset/submap_offset-based constraint
+    indices land on the wrong entries.
     """
-    with np.load(path, allow_pickle=False) as data:
+    lock = getattr(pose_graph, "_lock", None) or contextlib.nullcontext()
+    with lock, np.load(path, allow_pickle=False) as data:
         index = json.loads(bytes(data["__index__"]).decode())
         assert index["magic"] == MAGIC, "not a hectorgrapher_tpu state file"
         version = index["version"]
@@ -216,6 +222,9 @@ def load_state(pose_graph, path: str, load_frozen_state: bool = True) -> Dict[in
                 histogram=np.asarray(data[f"node{i}_histogram"]) if entry.get("has_histogram") else None,
                 gravity_alignment=np.asarray(data[f"node{i}_gravity"]) if f"node{i}_gravity" in data else None,
             )
+            node.node_id = pose_graph._next_node_id
+            pose_graph._next_node_id += 1
+            pose_graph._node_index_by_id[node.node_id] = len(pose_graph.nodes)
             pose_graph.nodes.append(node)
 
         for i, entry in enumerate(index["submaps"]):
@@ -242,6 +251,9 @@ def load_state(pose_graph, path: str, load_frozen_state: bool = True) -> Dict[in
                 trajectory_id=remap[entry["trajectory_id"]],
                 finished=entry["finished"],
             )
+            pg_submap.submap_id = pose_graph._next_submap_id
+            pose_graph._next_submap_id += 1
+            pose_graph._submap_index_by_id[pg_submap.submap_id] = len(pose_graph.submaps)
             pose_graph.submaps.append(pg_submap)
             pose_graph._submap_ids[id(submap)] = submap_offset + i
 

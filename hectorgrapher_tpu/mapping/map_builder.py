@@ -116,6 +116,85 @@ class TrajectoryBuilder:
             )
 
 
+class UplinkTrajectoryBuilder:
+    """Trajectory builder WITHOUT local SLAM: injects uploaded
+    LocalSlamResultPayloads straight into the pose graph.
+
+    (ref: global_trajectory_builder.cc AddLocalSlamResultData:118-123 —
+    "Can't add LocalSlamResultData with local_trajectory_builder_
+    present"; local_slam_result_data.h:26-34; the submap re-instantiation
+    is local_slam_result_2d.cc AddToPoseGraph:30-52 via SubmapController.)
+    """
+
+    def __init__(self, trajectory_id: int, pose_graph, use_3d: bool, callback=None):
+        from hectorgrapher_tpu.cloud.local_slam_result import SubmapController
+
+        self.trajectory_id = trajectory_id
+        self._pose_graph = pose_graph
+        self._use_3d = use_3d
+        self._callback = callback
+        self._controller = SubmapController()
+        self.num_results_injected = 0
+
+    def add_range_data(self, data):
+        raise ValueError(
+            "uplink trajectories accept LocalSlamResultPayloads, not raw range "
+            "data (ref: global_trajectory_builder.cc:119 CHECK)"
+        )
+
+    def add_local_slam_result(self, payload) -> None:
+        """(ref: local_slam_result_2d.cc AddToPoseGraph:30-52)"""
+        submaps = []
+        for sp in payload.submaps:
+            submap = self._controller.update_submap(self.trajectory_id, sp)
+            if submap is not None:
+                submaps.append(submap)
+        if not submaps:
+            return  # ref: "Ignoring node"
+        local_pose = NpRigid3(payload.local_pose_t, payload.local_pose_q)
+        node = PgNode(
+            time=payload.time,
+            local_pose=local_pose,
+            global_pose=NpRigid3.identity(),
+            trajectory_id=self.trajectory_id,
+            cloud=payload.cloud,
+            high_cloud=payload.high_cloud,
+            low_cloud=payload.low_cloud,
+            histogram=payload.histogram,
+            gravity_alignment=payload.gravity_alignment,
+        )
+        newly_finished = []
+        for submap in submaps:
+            if submap.insertion_finished and not getattr(submap, "_finish_reported", False):
+                submap._finish_reported = True
+                newly_finished.append(submap)
+        self._pose_graph.add_node(node, submaps, newly_finished)
+        self.num_results_injected += 1
+        if self._callback is not None:
+            self._callback(self.trajectory_id, payload)
+
+    def add_imu_data(self, time: float, linear_acceleration, angular_velocity) -> None:
+        if hasattr(self._pose_graph, "add_imu_data"):
+            self._pose_graph.add_imu_data(
+                self.trajectory_id, time, linear_acceleration, angular_velocity
+            )
+
+    def add_odometry_data(self, time: float, pose: NpRigid3) -> None:
+        if hasattr(self._pose_graph, "add_odometry_data"):
+            self._pose_graph.add_odometry_data(self.trajectory_id, time, pose)
+
+    def add_fixed_frame_pose_data(self, time: float, pose: NpRigid3) -> None:
+        if hasattr(self._pose_graph, "add_fixed_frame_pose_data"):
+            self._pose_graph.add_fixed_frame_pose_data(self.trajectory_id, time, pose)
+
+    def add_landmark_data(self, time, landmark_id, landmark_to_tracking, translation_weight, rotation_weight) -> None:
+        if hasattr(self._pose_graph, "add_landmark_data"):
+            self._pose_graph.add_landmark_data(
+                self.trajectory_id, time, landmark_id, landmark_to_tracking,
+                translation_weight, rotation_weight,
+            )
+
+
 class MapBuilder:
     """(ref: map_builder.cc MapBuilder)"""
 
@@ -134,16 +213,22 @@ class MapBuilder:
                 options.pose_graph, max_scan_range=options.trajectory_builder_2d.max_range
             )
 
-    def add_trajectory_builder(self, callback=None) -> int:
-        """(ref: map_builder.cc AddTrajectoryBuilder:120-177)"""
+    def add_trajectory_builder(self, callback=None, local_slam_results: bool = False) -> int:
+        """(ref: map_builder.cc AddTrajectoryBuilder:120-177; when the
+        sensor set announces LOCAL_SLAM_RESULT data — the uplink
+        federation case — no local trajectory builder is created and
+        results are injected directly, map_builder.cc:126-133 +
+        global_trajectory_builder.cc:118-123.)"""
         trajectory_id = len(self._trajectory_builders)
-        if self._options.use_trajectory_builder_3d:
-            local = OptimizingLocalTrajectoryBuilder(self._options.trajectory_builder_3d)
-            use_3d = True
+        use_3d = self._options.use_trajectory_builder_3d
+        if local_slam_results:
+            builder = UplinkTrajectoryBuilder(trajectory_id, self.pose_graph, use_3d, callback)
         else:
-            local = LocalTrajectoryBuilder2D(self._options.trajectory_builder_2d)
-            use_3d = False
-        builder = TrajectoryBuilder(trajectory_id, local, self.pose_graph, use_3d, callback)
+            if use_3d:
+                local = OptimizingLocalTrajectoryBuilder(self._options.trajectory_builder_3d)
+            else:
+                local = LocalTrajectoryBuilder2D(self._options.trajectory_builder_2d)
+            builder = TrajectoryBuilder(trajectory_id, local, self.pose_graph, use_3d, callback)
         self._trajectory_builders.append(builder)
         self.pose_graph.register_trajectory(trajectory_id)
         return trajectory_id

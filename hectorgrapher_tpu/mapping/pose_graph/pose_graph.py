@@ -86,6 +86,11 @@ class PgNode:
     low_cloud: Optional[PointCloud] = None
     histogram: Optional[np.ndarray] = None
     gravity_alignment: Optional[np.ndarray] = None
+    # Stable identity surviving trims — the analog of the reference's
+    # NodeId (ref: mapping/id.h:136). Positional indices into
+    # pose_graph.nodes are remapped by trimming; async work items and
+    # matcher caches must reference nodes by this id instead.
+    node_id: int = -1
 
 
 @dataclass
@@ -95,6 +100,8 @@ class PgSubmap:
     trajectory_id: int = 0
     finished: bool = False
     matcher: object = None  # lazily built loop-closure matcher
+    # Stable identity surviving trims (ref: mapping/id.h SubmapId).
+    submap_id: int = -1
 
 
 class _SamplerState:
@@ -124,6 +131,15 @@ class PoseGraphBase:
         self.submaps: List[PgSubmap] = []
         self.constraints: List[Constraint] = []
         self._submap_ids: Dict[int, int] = {}  # id(submap object) -> index
+        # Stable-id bookkeeping (ref: mapping/id.h NodeId/SubmapId): work
+        # items and caches key by these ids; trimming rebuilds the maps
+        # (trimmers.rebuild_id_maps) so pending items resolve to the right
+        # entries — or get dropped — instead of silently hitting remapped
+        # positional indices.
+        self._next_node_id = 0
+        self._next_submap_id = 0
+        self._node_index_by_id: Dict[int, int] = {}
+        self._submap_index_by_id: Dict[int, int] = {}
         self._num_nodes_since_last_optimization = 0
         self._sampler = _SamplerState(options.constraint_builder.sampling_ratio)
         self._global_sampler = _SamplerState(options.global_sampling_ratio)
@@ -159,13 +175,16 @@ class PoseGraphBase:
             # current local-to-global transform of the trajectory.
             local_to_global = self.local_to_global(trajectory_id)
             self._submap_ids[key] = len(self.submaps)
+            self._submap_index_by_id[self._next_submap_id] = len(self.submaps)
             self.submaps.append(
                 PgSubmap(
                     submap=submap,
                     global_pose=local_to_global.compose(submap.local_pose),
                     trajectory_id=trajectory_id,
+                    submap_id=self._next_submap_id,
                 )
             )
+            self._next_submap_id += 1
         idx = self._submap_ids[key]
         if getattr(submap, "insertion_finished", False) and not self.submaps[idx].finished:
             self.submaps[idx].finished = True
@@ -173,9 +192,9 @@ class PoseGraphBase:
                 # Matcher/pyramid construction happens off the front-end
                 # thread (ref: DispatchScanMatcherConstruction as a
                 # dependency task, constraint_builder_3d.cc:162-189).
-                self._work_queue.put(("finish_submap", idx))
+                self._work_queue.put(("finish_submap", self.submaps[idx].submap_id))
             else:
-                self._on_submap_finished(idx)
+                self._on_submap_finished(self.submaps[idx])
         return idx
 
     def local_to_global(self, trajectory_id: int = 0) -> NpRigid3:
@@ -203,10 +222,10 @@ class PoseGraphBase:
 
     # -- hooks implemented by 2D/3D subclasses ------------------------------
 
-    def _on_submap_finished(self, submap_index: int) -> None:
+    def _on_submap_finished(self, pg_submap: PgSubmap) -> None:
         raise NotImplementedError
 
-    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
+    def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         raise NotImplementedError
 
     def _run_optimization(self, num_iterations: int) -> None:
@@ -223,6 +242,9 @@ class PoseGraphBase:
             local_to_global = self.local_to_global(node.trajectory_id)
             node.global_pose = local_to_global.compose(node.local_pose)
             node_index = len(self.nodes)
+            node.node_id = self._next_node_id
+            self._node_index_by_id[node.node_id] = node_index
+            self._next_node_id += 1
             self.nodes.append(node)
 
             # INTRA constraints against the submaps the node was inserted into.
@@ -242,44 +264,60 @@ class PoseGraphBase:
                 )
                 self.connectivity.connect(node.trajectory_id, self.submaps[si].trajectory_id, node.time)
 
-            inserted = {self._submap_ids[id(s)] for s in insertion_submaps}
-            finished_idx = [
-                self._submap_ids[id(s)] for s in newly_finished if id(s) in self._submap_ids
+            inserted_ids = {
+                self.submaps[self._submap_ids[id(s)]].submap_id for s in insertion_submaps
+            }
+            finished_ids = [
+                self.submaps[self._submap_ids[id(s)]].submap_id
+                for s in newly_finished
+                if id(s) in self._submap_ids
             ]
+            node_id = node.node_id
 
+        # Work items reference stable ids, never positional indices:
+        # trimming can remap indices while items sit in the queue, and a
+        # stale index would attach constraints to the wrong node/submap.
         if self._async:
-            self._work_queue.put(("node", node_index, inserted, finished_idx))
+            self._work_queue.put(("node", node_id, inserted_ids, finished_ids))
             return node_index
-        self._compute_constraints_for_node(node_index, inserted, finished_idx)
+        self._compute_constraints_for_node(node_id, inserted_ids, finished_ids)
         return node_index
 
-    def _compute_constraints_for_node(self, node_index, inserted, finished_idx) -> None:
+    def _compute_constraints_for_node(self, node_id, inserted_ids, finished_ids) -> None:
         """INTER searches + optimization cadence — the body of the
-        reference's ComputeConstraintsForNode work item."""
+        reference's ComputeConstraintsForNode work item. All arguments are
+        stable ids; entries trimmed while this item was queued resolve to
+        None and are skipped."""
         from hectorgrapher_tpu.common import profiling
 
         # INTER constraints: this node vs all finished submaps.
         with profiling.section("constraint_search"):
             with self._lock:
-                num_submaps = len(self.submaps)
-            for si in range(num_submaps):
-                with self._lock:
-                    skip = si in inserted or not self.submaps[si].finished
-                if not skip:
-                    self._maybe_add_constraint(node_index, si)
+                candidate_ids = [
+                    s.submap_id
+                    for s in self.submaps
+                    if s.finished and s.submap_id not in inserted_ids
+                ]
+            for sid in candidate_ids:
+                self._maybe_add_constraint(node_id, sid)
 
         # Newly finished submaps vs all old nodes. One pass over the
         # constraint list (per-node scans are O(nodes * constraints) and
         # stall the front-end while holding the lock).
-        for si in finished_idx:
+        for sid in finished_ids:
             with self._lock:
                 intra: Dict[int, set] = {}
                 for c in self.constraints:
-                    if c.tag == "INTRA" and c.node_index < node_index:
-                        intra.setdefault(c.node_index, set()).add(c.submap_index)
-            for ni in range(node_index):
-                if si not in intra.get(ni, ()):
-                    self._maybe_add_constraint(ni, si)
+                    if c.tag == "INTRA":
+                        nid = self.nodes[c.node_index].node_id
+                        if nid < node_id:
+                            intra.setdefault(nid, set()).add(
+                                self.submaps[c.submap_index].submap_id
+                            )
+                old_node_ids = [n.node_id for n in self.nodes if n.node_id < node_id]
+            for nid in old_node_ids:
+                if sid not in intra.get(nid, ()):
+                    self._maybe_add_constraint(nid, sid)
 
         self._num_nodes_since_last_optimization += 1
         if self._num_nodes_since_last_optimization >= self._options.optimize_every_n_nodes > 0:
@@ -296,10 +334,14 @@ class PoseGraphBase:
                     return
                 kind = item[0]
                 if kind == "node":
-                    _, node_index, inserted, finished_idx = item
-                    self._compute_constraints_for_node(node_index, inserted, finished_idx)
+                    _, node_id, inserted_ids, finished_ids = item
+                    self._compute_constraints_for_node(node_id, inserted_ids, finished_ids)
                 elif kind == "finish_submap":
-                    self._on_submap_finished(item[1])
+                    with self._lock:
+                        idx = self._submap_index_by_id.get(item[1])
+                        pg_submap = self.submaps[idx] if idx is not None else None
+                    if pg_submap is not None:
+                        self._on_submap_finished(pg_submap)
             except Exception:  # noqa: BLE001 — a dead worker deadlocks join()
                 import traceback
 
@@ -313,14 +355,20 @@ class PoseGraphBase:
         if self._async:
             self._work_queue.join()
 
-    def _maybe_add_constraint(self, node_index: int, submap_index: int) -> None:
+    def _maybe_add_constraint(self, node_id: int, submap_id: int) -> None:
         """Local-vs-global decision + distance/sampling gates
         (ref: pose_graph ComputeConstraint :248-311 — recently-connected
         trajectories search a local window; otherwise the global
-        localization sampler gates a full-submap search)."""
+        localization sampler gates a full-submap search). Arguments are
+        stable ids; the matcher itself runs on the resolved objects so a
+        concurrent trim cannot redirect it to a different node/submap."""
         with self._lock:
-            node = self.nodes[node_index]
-            pg_submap = self.submaps[submap_index]
+            ni = self._node_index_by_id.get(node_id)
+            si = self._submap_index_by_id.get(submap_id)
+            if ni is None or si is None:
+                return  # trimmed while this work item was pending
+            node = self.nodes[ni]
+            pg_submap = self.submaps[si]
             last = self.connectivity.last_connection_time(node.trajectory_id, pg_submap.trajectory_id)
             recently_connected = (
                 node.trajectory_id == pg_submap.trajectory_id
@@ -341,10 +389,18 @@ class PoseGraphBase:
                 if not self._global_sampler.pulse():
                     return
                 global_search = True
-        # The matcher launch runs without the lock (device work).
-        constraint = self._compute_constraint(node_index, submap_index, global_search=global_search)
+        # The matcher launch runs without the lock (device work) on the
+        # node/submap OBJECTS — positional indices are resolved again at
+        # append time, after any trim that ran while the matcher executed.
+        constraint = self._compute_constraint(node, pg_submap, global_search=global_search)
         if constraint is not None:
             with self._lock:
+                ni = self._node_index_by_id.get(node_id)
+                si = self._submap_index_by_id.get(submap_id)
+                if ni is None or si is None:
+                    return  # trimmed during the matcher launch — drop it
+                constraint.node_index = ni
+                constraint.submap_index = si
                 self.constraints.append(constraint)
                 self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
 
@@ -480,18 +536,24 @@ class PoseGraph2D(PoseGraphBase):
         for i, n in enumerate(nodes):
             by_traj.setdefault(n.trajectory_id, []).append(i)
         for tid, idxs in by_traj.items():
+            if self.is_frozen(tid):
+                continue  # ref: frozen trajectories are skipped
             odom = self._odometry.get(tid, [])
-            if not odom:
-                continue  # 2D: consecutive-node residuals only with odometry
             for a, b in zip(idxs[:-1], idxs[1:]):
                 na, nb = nodes[a], nodes[b]
+                # Odometry residual when available, PLUS the unconditional
+                # local-SLAM relative-pose residual — both families, like
+                # the reference (ref: optimization_problem_2d.cc:278-298).
                 oa = self._lookup_buffer(odom, na.time)
                 ob = self._lookup_buffer(odom, nb.time)
-                if oa is None or ob is None:
-                    continue
-                rel = oa.inverse().compose(ob)
-                nn.append((a, b, _pose2_of(rel),
-                           opt.odometry_translation_weight, opt.odometry_rotation_weight))
+                if oa is not None and ob is not None:
+                    rel = oa.inverse().compose(ob)
+                    nn.append((a, b, _pose2_of(rel),
+                               opt.odometry_translation_weight, opt.odometry_rotation_weight))
+                rel_local = na.local_pose.inverse().compose(nb.local_pose)
+                nn.append((a, b, _pose2_of(rel_local),
+                           opt.local_slam_pose_translation_weight,
+                           opt.local_slam_pose_rotation_weight))
         has_ff = any(self._fixed_frame.values())
         has_lm = bool(self._landmark_observations)
         if not nn and not has_ff and not has_lm:
@@ -562,33 +624,33 @@ class PoseGraph2D(PoseGraphBase):
             )
         return extras
 
-    def _on_submap_finished(self, submap_index: int) -> None:
+    def _on_submap_finished(self, pg_submap: PgSubmap) -> None:
         pass  # matcher built lazily on first constraint candidate
 
-    def _submap_matcher(self, submap_index: int, depth: int):
+    def _submap_matcher(self, pg_submap: PgSubmap, depth: int):
         """Per-submap precomputation, built once per finished submap and
         reused across every candidate scored against it (ref:
         constraint_builder_2d.cc DispatchScanMatcherConstruction /
-        SubmapScanMatcher). Constraints only target finished submaps, so
-        the cached artifacts never go stale."""
-        cached = self._matcher_cache.get(submap_index)
+        SubmapScanMatcher). Keyed by the stable submap_id — positional
+        indices are remapped by trimming. Constraints only target finished
+        submaps, so the cached artifacts never go stale."""
+        cached = self._matcher_cache.get(pg_submap.submap_id)
         if cached is not None and cached[0] == depth:
             return cached[1], cached[2]
-        grid = self.submaps[submap_index].submap.grid
+        grid = pg_submap.submap.grid
         fast = prepare_fast_matcher_2d(grid, depth)
         if isinstance(grid, TSDFGrid):
             gn = prepare_gn_tsdf_fields(grid)
         else:
             gn = prepare_gn_probability_field(grid)
-        self._matcher_cache[submap_index] = (depth, fast, gn)
+        self._matcher_cache[pg_submap.submap_id] = (depth, fast, gn)
         return fast, gn
 
-    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
+    def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
         gated by min_score (global_localization_min_score for full-submap
-        searches), then Ceres refinement.)"""
-        node = self.nodes[node_index]
-        pg_submap = self.submaps[submap_index]
+        searches), then Ceres refinement.) Indices on the returned
+        Constraint are filled in by the caller under the lock."""
         submap = pg_submap.submap
         cb = self._options.constraint_builder
 
@@ -623,7 +685,7 @@ class PoseGraph2D(PoseGraphBase):
                 cb.fast_correlative_scan_matcher.branch_and_bound_depth,
             )
             min_score = cb.min_score
-        fast, gn_prepared = self._submap_matcher(submap_index, config.depth)
+        fast, gn_prepared = self._submap_matcher(pg_submap, config.depth)
         score, pose = match_fast_2d_prepared(fast, node.cloud, initial, config)
         if float(score) < min_score:
             return None
@@ -646,8 +708,8 @@ class PoseGraph2D(PoseGraphBase):
         refined_np = _rigid_of_pose2(np.asarray(jnp.concatenate([refined.translation, refined.angle[None]])))
         zbar = pg_submap.submap.local_pose.inverse().compose(refined_np)
         return Constraint(
-            submap_index=submap_index,
-            node_index=node_index,
+            submap_index=-1,  # resolved by _maybe_add_constraint under the lock
+            node_index=-1,
             zbar=zbar,
             translation_weight=cb.loop_closure_translation_weight,
             rotation_weight=cb.loop_closure_rotation_weight,
@@ -810,24 +872,31 @@ class PoseGraph3D(PoseGraphBase):
         by_traj: Dict[int, List[int]] = {}
         for i, n in enumerate(nodes):
             by_traj.setdefault(n.trajectory_id, []).append(i)
-        for tid, idxs in by_traj.items():
-            odom = self._odometry.get(tid, [])
-            for a, b in zip(idxs[:-1], idxs[1:]):
-                na, nb = nodes[a], nodes[b]
-                oa = self._lookup_buffer(odom, na.time)
-                ob = self._lookup_buffer(odom, nb.time)
-                if oa is not None and ob is not None:
-                    rel = oa.inverse().compose(ob)
-                    nn.append(
-                        (a, b, rel, opt.odometry_translation_weight, opt.odometry_rotation_weight)
-                    )
-                else:
-                    rel = na.local_pose.inverse().compose(nb.local_pose)
+        # The reference adds odometry + consecutive-local-pose residuals in
+        # 3D only under fix_z_in_3d (ref: optimization_problem_3d.cc:450-503
+        # "if (options_.fix_z_in_3d())"); without it, inter-node stiffness
+        # comes from the IMU residual families below. Both families are
+        # ADDED (odometry does not substitute for the local-SLAM residual).
+        if opt.fix_z_in_3d:
+            for tid, idxs in by_traj.items():
+                if self.is_frozen(tid):
+                    continue  # ref: frozen trajectories are skipped
+                odom = self._odometry.get(tid, [])
+                for a, b in zip(idxs[:-1], idxs[1:]):
+                    na, nb = nodes[a], nodes[b]
+                    oa = self._lookup_buffer(odom, na.time)
+                    ob = self._lookup_buffer(odom, nb.time)
+                    if oa is not None and ob is not None:
+                        rel = oa.inverse().compose(ob)
+                        nn.append(
+                            (a, b, rel, opt.odometry_translation_weight, opt.odometry_rotation_weight)
+                        )
+                    rel_local = na.local_pose.inverse().compose(nb.local_pose)
                     nn.append(
                         (
                             a,
                             b,
-                            rel,
+                            rel_local,
                             opt.local_slam_pose_translation_weight,
                             opt.local_slam_pose_rotation_weight,
                         )
@@ -1019,27 +1088,25 @@ class PoseGraph3D(PoseGraphBase):
             )
         return extras
 
-    def _on_submap_finished(self, submap_index: int) -> None:
+    def _on_submap_finished(self, pg_submap: PgSubmap) -> None:
         """Build the per-submap loop-closure matcher lazily (ref:
         constraint_builder_3d.cc DispatchScanMatcherConstruction:162-189)."""
-        pg = self.submaps[submap_index]
-        pg.matcher = FastCorrelativeScanMatcher3D(
+        pg_submap.matcher = FastCorrelativeScanMatcher3D(
             self._options.constraint_builder.fast_correlative_scan_matcher_3d,
-            pg.submap.high_resolution_grid,
-            pg.submap.low_resolution_grid,
-            pg.submap.rotational_histogram,
+            pg_submap.submap.high_resolution_grid,
+            pg_submap.submap.low_resolution_grid,
+            pg_submap.submap.rotational_histogram,
             self._histogram_size,
         )
 
-    def _compute_constraint(self, node_index: int, submap_index: int, global_search: bool = False) -> Optional[Constraint]:
+    def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_3d.cc ComputeConstraint:191-296;
         global_search uses MatchFullSubmap with the global localization
-        score gate.)"""
-        node = self.nodes[node_index]
-        pg_submap = self.submaps[submap_index]
+        score gate.) Indices on the returned Constraint are filled in by
+        the caller under the lock."""
         cb = self._options.constraint_builder
         if pg_submap.matcher is None:
-            self._on_submap_finished(submap_index)
+            self._on_submap_finished(pg_submap)
 
         init = pg_submap.global_pose.inverse().compose(node.global_pose)
         node_in_grid = pg_submap.submap.local_pose.compose(init)
@@ -1084,8 +1151,8 @@ class PoseGraph3D(PoseGraphBase):
         )
         zbar = pg_submap.submap.local_pose.inverse().compose(refined_np)
         return Constraint(
-            submap_index=submap_index,
-            node_index=node_index,
+            submap_index=-1,  # resolved by _maybe_add_constraint under the lock
+            node_index=-1,
             zbar=zbar,
             translation_weight=cb.loop_closure_translation_weight,
             rotation_weight=cb.loop_closure_rotation_weight,

@@ -41,10 +41,18 @@ def trim_submaps(pose_graph, submap_indices: Set[int]) -> None:
         pose_graph._submap_ids.pop(id(s.submap), None)
     for new_i, s in enumerate(pose_graph.submaps):
         pose_graph._submap_ids[id(s.submap)] = new_i
-    # Index-keyed per-submap caches are stale after the remap.
+    # Rebuild the stable-id -> index maps; async work items queued before
+    # this trim resolve through them (or find their entry gone and drop).
+    pose_graph._node_index_by_id = {n.node_id: i for i, n in enumerate(pose_graph.nodes)}
+    pose_graph._submap_index_by_id = {
+        s.submap_id: i for i, s in enumerate(pose_graph.submaps)
+    }
+    # Per-submap matcher caches are keyed by stable submap_id: entries for
+    # surviving submaps stay valid; drop only the trimmed ones.
     cache = getattr(pose_graph, "_matcher_cache", None)
     if cache is not None:
-        cache.clear()
+        for s in removed_submaps:
+            cache.pop(s.submap_id, None)
 
 
 class PureLocalizationTrimmer:

@@ -151,7 +151,16 @@ def adaptive_voxel_filter_timed(cloud: TimedPointCloud, options) -> TimedPointCl
     length = adaptive_voxel_filter_length(
         base, options.max_length, int(options.min_num_points), options.max_range
     )
-    return voxel_filter_timed(TimedPointCloud(cloud.positions, cloud.times, in_range), length)
+    filtered = voxel_filter_timed(TimedPointCloud(cloud.positions, cloud.times, in_range), length)
+    # Already-sparse clouds pass through UNFILTERED, mirroring the untimed
+    # variant (ref: adaptive_voxel_filter.h:49-52): voxel-filtering at
+    # max_length would drop co-voxel points exactly when data is scarcest.
+    sparse = jnp.sum(in_range) <= options.min_num_points
+    return TimedPointCloud(
+        positions=jnp.where(sparse, cloud.positions, filtered.positions),
+        times=jnp.where(sparse, cloud.times, filtered.times),
+        mask=jnp.where(sparse, in_range, filtered.mask),
+    )
 
 
 def compact_timed_cloud(cloud: TimedPointCloud, capacity: int) -> TimedPointCloud:

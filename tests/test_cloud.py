@@ -143,14 +143,90 @@ def test_uplink_federation(tmp_path):
         serving.uploader.wait_until_idle()
         time.sleep(1.0)
         uplink.wait_until_idle()
-        # Both servers ran SLAM on the same stream.
-        assert len(serving.map_builder.pose_graph.nodes) >= 4
-        assert len(uplink.map_builder.pose_graph.nodes) >= 4
         assert serving.uploader.num_batches_uploaded >= 1
+
+        # Result-based federation (ref: local_trajectory_uploader.h:32-66 +
+        # global_trajectory_builder.cc:118-123): the uplink must inject the
+        # serving server's local-SLAM RESULTS, running ZERO local-SLAM
+        # solves of its own.
+        from hectorgrapher_tpu.mapping.map_builder import UplinkTrajectoryBuilder
+
+        up_builder = uplink.map_builder.get_trajectory_builder(0)
+        assert isinstance(up_builder, UplinkTrajectoryBuilder)
+        assert up_builder.num_results_injected >= 4
+
+        # The uplink's nodes are exactly the serving server's results:
+        # local poses identical (no re-solve, no divergence)...
+        s_nodes = serving.map_builder.pose_graph.nodes
+        u_nodes = uplink.map_builder.pose_graph.nodes
+        assert len(u_nodes) == len(s_nodes) >= 4
+        for sn, un in zip(s_nodes, u_nodes):
+            assert sn.time == un.time
+            np.testing.assert_allclose(un.local_pose.t, sn.local_pose.t, atol=1e-9)
+            np.testing.assert_allclose(un.local_pose.q, sn.local_pose.q, atol=1e-9)
+        # ...and the global poses match the direct run's.
+        for sn, un in zip(s_nodes, u_nodes):
+            np.testing.assert_allclose(un.global_pose.t, sn.global_pose.t, atol=1e-6)
+
+        # Finished submaps were re-instantiated server-side with their grid
+        # content (ref: submap_controller.h UpdateSubmap); unfinished ones
+        # are metadata placeholders.
+        s_submaps = serving.map_builder.pose_graph.submaps
+        u_submaps = uplink.map_builder.pose_graph.submaps
+        assert len(u_submaps) == len(s_submaps)
+        for ss, us in zip(s_submaps, u_submaps):
+            np.testing.assert_allclose(us.submap.local_pose.t, ss.submap.local_pose.t, atol=1e-9)
+            if ss.finished:
+                np.testing.assert_allclose(
+                    np.asarray(us.submap.grid.known), np.asarray(ss.submap.grid.known)
+                )
         stub.close()
     finally:
         serving.shutdown()
         uplink.shutdown()
+
+
+def test_wire_rejects_code_execution():
+    """The RPC deserializer must refuse pickles referencing anything
+    outside the data-container whitelist — the classic __reduce__ ->
+    os.system exploit (the reference's proto wire format has no such
+    surface; ref: cloud/proto/map_builder_service.proto)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from hectorgrapher_tpu.cloud import wire
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    with _pytest.raises(wire.WirePayloadError):
+        wire.loads(pickle.dumps(Evil()))
+    with _pytest.raises(wire.WirePayloadError):
+        wire.loads(pickle.dumps({"payload": [Evil()]}))  # nested
+
+    # Legitimate payloads round-trip.
+    from hectorgrapher_tpu.sensor.types import TimedPointCloud, TimedPointCloudData
+
+    payload = {
+        "trajectory_id": 3,
+        "kind": "range",
+        "payload": TimedPointCloudData(
+            time=0.5,
+            origin=np.zeros(3, np.float32),
+            ranges=TimedPointCloud(
+                jnp.zeros((4, 3)), jnp.zeros(4), jnp.ones(4, bool)
+            ),
+            width=0,
+        ),
+        "pose": NpRigid3(np.zeros(3)),
+    }
+    out = wire.loads(wire.dumps(payload))
+    assert out["trajectory_id"] == 3
+    assert out["payload"].ranges.positions.shape == (4, 3)
 
 
 def test_streaming_local_slam_results(server):

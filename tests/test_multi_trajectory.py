@@ -63,7 +63,7 @@ def test_second_trajectory_globally_localizes():
         s.submap.insertion_finished = True
         if not s.finished:
             s.finished = True
-            pg._on_submap_finished(pg.submaps.index(s))
+            pg._on_submap_finished(s)
 
     # Trajectory 1 starts at world x=0.8 (its own local frame starts at 0).
     t1_id = mb.add_trajectory_builder()

@@ -57,9 +57,16 @@ def build_graph(num_submaps=5, nodes_per=2):
             insertion_finished=True,
         )
         pg.submaps.append(
-            PgSubmap(submap=submap, global_pose=NpRigid3(np.array([si * 1.0, 0, 0])), finished=True)
+            PgSubmap(
+                submap=submap,
+                global_pose=NpRigid3(np.array([si * 1.0, 0, 0])),
+                finished=True,
+                submap_id=si,
+            )
         )
         pg._submap_ids[id(submap)] = si
+        pg._submap_index_by_id[si] = si
+        pg._next_submap_id = si + 1
         for k in range(nodes_per):
             ni = len(pg.nodes)
             pg.nodes.append(
@@ -67,8 +74,11 @@ def build_graph(num_submaps=5, nodes_per=2):
                     time=float(ni),
                     local_pose=NpRigid3(np.array([si + 0.5 * k, 0, 0])),
                     global_pose=NpRigid3(np.array([si + 0.5 * k, 0, 0])),
+                    node_id=ni,
                 )
             )
+            pg._node_index_by_id[ni] = ni
+            pg._next_node_id = ni + 1
             pg.constraints.append(
                 Constraint(si, ni, NpRigid3(), 1.0, 1.0, "INTRA")
             )
@@ -97,10 +107,23 @@ class TestTrimmers:
 
 
 class TestMatcherCacheInvalidation:
-    def test_trim_clears_per_submap_matcher_cache(self):
-        # Stale index-keyed matcher artifacts after a trim would score
-        # candidates against the WRONG submap's grid.
+    def test_trim_drops_trimmed_submap_matcher_cache(self):
+        # Caches are keyed by stable submap_id: trimmed entries are
+        # dropped, surviving entries stay valid (no index remap applies).
         pg = build_graph()
-        pg._matcher_cache[2] = ("sentinel",)
+        pg._matcher_cache[0] = ("sentinel0",)
+        pg._matcher_cache[2] = ("sentinel2",)
         trim_submaps(pg, {0})
-        assert pg._matcher_cache == {}
+        assert 0 not in pg._matcher_cache
+        assert pg._matcher_cache[2] == ("sentinel2",)
+
+    def test_trim_rebuilds_stable_id_maps(self):
+        # Async work items resolve through the stable-id maps; after a trim
+        # they must point at the surviving entries' new positions.
+        pg = build_graph()
+        trim_submaps(pg, {0, 1})
+        for sid, idx in pg._submap_index_by_id.items():
+            assert pg.submaps[idx].submap_id == sid
+        for nid, idx in pg._node_index_by_id.items():
+            assert pg.nodes[idx].node_id == nid
+        assert 0 not in pg._submap_index_by_id and 1 not in pg._submap_index_by_id
