@@ -186,6 +186,71 @@ def autogenerate_relations_from_pose_graph(
     return relations
 
 
+def autogenerate_relations_from_pbstream_state(
+    state,
+    min_covered_distance: float = 100.0,
+    outlier_threshold_meters: float = 0.15,
+    outlier_threshold_radians: float = 0.02,
+) -> List[Relation]:
+    """Same selection as autogenerate_relations_from_pose_graph, operating
+    on a decoded reference `.pbstream` (io/pbstream.py PbState) — the exact
+    input of the reference tool (ref:
+    ground_truth/autogenerate_ground_truth_main.cc:77 reads a pbstream's
+    PoseGraph proto). Times are converted from universal ticks to seconds."""
+    from hectorgrapher_tpu.common.time import from_universal
+
+    nodes = sorted(state.nodes, key=lambda n: (n.trajectory_id, n.node_index))
+    node_by_id = {(n.trajectory_id, n.node_index): n for n in nodes}
+    submap_pose = {
+        (s["trajectory_id"], s["submap_index"]): s["pose"] for s in state.submap_poses
+    }
+    covered_by_id = {}
+    covered = 0.0
+    prev = None
+    for n in nodes:
+        if prev is not None and prev.trajectory_id == n.trajectory_id:
+            covered += float(np.linalg.norm(n.pose.t - prev.pose.t))
+        covered_by_id[(n.trajectory_id, n.node_index)] = covered
+        prev = n
+
+    node_ts = np.stack([n.pose.t for n in nodes]) if nodes else np.zeros((0, 3))
+
+    def nearest_node(pose):
+        return nodes[int(np.argmin(np.linalg.norm(node_ts - pose.t[None, :], axis=1)))]
+
+    relations = []
+    for c in state.constraints:
+        if c.tag != "INTER_SUBMAP":
+            continue
+        node = node_by_id.get((c.node_trajectory_id, c.node_index))
+        spose = submap_pose.get((c.submap_trajectory_id, c.submap_index))
+        if node is None or spose is None:
+            continue
+        anchor = nearest_node(spose)
+        d = abs(
+            covered_by_id[(node.trajectory_id, node.node_index)]
+            - covered_by_id[(anchor.trajectory_id, anchor.node_index)]
+        )
+        if d < min_covered_distance:
+            continue
+        expected = c.relative_pose
+        solution = spose.inverse().compose(node.pose)
+        err = expected.inverse().compose(solution)
+        if (
+            np.linalg.norm(err.t) > outlier_threshold_meters
+            or nq.quat_angle(err.q) > outlier_threshold_radians
+        ):
+            continue
+        relations.append(
+            Relation(
+                time1=from_universal(anchor.timestamp),
+                time2=from_universal(node.timestamp),
+                expected=expected,
+            )
+        )
+    return relations
+
+
 def ate_rmse(
     est_times: Sequence[float],
     est_poses: Sequence[NpRigid3],

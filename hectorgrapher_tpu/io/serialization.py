@@ -37,6 +37,58 @@ SERIALIZATION_VERSION = 2  # matches the reference's current format version
 MAGIC = "hectorgrapher_tpu_state"
 
 
+def migrate_state_v1_to_v2(in_path: str, out_path: str) -> int:
+    """Migrate a version-1 state file to version 2.
+
+    Version 1 predates per-submap rotational histograms; the migration
+    recomputes each 3D submap's histogram as the sum of the histograms of
+    the nodes constrained INTRA to it — the same recomputation the
+    reference performs (ref: io/serialization_format_migration.cc
+    MigrateSubmapFormatVersion1ToVersion2, invoked from
+    map_builder.cc:366-373). Returns the number of submaps migrated.
+    """
+    with np.load(in_path, allow_pickle=False) as data:
+        arrays = {k: data[k] for k in data.files if k != "__index__"}
+        index = json.loads(bytes(data["__index__"]).decode())
+    if index["magic"] != MAGIC:
+        raise ValueError("not a hectorgrapher_tpu state file")
+    if index["version"] >= SERIALIZATION_VERSION:
+        raise ValueError(f"state already at version {index['version']}")
+
+    migrated = _recompute_missing_submap_histograms(index, arrays)
+    index["version"] = SERIALIZATION_VERSION
+    arrays["__index__"] = np.frombuffer(json.dumps(index).encode(), dtype=np.uint8)
+    np.savez_compressed(out_path, **arrays)
+    return migrated
+
+
+def _recompute_missing_submap_histograms(index: Dict, arrays: Dict) -> int:
+    """Shared by the migrate CLI and v1 in-memory loads."""
+    intra: Dict[int, List[int]] = {}
+    for c in index["constraints"]:
+        if c["tag"] == "INTRA":
+            intra.setdefault(c["submap_index"], []).append(c["node_index"])
+    migrated = 0
+    for i, entry in enumerate(index["submaps"]):
+        if entry.get("kind") != "3d" or f"submap{i}_histogram" in arrays:
+            continue
+        hist = None
+        for ni in intra.get(i, []):
+            node_hist = arrays.get(f"node{ni}_histogram")
+            if node_hist is not None:
+                hist = node_hist if hist is None else hist + node_hist
+        if hist is None:
+            # No node data to recompute from: an empty histogram, exactly
+            # like the reference's migration of submaps without nodes.
+            size = next(
+                (arrays[k].shape[0] for k in arrays if k.endswith("_histogram")), 128
+            )
+            hist = np.zeros(size, np.float32)
+        arrays[f"submap{i}_histogram"] = np.asarray(hist, np.float32)
+        migrated += 1
+    return migrated
+
+
 def _rigid_to_arr(p: NpRigid3) -> np.ndarray:
     return np.concatenate([np.asarray(p.t, np.float64), np.asarray(p.q, np.float64)])
 
@@ -230,11 +282,28 @@ def load_state(pose_graph, path: str, load_frozen_state: bool = True) -> Dict[in
         for i, entry in enumerate(index["submaps"]):
             local_pose = _rigid_from_arr(data[f"submap{i}_local"])
             if entry["kind"] == "3d":
+                if f"submap{i}_histogram" in data:
+                    histogram = np.asarray(data[f"submap{i}_histogram"])
+                else:
+                    # Version-1 file: recompute from INTRA-constrained node
+                    # histograms, the reference's on-load migration
+                    # (ref: map_builder.cc:366-373 +
+                    # serialization_format_migration.cc).
+                    assert version == 1, f"v{version} 3D submap missing histogram"
+                    histogram = None
+                    for c in index["constraints"]:
+                        if c["tag"] == "INTRA" and c["submap_index"] == i:
+                            key = f"node{c['node_index']}_histogram"
+                            if key in data:
+                                nh = np.asarray(data[key])
+                                histogram = nh if histogram is None else histogram + nh
+                    if histogram is None:
+                        histogram = np.zeros(128, np.float32)
                 submap = Submap3D(
                     local_pose=local_pose,
                     high_resolution_grid=_grid_from_payload(f"submap{i}_high", entry["high_meta"], data),
                     low_resolution_grid=_grid_from_payload(f"submap{i}_low", entry["low_meta"], data),
-                    rotational_histogram=np.asarray(data[f"submap{i}_histogram"]),
+                    rotational_histogram=histogram,
                     num_range_data=entry["num_range_data"],
                     insertion_finished=entry["finished"],
                 )

@@ -31,8 +31,76 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
+def _relations_to_proto(relations, covered_distance: float = 0.0):
+    """evaluation Relation (seconds) -> pbstream Relation (universal ticks)."""
+    from hectorgrapher_tpu.common.time import to_universal
+    from hectorgrapher_tpu.io import pbstream
+
+    return [
+        pbstream.Relation(
+            timestamp1=to_universal(r.time1),
+            timestamp2=to_universal(r.time2),
+            expected=r.expected,
+            covered_distance=covered_distance,
+        )
+        for r in relations
+    ]
+
+
+def _relations_from_proto(pb_relations):
+    from hectorgrapher_tpu.common.time import from_universal
+    from hectorgrapher_tpu.evaluation.metrics import Relation
+
+    return [
+        Relation(
+            time1=from_universal(r.timestamp1),
+            time2=from_universal(r.timestamp2),
+            expected=r.expected,
+        )
+        for r in pb_relations
+    ]
+
+
+def _write_relations(path: str, relations, fmt: str) -> None:
+    if fmt == "proto":
+        from hectorgrapher_tpu.io import pbstream
+
+        pbstream.write_ground_truth(path, _relations_to_proto(relations))
+    else:
+        from hectorgrapher_tpu.evaluation.relations_text_file import write_relations_text_file
+
+        write_relations_text_file(path, relations)
+
+
+def _read_relations(path: str):
+    """Read relations in either the TORO-style text format or the
+    reference's binary GroundTruth proto (sniffed)."""
+    try:
+        from hectorgrapher_tpu.evaluation.relations_text_file import read_relations_text_file
+
+        return read_relations_text_file(path)
+    except (UnicodeDecodeError, ValueError):
+        from hectorgrapher_tpu.io import pbstream
+
+        return _relations_from_proto(pbstream.read_ground_truth(path))
+
+
 def cmd_state_info(args) -> int:
     """(ref: pbstream_main.cc `info`)"""
+    if args.state.endswith(".pbstream"):
+        from hectorgrapher_tpu.io import pbstream
+
+        state = pbstream.read_state(args.state)
+        print(f"format version: {state.format_version}")
+        print(f"record counts: {dict(sorted(state.record_counts.items()))}")
+        print(f"nodes (pose graph): {len(state.nodes)}")
+        print(f"submaps (pose graph): {len(state.submap_poses)}")
+        print(f"constraints: {len(state.constraints)}")
+        inter = sum(1 for c in state.constraints if c.tag == "INTER_SUBMAP")
+        print(f"  inter (loop closure): {inter}")
+        if state.landmark_poses:
+            print(f"landmarks: {sorted(state.landmark_poses)}")
+        return 0
     data = np.load(args.state, allow_pickle=False)
     index = json.loads(bytes(data["__index__"]).decode())
     trajectories = sorted(
@@ -83,27 +151,50 @@ def cmd_print_configuration(args) -> int:
     return 0
 
 
-def cmd_autogenerate_ground_truth(args) -> int:
-    from hectorgrapher_tpu.common.config import MapBuilderOptions
-    from hectorgrapher_tpu.evaluation.metrics import autogenerate_relations_from_pose_graph
-    from hectorgrapher_tpu.evaluation.relations_text_file import write_relations_text_file
-    from hectorgrapher_tpu.io.serialization import load_state
-    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PoseGraph2D, PoseGraph3D
+def cmd_state_migrate(args) -> int:
+    """(ref: pbstream_main.cc `migrate`:40-43 +
+    serialization_format_migration.cc — v1 states lack 3D submap
+    rotational histograms; recompute them from node histograms.)"""
+    from hectorgrapher_tpu.io.serialization import migrate_state_v1_to_v2
 
-    pg = PoseGraph3D(MapBuilderOptions().pose_graph)
-    try:
-        load_state(pg, args.state, load_frozen_state=False)
-    except Exception:
-        pg = PoseGraph2D(MapBuilderOptions().pose_graph)
-        load_state(pg, args.state, load_frozen_state=False)
-    relations = autogenerate_relations_from_pose_graph(
-        pg,
+    migrated = migrate_state_v1_to_v2(args.state, args.output)
+    print(f"migrated to version 2 ({migrated} submap histograms recomputed): {args.output}")
+    return 0
+
+
+def cmd_autogenerate_ground_truth(args) -> int:
+    fmt = args.format or ("proto" if args.output.endswith(".pb") else "text")
+    kwargs = dict(
         min_covered_distance=args.min_covered_distance,
         outlier_threshold_meters=args.outlier_threshold_meters,
         outlier_threshold_radians=args.outlier_threshold_radians,
     )
-    write_relations_text_file(args.output, relations)
-    print(f"wrote {len(relations)} relations to {args.output}")
+    if args.state.endswith(".pbstream"):
+        # Reference-produced optimized state: relations straight from the
+        # decoded pose graph proto (ref: autogenerate_ground_truth_main.cc:77).
+        from hectorgrapher_tpu.evaluation.metrics import (
+            autogenerate_relations_from_pbstream_state,
+        )
+        from hectorgrapher_tpu.io import pbstream
+
+        relations = autogenerate_relations_from_pbstream_state(
+            pbstream.read_state(args.state), **kwargs
+        )
+    else:
+        from hectorgrapher_tpu.common.config import MapBuilderOptions
+        from hectorgrapher_tpu.evaluation.metrics import autogenerate_relations_from_pose_graph
+        from hectorgrapher_tpu.io.serialization import load_state
+        from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PoseGraph2D, PoseGraph3D
+
+        pg = PoseGraph3D(MapBuilderOptions().pose_graph)
+        try:
+            load_state(pg, args.state, load_frozen_state=False)
+        except Exception:
+            pg = PoseGraph2D(MapBuilderOptions().pose_graph)
+            load_state(pg, args.state, load_frozen_state=False)
+        relations = autogenerate_relations_from_pose_graph(pg, **kwargs)
+    _write_relations(args.output, relations, fmt)
+    print(f"wrote {len(relations)} relations to {args.output} ({fmt})")
     return 0
 
 
@@ -111,31 +202,38 @@ def cmd_ground_truth_from_mocap(args) -> int:
     """(ref: generate_ground_truth_from_mocap_main.cc:33-43 — CSV columns
     time,x,y,z,qw,qx,qy,qz; relations every pose_time_delta.)"""
     from hectorgrapher_tpu.evaluation.metrics import relations_from_ground_truth
-    from hectorgrapher_tpu.evaluation.relations_text_file import write_relations_text_file
     from hectorgrapher_tpu.transform.np_quat import NpRigid3
 
     rows = np.loadtxt(args.csv, delimiter=",", skiprows=args.skip_rows)
     times = rows[:, 0]
     poses = [NpRigid3(r[1:4], r[4:8]) for r in rows]
     relations = relations_from_ground_truth(times, poses, args.pose_time_delta)
-    write_relations_text_file(args.output, relations)
-    print(f"wrote {len(relations)} relations to {args.output}")
+    fmt = args.format or ("proto" if args.output.endswith(".pb") else "text")
+    _write_relations(args.output, relations, fmt)
+    print(f"wrote {len(relations)} relations to {args.output} ({fmt})")
     return 0
 
 
 def cmd_compute_relations_metrics(args) -> int:
     from hectorgrapher_tpu.evaluation.metrics import TrajectoryInterpolator, compute_relation_metrics
-    from hectorgrapher_tpu.evaluation.relations_text_file import read_relations_text_file
     from hectorgrapher_tpu.transform.np_quat import NpRigid3
 
-    relations = read_relations_text_file(args.relations)
-    data = np.load(args.state, allow_pickle=False)
-    index = json.loads(bytes(data["__index__"]).decode())
-    times = [e["time"] for e in index["nodes"]]
-    poses = [
-        NpRigid3(data[f"node{i}_global"][:3], data[f"node{i}_global"][3:7])
-        for i in range(len(index["nodes"]))
-    ]
+    relations = _read_relations(args.relations)
+    if args.state.endswith(".pbstream"):
+        from hectorgrapher_tpu.common.time import from_universal
+        from hectorgrapher_tpu.io import pbstream
+
+        nodes = sorted(pbstream.read_state(args.state).nodes, key=lambda n: n.timestamp)
+        times = [from_universal(n.timestamp) for n in nodes]
+        poses = [n.pose for n in nodes]
+    else:
+        data = np.load(args.state, allow_pickle=False)
+        index = json.loads(bytes(data["__index__"]).decode())
+        times = [e["time"] for e in index["nodes"]]
+        poses = [
+            NpRigid3(data[f"node{i}_global"][:3], data[f"node{i}_global"][3:7])
+            for i in range(len(index["nodes"]))
+        ]
     metrics = compute_relation_metrics(TrajectoryInterpolator(times, poses), relations)
     print(metrics)
     return 0
@@ -202,11 +300,100 @@ def cmd_scan_matching_evaluation(args) -> int:
     return 0
 
 
+def _run_sequence_evaluation(args) -> int:
+    """File-driven evaluation over a recorded sequence directory
+    (ref: evaluation/mapping_evaluation.cc:38-268 — consumes point-cloud
+    files + sensor streams; ground truth from a mocap CSV like
+    generate_ground_truth_from_mocap_main.cc). Directory layout:
+    *.ply|*.pcd|*.xyz scans (timestamp in filename) + optional imu.csv,
+    odometry.csv, mocap.csv."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common import config as cfg
+    from hectorgrapher_tpu.evaluation.metrics import (
+        TrajectoryInterpolator,
+        ate_rmse,
+        compute_relation_metrics,
+        relations_from_ground_truth,
+    )
+    from hectorgrapher_tpu.io.readers import read_mocap_csv, read_sequence_dir
+    from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+    from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+
+    events = read_sequence_dir(args.sequence_dir)
+    n_range = sum(1 for e in events if e.kind == "range")
+    if n_range == 0:
+        print(f"no point-cloud files found in {args.sequence_dir}")
+        return 1
+    max_points = max(len(e.payload) for e in events if e.kind == "range")
+    capacity = 1 << max(int(np.ceil(np.log2(max(max_points, 256)))), 8)
+
+    overrides = {"use_trajectory_builder_3d": args.use_3d,
+                 "use_trajectory_builder_2d": not args.use_3d}
+    if not args.use_3d:
+        overrides.update({
+            "trajectory_builder_2d.use_imu_data": False,
+            "trajectory_builder_2d.use_online_correlative_scan_matching": True,
+            "trajectory_builder_2d.max_num_points": capacity,
+        })
+    options = cfg.replace_deep(cfg.MapBuilderOptions(), overrides)
+    if args.config_overrides:
+        kv = {}
+        for item in args.config_overrides:
+            key, _, value = item.partition("=")
+            kv[key] = json.loads(value)
+        options = cfg.replace_deep(options, kv)
+    mb = MapBuilder(options)
+    tb = mb.get_trajectory_builder(mb.add_trajectory_builder())
+    for e in events:
+        if e.kind == "imu":
+            tb.add_imu_data(e.time, e.payload[0], e.payload[1])
+        elif e.kind == "odometry":
+            tb.add_odometry_data(e.time, e.payload)
+        else:
+            pts = e.payload
+            cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), capacity)
+            tb.add_range_data(
+                TimedPointCloudData(
+                    time=jnp.asarray(e.time), origin=jnp.zeros(3, jnp.float32), ranges=cloud
+                )
+            )
+    pg = mb.pose_graph
+    mb.finish_trajectory(0)
+    pg.run_final_optimization()
+    est_times = [n.time for n in pg.nodes]
+    est_poses = [n.global_pose for n in pg.nodes]
+    print(f"nodes: {len(pg.nodes)}  submaps: {len(pg.submaps)}  constraints: {len(pg.constraints)}")
+    if not est_poses:
+        return 1
+    mocap = os.path.join(args.sequence_dir, "mocap.csv")
+    if os.path.exists(mocap):
+        gt = read_mocap_csv(mocap)
+        gt_times = [t for t, _ in gt]
+        gt_poses = [p for _, p in gt]
+        rmse = ate_rmse(est_times, est_poses, gt_times, gt_poses, align=not args.no_align)
+        relations = relations_from_ground_truth(gt_times, gt_poses, 0.5)
+        metrics = compute_relation_metrics(TrajectoryInterpolator(est_times, est_poses), relations)
+        print(f"ATE RMSE: {rmse:.4f} m")
+        print(metrics)
+    else:
+        print("no mocap.csv ground truth; trajectory only")
+    if args.output_state:
+        from hectorgrapher_tpu.io.serialization import save_state
+
+        save_state(pg, args.output_state)
+        print(f"state written to {args.output_state}")
+    return 0
+
+
 def cmd_mapping_evaluation(args) -> int:
     """(ref: evaluation/mapping_evaluation.cc + trajectory_builder_
     evaluation.cc — end-to-end SLAM over synthetic data with relation/ATE
-    metrics.) Runs the 2D or 3D pipeline on a synthetic scene and prints
-    ATE RMSE + relation metrics against ground truth."""
+    metrics.) Runs the 2D or 3D pipeline on a synthetic scene — or a
+    recorded sequence directory with --sequence_dir — and prints ATE RMSE
+    + relation metrics against ground truth."""
+    if args.sequence_dir:
+        return _run_sequence_evaluation(args)
     import jax.numpy as jnp
 
     from hectorgrapher_tpu.common import config as cfg
@@ -327,6 +514,90 @@ def cmd_mapping_evaluation(args) -> int:
     return 0
 
 
+def cmd_trajectory_builder_evaluation(args) -> int:
+    """Classic discrete-time LTB3D vs the continuous-time optimizing
+    builder on the same synthetic 3D drive — per-builder pose error and
+    wall time (ref: evaluation/trajectory_builder_evaluation.cc:346, the
+    comparison driver for the two 3D front-ends)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common import config as cfg
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+    from hectorgrapher_tpu.mapping.ct.builder import OptimizingLocalTrajectoryBuilder
+    from hectorgrapher_tpu.mapping.local_3d import LocalTrajectoryBuilder3D
+    from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+    from hectorgrapher_tpu.transform import np_quat as nq
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    options = cfg.replace_deep(
+        cfg.MapBuilderOptions(),
+        {
+            "use_trajectory_builder_3d": True,
+            "trajectory_builder_3d.min_range": 0.4,
+            "trajectory_builder_3d.submaps.grid_type": "TSDF",
+            "trajectory_builder_3d.submaps.high_grid_size": 96,
+            "trajectory_builder_3d.submaps.low_grid_size": 48,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.initialization_duration": 0.45,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.max_control_points": 12,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.max_clouds_in_window": 12,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.points_per_cloud": 256,
+        },
+    ).trajectory_builder_3d
+    GRAVITY = np.array([0.0, 0.0, 9.80665])
+    speed, rest = 0.2, 0.6
+    rng = np.random.default_rng(args.seed)
+
+    def drive(builder, label):
+        rng_local = np.random.default_rng(args.seed)
+        errors = []
+        t0_wall = _time.perf_counter()
+        t, next_odom, next_scan = 0.0, 0.0, 0.05
+        n_results = 0
+        while t <= args.duration:
+            x = speed * max(0.0, t - rest)
+            q = nq.quat_identity()
+            builder.add_imu_data(t, GRAVITY.copy(), np.zeros(3))
+            if t >= next_odom:
+                builder.add_odometry_data(
+                    t, NpRigid3(np.array([x, 0, 0]) + rng_local.normal(0, 0.002, 3), q)
+                )
+                next_odom += 0.05
+            if t >= next_scan:
+                pts = raycast_box_room_3d(
+                    np.array([x, 0, 0]), q, num_azimuth=96, num_elevation=24,
+                    noise_std=args.noise, rng=rng_local if args.noise else None,
+                )
+                pts = pts[~np.isnan(pts[:, 0])]
+                cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), 2560)
+                result = builder.add_range_data(
+                    TimedPointCloudData(
+                        time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                        ranges=cloud, width=96,
+                    )
+                )
+                if result is not None:
+                    gt_x = speed * max(0.0, result.time - rest)
+                    errors.append(
+                        float(np.linalg.norm(result.local_pose.t - np.array([gt_x, 0, 0])))
+                    )
+                    n_results += 1
+                next_scan += 0.1
+            t = round(t + 0.01, 6)
+        wall = _time.perf_counter() - t0_wall
+        max_err = max(errors) if errors else float("nan")
+        print(
+            f"{label}: results {n_results}  max pose error {max_err:.4f} m  "
+            f"final error {errors[-1] if errors else float('nan'):.4f} m  wall {wall:.1f} s"
+        )
+        return max_err
+
+    drive(OptimizingLocalTrajectoryBuilder(options), "continuous-time (flagship)")
+    drive(LocalTrajectoryBuilder3D(options), "classic discrete-time")
+    return 0
+
+
 def cmd_map_builder_server(args) -> int:
     """(ref: cloud/map_builder_server_main.cc)"""
     import time as _time
@@ -354,9 +625,14 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="hectorgrapher_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p = sub.add_parser("state-info", help="inspect a serialized state file")
+    p = sub.add_parser("state-info", help="inspect a serialized state file (.npz or reference .pbstream)")
     p.add_argument("state")
     p.set_defaults(fn=cmd_state_info)
+
+    p = sub.add_parser("state-migrate", help="migrate a v1 state file to the current version")
+    p.add_argument("state")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_state_migrate)
 
     p = sub.add_parser("print-configuration", help="dump resolved options")
     p.add_argument("--override", action="append", help="dotted.key=json_value")
@@ -380,6 +656,8 @@ def main(argv=None) -> int:
     p.add_argument("--min_covered_distance", type=float, default=100.0)
     p.add_argument("--outlier_threshold_meters", type=float, default=0.15)
     p.add_argument("--outlier_threshold_radians", type=float, default=0.02)
+    p.add_argument("--format", choices=["text", "proto"], default=None,
+                   help="relations output format (default: proto for .pb outputs, else text)")
     p.set_defaults(fn=cmd_autogenerate_ground_truth)
 
     p = sub.add_parser("ground-truth-from-mocap")
@@ -387,6 +665,7 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("--pose_time_delta", type=float, default=0.1)
     p.add_argument("--skip_rows", type=int, default=0)
+    p.add_argument("--format", choices=["text", "proto"], default=None)
     p.set_defaults(fn=cmd_ground_truth_from_mocap)
 
     p = sub.add_parser("compute-relations-metrics")
@@ -405,7 +684,18 @@ def main(argv=None) -> int:
     p.add_argument("--noise", type=float, default=0.004)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_align", action="store_true")
+    p.add_argument("--sequence_dir", default="",
+                   help="recorded sequence directory (*.ply/*.pcd/*.xyz + imu.csv/odometry.csv/mocap.csv)")
+    p.add_argument("--config_overrides", action="append", help="dotted.key=json_value")
+    p.add_argument("--output_state", default="", help="write the final state to this .npz")
     p.set_defaults(fn=cmd_mapping_evaluation)
+
+    p = sub.add_parser("trajectory-builder-evaluation",
+                       help="classic vs continuous-time 3D front-end comparison")
+    p.add_argument("--duration", type=float, default=2.4)
+    p.add_argument("--noise", type=float, default=0.004)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_trajectory_builder_evaluation)
 
     p = sub.add_parser("map-builder-server")
     p.add_argument("--address", default="127.0.0.1:50051")
