@@ -425,12 +425,13 @@ class PoseGraphOptions:
     """(ref: configuration_files/pose_graph.lua)"""
 
     optimize_every_n_nodes: int = 90
-    # TPU design choice: the reference's back-end always runs on an async
-    # work queue (pose_graph_3d.cc AddWorkItem:162-177/DrainWorkQueue:
-    # 512-535). Here the same decisions run synchronously by default
-    # (deterministic, test-friendly); async_work_queue=True restores the
-    # reference's non-blocking front-end with a background worker thread.
-    async_work_queue: bool = False
+    # The reference's back-end always runs on an async work queue
+    # (pose_graph_3d.cc AddWorkItem:162-177 / DrainWorkQueue:512-535 —
+    # AddNode returns immediately); that is the default here too, so the
+    # real-time front-end never blocks on loop-closure searches or SPA.
+    # async_work_queue=False is the deterministic switch for tests that
+    # need constraint searches to complete inline.
+    async_work_queue: bool = True
     constraint_builder: ConstraintBuilderOptions = _mkdefault(ConstraintBuilderOptions)
     matcher_translation_weight: float = 5e2
     matcher_rotation_weight: float = 1.6e3

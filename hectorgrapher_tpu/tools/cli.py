@@ -198,6 +198,43 @@ def cmd_autogenerate_ground_truth(args) -> int:
     return 0
 
 
+def _load_pose_graph_from_state(path: str):
+    """Instantiate the right-dimensional pose graph for a state file and
+    load it (the header records dim; ref: io/proto_stream_deserializer.cc
+    reads the header before dispatching)."""
+    import json as _json
+
+    from hectorgrapher_tpu.common.config import MapBuilderOptions
+    from hectorgrapher_tpu.io.serialization import load_state
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PoseGraph2D, PoseGraph3D
+
+    with np.load(path, allow_pickle=False) as data:
+        index = _json.loads(bytes(data["__index__"]).decode())
+    cls = PoseGraph3D if index.get("dim") == 3 else PoseGraph2D
+    pg = cls(MapBuilderOptions().pose_graph)
+    load_state(pg, path, load_frozen_state=False)
+    return pg
+
+
+def cmd_paint_map(args) -> int:
+    """Render a serialized state to a PNG: composited submaps + stroked
+    trajectories (ref: io/submap_painter.cc PaintSubmapSlices +
+    io/draw_trajectories.cc DrawTrajectory)."""
+    from hectorgrapher_tpu.io.drawing import paint_pose_graph
+    from hectorgrapher_tpu.io.image import write_png
+
+    pg = _load_pose_graph_from_state(args.state)
+    rgb = paint_pose_graph(
+        pg, resolution=args.resolution, include_unfinished=not args.finished_only
+    )
+    write_png(args.output, rgb)
+    print(
+        f"wrote {args.output} ({rgb.shape[1]}x{rgb.shape[0]} px at "
+        f"{args.resolution} m/px, {len(pg.submaps)} submaps, {len(pg.nodes)} nodes)"
+    )
+    return 0
+
+
 def cmd_ground_truth_from_mocap(args) -> int:
     """(ref: generate_ground_truth_from_mocap_main.cc:33-43 — CSV columns
     time,x,y,z,qw,qx,qy,qz; relations every pose_time_delta.)"""
@@ -613,11 +650,21 @@ def cmd_map_builder_server(args) -> int:
     server = MapBuilderServer(MapBuilder(options), args.address)
     server.start()
     print(f"map builder server listening on port {server.port}")
+    exporter = None
+    if args.monitoring_port >= 0:
+        # (ref: map_builder_server_main.cc:40-46 — prometheus::Exposer on
+        # the monitoring port, global registry registered with it.)
+        from hectorgrapher_tpu.metrics.http_exporter import MetricsExporter
+
+        exporter = MetricsExporter(port=args.monitoring_port).start()
+        print(f"prometheus metrics on http://127.0.0.1:{exporter.port}/metrics")
     try:
         while True:
             _time.sleep(1.0)
     except KeyboardInterrupt:
         server.shutdown()
+        if exporter is not None:
+            exporter.shutdown()
     return 0
 
 
@@ -697,9 +744,22 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_trajectory_builder_evaluation)
 
+    p = sub.add_parser("paint-map", help="render a state file to a PNG map image")
+    p.add_argument("state")
+    p.add_argument("output")
+    p.add_argument("--resolution", type=float, default=0.05, help="meters per pixel")
+    p.add_argument("--finished_only", action="store_true", help="skip unfinished submaps")
+    p.set_defaults(fn=cmd_paint_map)
+
     p = sub.add_parser("map-builder-server")
     p.add_argument("--address", default="127.0.0.1:50051")
     p.add_argument("--use_3d", action="store_true")
+    p.add_argument(
+        "--monitoring_port",
+        type=int,
+        default=9100,
+        help="prometheus /metrics port (ref: map_builder_server_main.cc:40); -1 disables",
+    )
     p.set_defaults(fn=cmd_map_builder_server)
 
     args = parser.parse_args(argv)

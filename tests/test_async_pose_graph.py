@@ -113,3 +113,78 @@ class TestAsyncPoseGraph:
     def test_wait_for_all_computations_idempotent_sync(self):
         mb = MapBuilder(make_options(False))
         mb.pose_graph.wait_for_all_computations()  # no-op without a queue
+
+    def test_async_is_the_default(self):
+        """The reference pose graph is ALWAYS asynchronous
+        (ref: pose_graph_3d.cc AddNode:142-160 returns immediately); the
+        default configuration must match."""
+        assert MapBuilderOptions().pose_graph.async_work_queue is True
+
+    def test_add_node_latency_bounded_during_inflight_work(self):
+        """add_node stays O(ms) while a constraint search + SPA run in
+        flight on the worker (ref: the async boundary at
+        pose_graph_3d.cc:142-160 — bookkeeping under the mutex, matcher
+        work queued)."""
+        import threading
+
+        from hectorgrapher_tpu.mapping.grids import make_probability_grid
+        from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PgNode, PoseGraph2D
+        from hectorgrapher_tpu.mapping.submap_2d import Submap2D
+        from hectorgrapher_tpu.sensor.types import PointCloud
+
+        options = make_options(True).pose_graph
+        pg = PoseGraph2D(options)
+        in_search = threading.Event()
+        release = threading.Event()
+
+        def slow_constraint(node, pg_submap, global_search=False):
+            in_search.set()
+            assert release.wait(timeout=30.0)
+            return None
+
+        pg._compute_constraint = slow_constraint
+
+        def make_submap(x, finished):
+            return Submap2D(
+                local_pose=NpRigid3(np.array([x, 0.0, 0.0])),
+                grid=make_probability_grid(0.05, (32, 32)),
+                num_range_data=2,
+                insertion_finished=finished,
+            )
+
+        cloud = PointCloud(jnp.zeros((8, 3), jnp.float32), jnp.ones(8, bool))
+        finished = make_submap(0.0, True)
+        active = make_submap(1.0, False)
+        try:
+            # Node 0 registers the finished submap (INTRA) so node 1's work
+            # item dispatches an INTER search against it.
+            pg.add_node(
+                PgNode(0.0, NpRigid3(np.zeros(3)), NpRigid3(np.zeros(3)), cloud=cloud),
+                [finished],
+            )
+            pg.add_node(
+                PgNode(0.1, NpRigid3(np.array([1, 0, 0.0])), NpRigid3(np.zeros(3)), cloud=cloud),
+                [active],
+            )
+            assert in_search.wait(timeout=10.0), "worker never reached the matcher"
+            # The worker is now BLOCKED inside a constraint search; the
+            # front-end must keep streaming regardless.
+            latencies = []
+            for i in range(20):
+                node = PgNode(
+                    0.2 + 0.1 * i,
+                    NpRigid3(np.array([1.0 + 0.1 * i, 0, 0])),
+                    NpRigid3(np.zeros(3)),
+                    cloud=cloud,
+                )
+                t0 = time.perf_counter()
+                pg.add_node(node, [active])
+                latencies.append(time.perf_counter() - t0)
+            # O(ms): generous bound for CI noise, still 100x under the
+            # blocking alternative (the matcher holds the worker >=100ms).
+            assert np.median(latencies) < 0.02, latencies
+            assert max(latencies) < 0.25, latencies
+        finally:
+            release.set()
+        pg.wait_for_all_computations()
+        assert len(pg.nodes) == 22
