@@ -188,6 +188,23 @@ def bench_spa():
     return time.perf_counter() - t0
 
 
+def bench_spa_scale():
+    """SPA at the reference's production operating point (VERDICT #8):
+    5k nodes / 500 submaps / 20k constraints, 10 LM iterations."""
+    import jax
+
+    from hectorgrapher_tpu.evaluation.graph_generator import make_scale_spa_problem
+    from hectorgrapher_tpu.mapping.pose_graph.optimization import solve_spa_3d
+
+    problem, _, _ = make_scale_spa_problem(5000, 500, 20000, noise=0.5, seed=0)
+    out = solve_spa_3d(problem, num_iterations=10)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = solve_spa_3d(problem, num_iterations=10)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
 def _probe_backend(timeout_s: float) -> tuple:
     """Check tunnel health in a SUBPROCESS bounded by a hard timeout.
 
@@ -279,6 +296,10 @@ def main() -> None:
         _RECORD["spa_solve_s"] = round(bench_spa(), 3)
     except Exception as e:
         _RECORD["spa_error"] = str(e)
+    try:
+        _RECORD["spa_scale_5k_solve_s"] = round(bench_spa_scale(), 3)
+    except Exception as e:
+        _RECORD["spa_scale_error"] = str(e)
 
     timer.cancel()
     _emit()

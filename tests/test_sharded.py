@@ -72,3 +72,117 @@ def test_sharded_spa_single_device_mesh():
     mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("graph",))
     sub_s, node_s, _ = solve_spa_2d_sharded(problem, mesh, num_iterations=20)
     np.testing.assert_allclose(np.asarray(node_s)[:, :2], gt_node[:, :2], atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Sharded constraint search (VERDICT #7)
+# ---------------------------------------------------------------------------
+
+
+def _make_submaps_and_candidates(n_submaps=6, cands_per_submap=3, depth=5):
+    """Distinct grids per submap + candidates with known offsets."""
+    from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions2D
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+    from hectorgrapher_tpu.mapping.grids import make_probability_grid
+    from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+        make_fast_search_config,
+        prepare_fast_matcher_2d,
+    )
+    from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+    from hectorgrapher_tpu.transform.rigid import Rigid2
+
+    rng = np.random.default_rng(7)
+    insert = make_probability_inserter_2d(
+        ProbabilityGridRangeDataInserterOptions2D(), max_range=12.8, resolution=0.05
+    )
+    prepared, clouds = [], []
+    for s in range(n_submaps):
+        # Vary the room per submap so grids differ.
+        pts = raycast_rect_room_2d(
+            np.array([0.1 * s, -0.05 * s]),
+            0.1 * s,
+            half_width=3.0 + 0.3 * s,
+            half_height=2.5 + 0.2 * s,
+            num_rays=540,
+            noise_std=0.003,
+            rng=rng,
+        )
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_cloud(pts.astype(np.float32), 512)
+        grid = make_probability_grid(0.05, (256, 256))
+        grid = insert(
+            grid,
+            RangeData(
+                origin=jnp.zeros(3, jnp.float32),
+                returns=cloud,
+                misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+            ),
+        )
+        prepared.append(prepare_fast_matcher_2d(grid, depth))
+        clouds.append(cloud)
+
+    config = make_fast_search_config(0.3, np.radians(15.0), 0.05, 8.0, depth)
+    candidates = []
+    for s in range(n_submaps):
+        for k in range(cands_per_submap):
+            init = Rigid2(
+                translation=jnp.asarray(
+                    [0.05 * (k + 1), -0.04 * (k + 1)], jnp.float32
+                ),
+                angle=jnp.asarray(0.02 * k, jnp.float32),
+            )
+            candidates.append((s, clouds[s], init))
+    return prepared, candidates, config
+
+
+def test_sharded_constraint_search_matches_single_device():
+    """One sharded launch over the 8-device mesh must reproduce the
+    per-pair single-device matcher exactly (VERDICT #7 done-criterion;
+    ref: constraint_builder_2d.cc fan-out)."""
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+        match_fast_2d_prepared,
+    )
+    from hectorgrapher_tpu.parallel.constraint_search import sharded_fast_matches_2d
+    from hectorgrapher_tpu.sensor.types import PointCloud
+    from hectorgrapher_tpu.transform.rigid import Rigid2
+
+    prepared, candidates, config = _make_submaps_and_candidates()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("graph",))
+    sharded = sharded_fast_matches_2d(prepared, candidates, config, mesh)
+    assert len(sharded) == len(candidates)
+
+    for (si, cloud, init), (score_s, pose_s) in zip(candidates, sharded):
+        score_1, pose_1 = match_fast_2d_prepared(prepared[si], cloud, init, config)
+        np.testing.assert_allclose(score_s, float(score_1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pose_s.translation), np.asarray(pose_1.translation), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(pose_s.angle), float(pose_1.angle), atol=1e-6
+        )
+        # Sanity: candidates were built near identity, matcher recovers a
+        # strong in-room score.
+        assert score_s > 0.3
+
+
+def test_sharded_constraint_search_uneven_and_single_device_mesh():
+    """Candidate counts that don't divide the mesh + a 1-device mesh."""
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+        match_fast_2d_prepared,
+    )
+    from hectorgrapher_tpu.parallel.constraint_search import sharded_fast_matches_2d
+
+    prepared, candidates, config = _make_submaps_and_candidates(
+        n_submaps=3, cands_per_submap=1
+    )
+    # Uneven: drop one candidate so routing is lopsided.
+    candidates = candidates[:2]
+    for n_dev in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("graph",))
+        out = sharded_fast_matches_2d(prepared, candidates, config, mesh)
+        for (si, cloud, init), (score_s, pose_s) in zip(candidates, out):
+            score_1, pose_1 = match_fast_2d_prepared(prepared[si], cloud, init, config)
+            np.testing.assert_allclose(score_s, float(score_1), rtol=1e-5)
+
+    assert sharded_fast_matches_2d(prepared, [], config, mesh) == []
