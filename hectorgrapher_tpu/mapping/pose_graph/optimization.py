@@ -144,13 +144,10 @@ def _lm_drive(
     return carry[2], carry[5]
 
 
-def _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
-    """Block normal-equation operands, summed over the given constraints.
-
-    Linear in the constraint set, so shards' partial blocks psum to the
-    global ones — the distributed solver reduces THESE over ICI instead of
-    a dense (D, D) matrix (10x less collective payload).
-    """
+def _spa_diag_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
+    """Block-diagonal normal-equation operands (no submap-node coupling),
+    summed over the given constraints: (a_blocks, c_blocks, g_s, g_n).
+    O(S + N) memory — the CG path's whole quadratic-form footprint."""
     p = j_s.shape[-1]
     a_blocks = jnp.zeros((s_count, p, p), jnp.float32).at[c_submap].add(
         jnp.einsum("cri,crj->cij", j_s, j_s)
@@ -158,16 +155,131 @@ def _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
     c_blocks = jnp.zeros((n_count, p, p), jnp.float32).at[c_node].add(
         jnp.einsum("cri,crj->cij", j_n, j_n)
     )
-    b_blocks = jnp.zeros((s_count, n_count, p, p), jnp.float32).at[c_submap, c_node].add(
-        jnp.einsum("cri,crj->cij", j_s, j_n)
-    )
     g_s = jnp.zeros((s_count, p), jnp.float32).at[c_submap].add(
         jnp.einsum("cri,cr->ci", j_s, r)
     )
     g_n = jnp.zeros((n_count, p), jnp.float32).at[c_node].add(
         jnp.einsum("cri,cr->ci", j_n, r)
     )
+    return a_blocks, c_blocks, g_s, g_n
+
+
+def _spa_partial_blocks(j_s, j_n, r, c_submap, c_node, s_count, n_count):
+    """Block normal-equation operands, summed over the given constraints.
+
+    Linear in the constraint set, so shards' partial blocks psum to the
+    global ones — the distributed solver reduces THESE over ICI instead of
+    a dense (D, D) matrix (10x less collective payload).
+
+    NOTE the (S, N, P, P) coupling tensor is O(S*N) memory — fine at the
+    per-round operating point (<= ~1M submap-node products) but fatal at
+    production graph sizes (500 x 5000 padded to 9.5 GB on a v5e). Large
+    graphs take the matrix-free CG path (`_spa_cg_solve`) instead.
+    """
+    a_blocks, c_blocks, g_s, g_n = _spa_diag_blocks(
+        j_s, j_n, r, c_submap, c_node, s_count, n_count
+    )
+    p = j_s.shape[-1]
+    b_blocks = jnp.zeros((s_count, n_count, p, p), jnp.float32).at[c_submap, c_node].add(
+        jnp.einsum("cri,crj->cij", j_s, j_n)
+    )
     return a_blocks, c_blocks, b_blocks, g_s, g_n
+
+
+def _spa_cg_solve(
+    j_s, j_n, blocks, c_submap, c_node, fixed_s, fixed_n, lam,
+    max_iters: int = 200, tol: float = 1e-6,
+):
+    """LM step of the SPA system by block-Jacobi preconditioned CG.
+
+    Matrix-free: the damped normal matrix is only ever applied as
+    v -> J^T (J v) + damping*v with per-constraint gathers/scatters, so
+    memory stays O(C*R*P + (S+N)*P^2) — no (S, N) coupling tensor and no
+    dense factorization. This is the production-scale path (the TPU analog
+    of Ceres' ITERATIVE_SCHUR + JACOBI): the Schur path's exact solve wins
+    below ~1M submap-node products, CG wins above.
+
+    The damped, fixed-masked system is identical to `_spa_schur_solve`'s,
+    so for converged CG the step matches the exact solve to tolerance.
+    j_s, j_n: (C, R, P) masked weighted Jacobian halves; blocks: output of
+    `_spa_diag_blocks` on the same Jacobians.
+    """
+    a_blocks, c_blocks, g_s, g_n = blocks
+    p = a_blocks.shape[-1]
+    f32 = jnp.float32
+    # Fixed coordinates: zero Jacobian columns / gradient, unit diagonal —
+    # same masked system as the Schur path.
+    j_s = jnp.where(fixed_s[c_submap][:, None, None], 0.0, j_s)
+    j_n = jnp.where(fixed_n[c_node][:, None, None], 0.0, j_n)
+    a_blocks = jnp.where(fixed_s[:, None, None], 0.0, a_blocks)
+    c_blocks = jnp.where(fixed_n[:, None, None], 0.0, c_blocks)
+    g_s = jnp.where(fixed_s[:, None], 0.0, g_s)
+    g_n = jnp.where(fixed_n[:, None], 0.0, g_n)
+
+    eye = jnp.eye(p, dtype=f32)
+
+    def damp(blocks, fixed):
+        diag = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+        add = lam * jnp.maximum(diag, 1e-8) + 1e-8 + fixed[:, None].astype(f32)
+        return blocks + add[:, :, None] * eye, add
+
+    a_d, add_s = damp(a_blocks, fixed_s)
+    c_d, add_n = damp(c_blocks, fixed_n)
+    # Block-Jacobi preconditioner: the damped per-submap / per-node (P, P)
+    # diagonal blocks, inverted batched (tiny MXU solves).
+    a_inv = jnp.linalg.inv(a_d)
+    c_inv = jnp.linalg.inv(c_d)
+
+    def matvec(v):
+        v_s, v_n = v
+        t = jnp.einsum("crp,cp->cr", j_s, v_s[c_submap]) + jnp.einsum(
+            "crp,cp->cr", j_n, v_n[c_node]
+        )
+        y_s = jnp.zeros_like(v_s).at[c_submap].add(jnp.einsum("crp,cr->cp", j_s, t))
+        y_n = jnp.zeros_like(v_n).at[c_node].add(jnp.einsum("crp,cr->cp", j_n, t))
+        return (y_s + add_s * v_s, y_n + add_n * v_n)
+
+    def precond(r):
+        return (
+            jnp.einsum("sij,sj->si", a_inv, r[0]),
+            jnp.einsum("nij,nj->ni", c_inv, r[1]),
+        )
+
+    def vdot(a, b):
+        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+    b = (g_s, g_n)
+    bnorm2 = vdot(b, b)
+    z0 = precond(b)
+
+    def cond(carry):
+        it, x, r, z, pdir, rz = carry
+        return (it < max_iters) & (vdot(r, r) > tol * tol * bnorm2)
+
+    def body(carry):
+        it, x, r, z, pdir, rz = carry
+        ap = matvec(pdir)
+        alpha = rz / jnp.maximum(vdot(pdir, ap), 1e-30)
+        x = jax.tree.map(lambda a, q: a + alpha * q, x, pdir)
+        r = jax.tree.map(lambda a, q: a - alpha * q, r, ap)
+        z = precond(r)
+        rz_new = vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        pdir = jax.tree.map(lambda zq, pq: zq + beta * pq, z, pdir)
+        return (it + 1, x, r, z, pdir, rz_new)
+
+    x0 = (jnp.zeros_like(g_s), jnp.zeros_like(g_n))
+    carry = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), x0, b, z0, z0, vdot(b, z0))
+    )
+    x_s, x_n = carry[1]
+    delta = -jnp.concatenate([x_s.reshape(-1), x_n.reshape(-1)])
+    fixed_coord = jnp.concatenate([jnp.repeat(fixed_s, p), jnp.repeat(fixed_n, p)])
+    return jnp.where(fixed_coord, 0.0, delta)
+
+
+# b_blocks coupling tensors above this element count take the CG path.
+_SCHUR_COUPLING_BUDGET = 1_000_000
 
 
 def _spa_schur_solve(blocks, fixed_s, fixed_n, lam):
@@ -249,12 +361,23 @@ def _constraint_residual_3d(sub_t, sub_q, node_t, node_q, rel_t, rel_q, wt, wr):
     return jnp.concatenate([wt * err_t, wr * quat_to_axis_angle(err_q)])
 
 
-@functools.partial(jax.jit, static_argnames=("num_iterations",))
-def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: float = 1e-4):
+@functools.partial(jax.jit, static_argnames=("num_iterations", "linear_solver"))
+def solve_spa_3d(
+    problem: SpaProblem3D,
+    num_iterations: int = 20,
+    init_lambda: float = 1e-4,
+    linear_solver: str = "auto",
+):
     """Returns (submap_translation, submap_rotation, node_translation,
-    node_rotation, final_cost)."""
+    node_rotation, final_cost).
+
+    linear_solver: "schur" (exact block-Schur elimination, O(S*N) memory),
+    "cg" (matrix-free block-Jacobi PCG, O(C + S + N) memory), or "auto"
+    (schur below _SCHUR_COUPLING_BUDGET submap-node products)."""
     S = problem.submap_translation.shape[0]
     N = problem.node_translation.shape[0]
+    if linear_solver == "auto":
+        linear_solver = "schur" if S * N <= _SCHUR_COUPLING_BUDGET else "cg"
 
     def retract(params, delta):
         st, sq, nt, nq = params
@@ -320,13 +443,22 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 20, init_lambda: f
         m = problem.c_mask[:, None, None]
         J = jnp.where(m, J, 0.0)
         r = jnp.where(problem.c_mask[:, None], r, 0.0)
-        blocks = _spa_partial_blocks(
-            J[:, :, :6], J[:, :, 6:], r, problem.c_submap, problem.c_node, S, N
-        )
-        return blocks, 0.5 * jnp.sum(r * r)
+        j_s, j_n = J[:, :, :6], J[:, :, 6:]
+        cost = 0.5 * jnp.sum(r * r)
+        if linear_solver == "cg":
+            diag = _spa_diag_blocks(j_s, j_n, r, problem.c_submap, problem.c_node, S, N)
+            return (j_s, j_n, diag), cost
+        blocks = _spa_partial_blocks(j_s, j_n, r, problem.c_submap, problem.c_node, S, N)
+        return blocks, cost
 
-    def delta_of(blocks, lam):
-        return _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
+    def delta_of(quant, lam):
+        if linear_solver == "cg":
+            j_s, j_n, diag = quant
+            return _spa_cg_solve(
+                j_s, j_n, diag, problem.c_submap, problem.c_node,
+                problem.submap_fixed, problem.node_fixed, lam,
+            )
+        return _spa_schur_solve(quant, problem.submap_fixed, problem.node_fixed, lam)
 
     params0 = (
         problem.submap_translation,
@@ -780,10 +912,17 @@ def _constraint_residual_2d(sub, node, rel, wt, wr):
     return jnp.concatenate([wt * err_t, (wr * err_a)[None]])
 
 
-@functools.partial(jax.jit, static_argnames=("num_iterations",))
-def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: float = 1e-4):
+@functools.partial(jax.jit, static_argnames=("num_iterations", "linear_solver"))
+def solve_spa_2d(
+    problem: SpaProblem2D,
+    num_iterations: int = 20,
+    init_lambda: float = 1e-4,
+    linear_solver: str = "auto",
+):
     S = problem.submap_pose.shape[0]
     N = problem.node_pose.shape[0]
+    if linear_solver == "auto":
+        linear_solver = "schur" if S * N <= _SCHUR_COUPLING_BUDGET else "cg"
 
     def residuals_and_weights(params):
         sp, np_ = params
@@ -826,13 +965,22 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 20, init_lambda: f
         m = problem.c_mask[:, None, None]
         J = jnp.where(m, J, 0.0)
         r = jnp.where(problem.c_mask[:, None], r, 0.0)
-        blocks = _spa_partial_blocks(
-            J[:, :, :3], J[:, :, 3:], r, problem.c_submap, problem.c_node, S, N
-        )
-        return blocks, 0.5 * jnp.sum(r * r)
+        j_s, j_n = J[:, :, :3], J[:, :, 3:]
+        cost = 0.5 * jnp.sum(r * r)
+        if linear_solver == "cg":
+            diag = _spa_diag_blocks(j_s, j_n, r, problem.c_submap, problem.c_node, S, N)
+            return (j_s, j_n, diag), cost
+        blocks = _spa_partial_blocks(j_s, j_n, r, problem.c_submap, problem.c_node, S, N)
+        return blocks, cost
 
-    def delta_of(blocks, lam):
-        return _spa_schur_solve(blocks, problem.submap_fixed, problem.node_fixed, lam)
+    def delta_of(quant, lam):
+        if linear_solver == "cg":
+            j_s, j_n, diag = quant
+            return _spa_cg_solve(
+                j_s, j_n, diag, problem.c_submap, problem.c_node,
+                problem.submap_fixed, problem.node_fixed, lam,
+            )
+        return _spa_schur_solve(quant, problem.submap_fixed, problem.node_fixed, lam)
 
     def retract(params, delta):
         sp, np_ = params

@@ -2,9 +2,11 @@
 
 The reference runs SPA every 90 nodes over multi-thousand-node graphs
 (ref: configuration_files/pose_graph.lua:16, pose_graph_3d.cc
-RunOptimization). This exercises the dense vmapped-Jacobian + Schur
-pipeline at 5k nodes / 500 submaps / 20k constraints and asserts it
-converges back to ground truth from heavy initial noise.
+RunOptimization). This exercises the production-scale path — vmapped
+per-constraint Jacobians + matrix-free block-Jacobi PCG (auto-dispatched
+above the Schur coupling budget) — at 5k nodes / 500 submaps / 20k
+constraints and asserts it converges back to ground truth from heavy
+initial noise.
 """
 
 import resource
@@ -39,6 +41,6 @@ def test_spa_converges_at_5k_nodes_500_submaps_20k_constraints():
         f"spa-scale: N=5000 S=500 C=20000 solve {wall:.1f}s "
         f"(incl. compile) peak RSS {peak_mb:.0f} MB"
     )
-    # Memory guard: dense (C, 6, 12) blocks + 3000^2 Schur factorization
-    # must stay far under a single host/chip budget.
+    # Memory guard: the CG path's footprint is O(C*6*12 + (S+N)*36) —
+    # no (S, N) coupling tensor — and must stay far under a chip budget.
     assert peak_mb < 8192, peak_mb
