@@ -69,18 +69,28 @@ def _pack_grid(grid, include_arrays: bool) -> dict:
         "min_corner": np.asarray(grid.meta.min_corner, np.float32),
     }
     if isinstance(grid, TSDFGrid):
+        quantized = grid.tsd.dtype == jnp.uint16
         d["type"] = "tsdf"
         d["shape"] = tuple(int(s) for s in grid.tsd.shape)
         d["truncation_distance"] = float(grid.truncation_distance)
         d["max_weight"] = float(grid.max_weight)
         if include_arrays:
-            d["tsd"] = np.asarray(grid.tsd, np.float16)
-            d["weight"] = np.asarray(grid.weight, np.float16)
+            # uint16-quantized grids ship their codes verbatim (the
+            # reference uploads uint16 proto cells, submap_3d.cc ToProto).
+            d["quantized"] = quantized
+            d["tsd"] = np.asarray(grid.tsd) if quantized else np.asarray(grid.tsd, np.float16)
+            d["weight"] = (
+                np.asarray(grid.weight) if quantized else np.asarray(grid.weight, np.float16)
+            )
     else:
+        quantized = grid.log_odds.dtype == jnp.uint16
         d["type"] = "probability"
         d["shape"] = tuple(int(s) for s in grid.log_odds.shape)
         if include_arrays:
-            d["log_odds"] = np.asarray(grid.log_odds, np.float16)
+            d["quantized"] = quantized
+            d["log_odds"] = (
+                np.asarray(grid.log_odds) if quantized else np.asarray(grid.log_odds, np.float16)
+            )
             d["known"] = np.asarray(grid.known)
     return d
 
@@ -91,17 +101,18 @@ def _unpack_grid(d: dict):
         min_corner=jnp.asarray(d["min_corner"], jnp.float32),
     )
     shape = tuple(d["shape"])
+    dt = jnp.uint16 if d.get("quantized") else jnp.float32
     if d["type"] == "tsdf":
         trunc = d["truncation_distance"]
         return TSDFGrid(
-            tsd=jnp.asarray(d.get("tsd", np.full(shape, trunc, np.float32)), jnp.float32),
-            weight=jnp.asarray(d.get("weight", np.zeros(shape, np.float32)), jnp.float32),
+            tsd=jnp.asarray(d.get("tsd", np.full(shape, trunc, np.float32)), dt),
+            weight=jnp.asarray(d.get("weight", np.zeros(shape, np.float32)), dt),
             truncation_distance=jnp.asarray(trunc, jnp.float32),
             max_weight=jnp.asarray(d["max_weight"], jnp.float32),
             meta=meta,
         )
     return ProbabilityGrid(
-        log_odds=jnp.asarray(d.get("log_odds", np.zeros(shape, np.float32)), jnp.float32),
+        log_odds=jnp.asarray(d.get("log_odds", np.zeros(shape, np.float32)), dt),
         known=jnp.asarray(d.get("known", np.zeros(shape, bool))),
         meta=meta,
     )
@@ -109,13 +120,14 @@ def _unpack_grid(d: dict):
 
 def _fill_grid(grid, d: dict):
     """Replace a placeholder grid's contents from a finishing update."""
+    dt = jnp.uint16 if d.get("quantized") else jnp.float32
     if d["type"] == "tsdf":
         return grid._replace(
-            tsd=jnp.asarray(d["tsd"], jnp.float32),
-            weight=jnp.asarray(d["weight"], jnp.float32),
+            tsd=jnp.asarray(d["tsd"], dt),
+            weight=jnp.asarray(d["weight"], dt),
         )
     return grid._replace(
-        log_odds=jnp.asarray(d["log_odds"], jnp.float32),
+        log_odds=jnp.asarray(d["log_odds"], dt),
         known=jnp.asarray(d["known"]),
     )
 

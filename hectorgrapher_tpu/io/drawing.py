@@ -61,6 +61,9 @@ class SubmapSlice:
 
 def _grid_images(grid) -> Tuple[np.ndarray, np.ndarray]:
     """Render one grid to (intensity, alpha) in its own cell layout."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     if hasattr(grid, "log_odds"):  # ProbabilityGrid
         prob = np.asarray(grid.probability(), np.float32)
         known = np.asarray(grid.known)

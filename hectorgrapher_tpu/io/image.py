@@ -55,6 +55,9 @@ def probability_grid_to_image(grid) -> np.ndarray:
     """Render a 2D occupancy grid like the reference's submap images:
     occupied dark, free light, unknown mid-gray
     (ref: io/probability_grid_points_processor.cc color mapping)."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     prob = np.asarray(grid.probability())
     known = np.asarray(grid.known)
     img = np.full(prob.shape, 128, np.uint8)

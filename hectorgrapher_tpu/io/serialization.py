@@ -101,13 +101,24 @@ def _grid_payload(prefix: str, grid, out: Dict[str, np.ndarray]) -> Dict:
     meta = {"resolution": float(grid.meta.resolution)}
     out[f"{prefix}_min_corner"] = np.asarray(grid.meta.min_corner)
     if isinstance(grid, TSDFGrid):
-        out[f"{prefix}_tsd"] = np.asarray(grid.tsd, np.float16)
-        out[f"{prefix}_weight"] = np.asarray(grid.weight, np.float16)
+        if grid.tsd.dtype == jnp.uint16:
+            # uint16-quantized submap: store the codes verbatim (the
+            # reference's pbstream stores uint16 cells, hybrid_grid_tsdf.h).
+            out[f"{prefix}_tsd"] = np.asarray(grid.tsd)
+            out[f"{prefix}_weight"] = np.asarray(grid.weight)
+            meta["quantized"] = True
+        else:
+            out[f"{prefix}_tsd"] = np.asarray(grid.tsd, np.float16)
+            out[f"{prefix}_weight"] = np.asarray(grid.weight, np.float16)
         meta["type"] = "tsdf"
         meta["truncation_distance"] = float(grid.truncation_distance)
         meta["max_weight"] = float(grid.max_weight)
     else:
-        out[f"{prefix}_log_odds"] = np.asarray(grid.log_odds, np.float16)
+        if grid.log_odds.dtype == jnp.uint16:
+            out[f"{prefix}_log_odds"] = np.asarray(grid.log_odds)
+            meta["quantized"] = True
+        else:
+            out[f"{prefix}_log_odds"] = np.asarray(grid.log_odds, np.float16)
         out[f"{prefix}_known"] = np.asarray(grid.known)
         meta["type"] = "probability"
     return meta
@@ -118,16 +129,18 @@ def _grid_from_payload(prefix: str, meta: Dict, data) -> object:
         resolution=jnp.asarray(meta["resolution"], jnp.float32),
         min_corner=jnp.asarray(data[f"{prefix}_min_corner"], jnp.float32),
     )
+    quantized = bool(meta.get("quantized", False))
     if meta["type"] == "tsdf":
+        dt = jnp.uint16 if quantized else jnp.float32
         return TSDFGrid(
-            tsd=jnp.asarray(data[f"{prefix}_tsd"], jnp.float32),
-            weight=jnp.asarray(data[f"{prefix}_weight"], jnp.float32),
+            tsd=jnp.asarray(data[f"{prefix}_tsd"], dt),
+            weight=jnp.asarray(data[f"{prefix}_weight"], dt),
             truncation_distance=jnp.asarray(meta["truncation_distance"], jnp.float32),
             max_weight=jnp.asarray(meta["max_weight"], jnp.float32),
             meta=gmeta,
         )
     return ProbabilityGrid(
-        log_odds=jnp.asarray(data[f"{prefix}_log_odds"], jnp.float32),
+        log_odds=jnp.asarray(data[f"{prefix}_log_odds"], jnp.uint16 if quantized else jnp.float32),
         known=jnp.asarray(data[f"{prefix}_known"]),
         meta=gmeta,
     )

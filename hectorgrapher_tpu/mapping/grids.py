@@ -147,7 +147,94 @@ STORAGE_DTYPES = {
     "float32": jnp.float32,
     "float16": jnp.float16,
     "bfloat16": jnp.bfloat16,
+    # uint16: reference-parity quantized storage (see quantize_tsdf_grid).
+    # Active grids still compute in f32; "uint16" quantizes on submap
+    # finish (the reference quantizes always — TPU-first divergence: f32
+    # compute avoids decode/encode per insert, uint16 halves the memory of
+    # the long-lived finished submaps that dominate the footprint).
+    "uint16": jnp.uint16,
 }
+
+# ---------------------------------------------------------------------------
+# uint16 quantized storage (ref: mapping/probability_values.h:64-92 and
+# mapping/2d/tsd_value_converter.h:33-73 — a bounded float range mapped
+# linearly onto [1, 32767] with code 0 reserved for "unknown"; we keep 16
+# bits since the reference's update-marker bit is obviated by the masked
+# single-update-per-scan inserters).
+# ---------------------------------------------------------------------------
+
+_QUANT_LEVELS = 65534  # codes 1..65535 span the value range; 0 = unknown
+
+
+def _encode_u16(values, lo, hi, known):
+    """Linear [lo, hi] -> uint16 codes 1..65535; unknown -> 0."""
+    t = jnp.clip((values - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    code = (jnp.round(t * _QUANT_LEVELS) + 1.0).astype(jnp.uint16)
+    return jnp.where(known, code, jnp.zeros_like(code))
+
+
+def _decode_u16(codes, lo, hi, unknown_value):
+    t = (codes.astype(jnp.float32) - 1.0) / _QUANT_LEVELS
+    v = lo + t * (hi - lo)
+    return jnp.where(codes > 0, v, unknown_value)
+
+
+def quantize_tsdf_grid(grid: "TSDFGrid") -> "TSDFGrid":
+    """f32 (tsd, weight) -> uint16 codes. tsd spans [-td, +td]; weight spans
+    [0, max_weight]; weight code 0 keeps the weight==0-is-unknown invariant."""
+    if grid.tsd.dtype == jnp.uint16:
+        return grid
+    td = grid.truncation_distance
+    known = grid.weight > 0
+    return grid._replace(
+        tsd=_encode_u16(grid.tsd.astype(jnp.float32), -td, td, known),
+        weight=_encode_u16(grid.weight.astype(jnp.float32), 0.0, grid.max_weight, known),
+    )
+
+
+def dequantize_tsdf_grid(grid: "TSDFGrid") -> "TSDFGrid":
+    if grid.tsd.dtype != jnp.uint16:
+        return grid
+    td = grid.truncation_distance
+    return grid._replace(
+        tsd=_decode_u16(grid.tsd, -td, td, td),
+        weight=_decode_u16(grid.weight, 0.0, grid.max_weight, 0.0),
+    )
+
+
+def quantize_probability_grid(grid: "ProbabilityGrid") -> "ProbabilityGrid":
+    """f32 log-odds + known mask -> one uint16 code plane (probability in
+    [MIN, MAX] mapped to 1..65535, 0 = unknown), carried in log_odds with
+    known packed as code > 0."""
+    if grid.log_odds.dtype == jnp.uint16:
+        return grid
+    p = pv.clamp_probability(pv.probability_from_log_odds(grid.log_odds))
+    codes = _encode_u16(p, pv.MIN_PROBABILITY, pv.MAX_PROBABILITY, grid.known)
+    return grid._replace(log_odds=codes, known=grid.known)
+
+
+def dequantize_probability_grid(grid: "ProbabilityGrid") -> "ProbabilityGrid":
+    if grid.log_odds.dtype != jnp.uint16:
+        return grid
+    p = _decode_u16(grid.log_odds, pv.MIN_PROBABILITY, pv.MAX_PROBABILITY, 0.5)
+    return grid._replace(log_odds=pv.log_odds(jnp.clip(p, 1e-6, 1 - 1e-6)), known=grid.known)
+
+
+def ensure_f32_grid(grid):
+    """Dequantize uint16-coded grids; pass f32/f16/bf16 grids through
+    (consumers upcast after gathering)."""
+    if isinstance(grid, TSDFGrid):
+        return dequantize_tsdf_grid(grid)
+    if isinstance(grid, ProbabilityGrid) and grid.log_odds.dtype == jnp.uint16:
+        return dequantize_probability_grid(grid)
+    return grid
+
+
+def grid_nbytes(grid) -> int:
+    """Storage bytes of a grid's cell arrays (for the memory benchmark)."""
+    if isinstance(grid, TSDFGrid):
+        return grid.tsd.nbytes + grid.weight.nbytes
+    return grid.log_odds.nbytes + grid.known.nbytes
 
 
 def make_tsdf_grid(

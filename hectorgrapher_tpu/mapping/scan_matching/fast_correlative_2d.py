@@ -83,6 +83,9 @@ class PreparedFastMatcher2D(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("depth",))
 def prepare_fast_matcher_2d(grid: ProbabilityGrid, depth: int) -> PreparedFastMatcher2D:
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     prob = grid.probability()
     pyramid = precompute_pyramid_2d(prob, depth)
     # Pad each level with a slot row for out-of-bounds (score 0.1).

@@ -254,9 +254,12 @@ class FastCorrelativeScanMatcher3D:
     """
 
     def __init__(self, options, high_grid, low_grid, submap_histogram, histogram_size=120):
+        from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
         self._options = options
-        self._high_grid = high_grid
-        self._low_grid = low_grid
+        # Finished submaps may carry uint16-quantized grids.
+        self._high_grid = high_grid = ensure_f32_grid(high_grid)
+        self._low_grid = low_grid = ensure_f32_grid(low_grid)
         self._histogram = jnp.asarray(submap_histogram)
         self._histogram_size = histogram_size
         scores = grid_match_scores(high_grid)

@@ -273,7 +273,9 @@ def prepare_gn_probability_field(grid: ProbabilityGrid):
     Build once per grid VERSION and amortize across matches against it —
     the analog of the reference's per-submap precomputation grids."""
     from hectorgrapher_tpu.mapping import probability_values as pv
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
 
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     return prepare_field_2d_wide(
         grid.probability(), grid.meta, pv.MIN_PROBABILITY, _GN_SLACK
     )
@@ -343,6 +345,9 @@ def match_gn_2d_probability(
 def prepare_gn_tsdf_fields(grid: TSDFGrid):
     """Wide carried-row (tsd, weight) fields for repeated TSDF refinement
     (build once per grid version; see prepare_gn_probability_field)."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     return (
         prepare_field_2d_wide(grid.tsd, grid.meta, grid.truncation_distance, _GN_SLACK),
         prepare_field_2d_wide(grid.weight, grid.meta, 0.0, _GN_SLACK),

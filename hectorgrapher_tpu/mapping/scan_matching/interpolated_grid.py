@@ -328,6 +328,9 @@ class PreparedProb3D(NamedTuple):
 
 def prepare_grid_3d(grid):
     """Prepare a TSDFGrid or ProbabilityGrid for repeated interpolation."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     if isinstance(grid, TSDFGrid):
         return PreparedTsdf3D(
             w_field=prepare_field_3d(grid.weight, grid.meta, 0.0),

@@ -32,6 +32,7 @@ class Submap2D:
     grid: object  # ProbabilityGrid | TSDFGrid
     num_range_data: int = 0
     insertion_finished: bool = False
+    quantize_on_finish: bool = False
 
     def insert(self, range_data_in_submap: RangeData, inserter) -> None:
         assert not self.insertion_finished
@@ -40,6 +41,19 @@ class Submap2D:
 
     def finish(self) -> None:
         self.insertion_finished = True
+        if self.quantize_on_finish:
+            # uint16 storage option (ref: probability_values.h:64-92,
+            # tsd_value_converter.h:33-73); see Submap3D.finish.
+            from hectorgrapher_tpu.mapping.grids import (
+                ProbabilityGrid,
+                quantize_probability_grid,
+                quantize_tsdf_grid,
+            )
+
+            if isinstance(self.grid, ProbabilityGrid):
+                self.grid = quantize_probability_grid(self.grid)
+            else:
+                self.grid = quantize_tsdf_grid(self.grid)
 
 
 class ActiveSubmaps2D:
@@ -48,6 +62,9 @@ class ActiveSubmaps2D:
     def __init__(self, options, max_ray_length: float = 0.0):
         self._options = options
         self._submaps: List[Submap2D] = []
+        self._quantize_on_finish = (
+            getattr(options, "grid_storage_dtype", "float32") == "uint16"
+        )
         resolution = options.grid_options_2d.resolution
         size = options.grid_size
         grid_type = options.grid_options_2d.grid_type
@@ -105,7 +122,11 @@ class ActiveSubmaps2D:
         meta = grid.meta._replace(min_corner=grid.meta.min_corner + jnp.asarray(center))
         grid = grid._replace(meta=meta)
         self._submaps.append(
-            Submap2D(local_pose=NpRigid3(np.array([origin_local[0], origin_local[1], 0.0])), grid=grid)
+            Submap2D(
+                local_pose=NpRigid3(np.array([origin_local[0], origin_local[1], 0.0])),
+                grid=grid,
+                quantize_on_finish=self._quantize_on_finish,
+            )
         )
 
     @property

@@ -41,9 +41,27 @@ class Submap3D:
     rotational_histogram: np.ndarray
     num_range_data: int = 0
     insertion_finished: bool = False
+    quantize_on_finish: bool = False
 
     def finish(self) -> None:
         self.insertion_finished = True
+        if self.quantize_on_finish:
+            # uint16 storage option (ref: probability_values.h:64-92,
+            # tsd_value_converter.h:33-73): finished submaps are long-lived
+            # (pose graph + serialization) — halve their footprint; active
+            # grids stay f32 for insert/match compute.
+            from hectorgrapher_tpu.mapping.grids import (
+                ProbabilityGrid,
+                quantize_probability_grid,
+                quantize_tsdf_grid,
+            )
+
+            for attr in ("high_resolution_grid", "low_resolution_grid"):
+                g = getattr(self, attr)
+                if isinstance(g, ProbabilityGrid):
+                    setattr(self, attr, quantize_probability_grid(g))
+                else:
+                    setattr(self, attr, quantize_tsdf_grid(g))
 
 
 class ActiveSubmaps3D:
@@ -64,7 +82,10 @@ class ActiveSubmaps3D:
 
         from hectorgrapher_tpu.mapping.grids import STORAGE_DTYPES
 
-        storage = STORAGE_DTYPES[getattr(options, "grid_storage_dtype", "float32")]
+        storage_name = getattr(options, "grid_storage_dtype", "float32")
+        # uint16 quantizes on finish; active grids compute in f32.
+        self._quantize_on_finish = storage_name == "uint16"
+        storage = STORAGE_DTYPES["float32" if self._quantize_on_finish else storage_name]
         if self._is_tsdf:
             hi_t = hi_opts.tsdf_range_data_inserter
             lo_t = lo_opts.tsdf_range_data_inserter
@@ -143,5 +164,6 @@ class ActiveSubmaps3D:
                 high_resolution_grid=high,
                 low_resolution_grid=low,
                 rotational_histogram=np.zeros(self._histogram_size, np.float32),
+                quantize_on_finish=self._quantize_on_finish,
             )
         )

@@ -1,0 +1,147 @@
+"""uint16 quantized grid storage option
+(ref: mapping/probability_values.h:64-92 — float probability <-> uint16
+codes; mapping/2d/tsd_value_converter.h:33-73 — TSD/weight <-> uint16 with
+code 0 = unknown). TPU divergence (documented in grids.py): active grids
+compute in f32; quantization applies when a submap finishes, halving the
+footprint of the long-lived finished submaps."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hectorgrapher_tpu.mapping.grids import (
+    dequantize_probability_grid,
+    dequantize_tsdf_grid,
+    ensure_f32_grid,
+    grid_nbytes,
+    make_probability_grid,
+    make_tsdf_grid,
+    quantize_probability_grid,
+    quantize_tsdf_grid,
+)
+
+
+def _random_tsdf(shape=(32, 32), td=0.3, max_weight=100.0, seed=0):
+    rng = np.random.default_rng(seed)
+    grid = make_tsdf_grid(0.05, shape, truncation_distance=td, max_weight=max_weight)
+    known = rng.random(shape) < 0.6
+    tsd = np.where(known, rng.uniform(-td, td, shape), td).astype(np.float32)
+    weight = np.where(known, rng.uniform(0.01, max_weight, shape), 0.0).astype(np.float32)
+    return grid._replace(tsd=jnp.asarray(tsd), weight=jnp.asarray(weight))
+
+
+class TestTsdfCodec:
+    def test_round_trip_error_within_quant_step(self):
+        td, max_weight = 0.3, 100.0
+        grid = _random_tsdf(td=td, max_weight=max_weight)
+        q = quantize_tsdf_grid(grid)
+        assert q.tsd.dtype == jnp.uint16 and q.weight.dtype == jnp.uint16
+        back = dequantize_tsdf_grid(q)
+        known = np.asarray(grid.weight) > 0
+        tsd_step = 2 * td / 65534
+        w_step = max_weight / 65534
+        assert np.abs(np.asarray(back.tsd) - np.asarray(grid.tsd))[known].max() <= tsd_step
+        assert np.abs(np.asarray(back.weight) - np.asarray(grid.weight))[known].max() <= w_step
+
+    def test_unknown_cells_survive(self):
+        grid = _random_tsdf()
+        back = dequantize_tsdf_grid(quantize_tsdf_grid(grid))
+        unknown = np.asarray(grid.weight) == 0
+        # weight 0 (unknown) stays exactly 0; tsd reads +truncation there.
+        assert (np.asarray(back.weight)[unknown] == 0).all()
+        assert np.allclose(np.asarray(back.tsd)[unknown], float(grid.truncation_distance))
+
+    def test_idempotent_and_halves_memory(self):
+        grid = _random_tsdf()
+        q = quantize_tsdf_grid(grid)
+        assert quantize_tsdf_grid(q) is q
+        assert dequantize_tsdf_grid(grid) is grid
+        assert grid_nbytes(q) == grid_nbytes(grid) // 2
+        assert ensure_f32_grid(q).tsd.dtype == jnp.float32
+
+
+class TestProbabilityCodec:
+    def test_round_trip(self):
+        rng = np.random.default_rng(1)
+        grid = make_probability_grid(0.05, (24, 24))
+        known = rng.random((24, 24)) < 0.7
+        p = np.where(known, rng.uniform(0.1, 0.9, (24, 24)), 0.5)
+        lo = np.log(p / (1 - p)).astype(np.float32)
+        grid = grid._replace(log_odds=jnp.asarray(lo), known=jnp.asarray(known))
+        q = quantize_probability_grid(grid)
+        assert q.log_odds.dtype == jnp.uint16
+        back = dequantize_probability_grid(q)
+        p_back = np.asarray(back.probability())
+        p_orig = np.asarray(grid.probability())
+        assert np.abs(p_back - p_orig)[known].max() < 1e-4  # 0.8 / 65534 plus log-odds round trip
+
+
+class TestQuantizedPipeline:
+    def test_finished_submaps_quantize_and_matchers_accept_them(self):
+        """End-to-end: 2D SLAM with grid_storage_dtype=uint16; finished
+        submaps carry uint16 grids, the pose graph still finds INTER
+        constraints against them, and serialization round-trips codes."""
+        import tests.test_map_builder_2d as t2d
+        from hectorgrapher_tpu.common.config import replace_deep
+        from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+        from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+        from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+        from hectorgrapher_tpu.transform import np_quat as nq
+        from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+        options = replace_deep(
+            t2d.make_options(),
+            {"trajectory_builder_2d.submaps.grid_storage_dtype": "uint16"},
+        )
+        mb = MapBuilder(options)
+        tid = mb.add_trajectory_builder()
+        tb = mb.get_trajectory_builder(tid)
+        rng = np.random.default_rng(0)
+        for i, (xy, yaw) in enumerate(t2d.circle_trajectory()):
+            t = 0.1 * i
+            tb.add_odometry_data(
+                t,
+                NpRigid3(
+                    np.array([xy[0], xy[1], 0.0]) + rng.normal(0, 0.003, 3),
+                    nq.quat_from_axis_angle(np.array([0.0, 0.0, yaw + rng.normal(0, 0.002)])),
+                ),
+            )
+            pts = raycast_rect_room_2d(xy, yaw, num_rays=1440, noise_std=0.004, rng=rng)
+            pts = pts[~np.isnan(pts[:, 0])]
+            cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 2048)
+            tb.add_range_data(
+                TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+            )
+        pg = mb.pose_graph
+        pg.wait_for_all_computations()
+        finished = [s for s in pg.submaps if s.finished]
+        assert finished, "no finished submaps"
+        assert all(s.submap.grid.log_odds.dtype == jnp.uint16 for s in finished)
+        inter = [c for c in pg.constraints if c.tag == "INTER"]
+        assert inter, "no INTER constraints found against quantized submaps"
+        pg.run_final_optimization()
+        poses = t2d.circle_trajectory()
+        xy0, yaw0 = poses[0]
+        c0, s0 = np.cos(yaw0), np.sin(yaw0)
+        errs = []
+        for node in pg.nodes:
+            gt_xy, _ = poses[int(round(node.time / 0.1))]
+            d = gt_xy - xy0
+            gt_rel = np.array([c0 * d[0] + s0 * d[1], -s0 * d[0] + c0 * d[1]])
+            errs.append(np.linalg.norm(node.global_pose.t[:2] - gt_rel))
+        assert max(errs) < 0.5, f"max global pose error {max(errs)}"
+
+        # Serialization keeps the uint16 codes (the reference's pbstream
+        # stores uint16 cells) and loads them back as uint16.
+        import tempfile
+
+        from hectorgrapher_tpu.io.serialization import load_state, save_state
+
+        with tempfile.TemporaryDirectory() as d:
+            path = d + "/state.npz"
+            save_state(pg, path)
+            mb2 = MapBuilder(options)
+            load_state(mb2.pose_graph, path, load_frozen_state=False)
+            loaded_finished = [s for s in mb2.pose_graph.submaps if s.finished]
+            assert any(
+                s.submap.grid.log_odds.dtype == jnp.uint16 for s in loaded_finished
+            )
