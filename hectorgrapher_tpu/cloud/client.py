@@ -116,6 +116,36 @@ class PoseGraphStub:
     def run_final_optimization(self) -> None:
         self._channel.call("RunFinalOptimization", {})
 
+    def get_all_submap_poses(self) -> List[dict]:
+        """(ref: pose_graph_stub GetAllSubmapPoses)"""
+        return self._channel.call("GetAllSubmapPoses", {})["submap_poses"]
+
+    def trajectory_states(self) -> Dict[int, str]:
+        """(ref: pose_graph_stub GetTrajectoryStates)"""
+        return self._channel.call("GetTrajectoryStates", {})["trajectory_states"]
+
+    def landmark_poses(self) -> Dict[str, NpRigid3]:
+        """(ref: pose_graph_stub GetLandmarkPoses)"""
+        r = self._channel.call("GetLandmarkPoses", {})["landmark_poses"]
+        return {name: NpRigid3(p["translation"], p["rotation"]) for name, p in r.items()}
+
+    def set_landmark_pose(self, landmark_id: str, pose: NpRigid3) -> None:
+        """(ref: pose_graph_stub SetLandmarkPose)"""
+        self._channel.call(
+            "SetLandmarkPose",
+            {"landmark_id": landmark_id, "translation": pose.t, "rotation": pose.q},
+        )
+
+    def is_trajectory_finished(self, trajectory_id: int) -> bool:
+        return self._channel.call("IsTrajectoryFinished", {"trajectory_id": trajectory_id})[
+            "is_finished"
+        ]
+
+    def is_trajectory_frozen(self, trajectory_id: int) -> bool:
+        return self._channel.call("IsTrajectoryFrozen", {"trajectory_id": trajectory_id})[
+            "is_frozen"
+        ]
+
 
 class MapBuilderStub:
     """(ref: client/map_builder_stub.h — same facade as MapBuilder)"""
@@ -146,6 +176,22 @@ class MapBuilderStub:
         return self._channel.call_stream(
             "ReceiveLocalSlamResults", {"trajectory_id": trajectory_id}
         )
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """(ref: map_builder_stub DeleteTrajectory)"""
+        self._channel.call("DeleteTrajectory", {"trajectory_id": trajectory_id})
+        self._builders.pop(trajectory_id, None)
+
+    def get_submap(self, submap_index: int) -> dict:
+        """(ref: map_builder_stub SubmapToProto / GetSubmap — the submap's
+        global pose + grid payload; use cloud.local_slam_result._unpack_grid
+        to reconstruct grid objects)."""
+        return self._channel.call("GetSubmap", {"submap_index": submap_index})
+
+    def receive_global_slam_optimizations(self):
+        """Streams {"num_optimizations"} after each optimization round
+        (ref: ReceiveGlobalSlamOptimizations streaming RPC)."""
+        return self._channel.call_stream("ReceiveGlobalSlamOptimizations", {})
 
     def write_state(self, filename: str) -> None:
         self._channel.call("WriteState", {"filename": filename})

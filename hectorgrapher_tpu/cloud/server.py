@@ -76,6 +76,14 @@ class MapBuilderServer:
             "GetLocalSlamResults": self._handle_get_local_slam_results,
             "WriteState": self._handle_write_state,
             "LoadState": self._handle_load_state,
+            "DeleteTrajectory": self._handle_delete_trajectory,
+            "GetSubmap": self._handle_get_submap,
+            "GetAllSubmapPoses": self._handle_get_all_submap_poses,
+            "GetTrajectoryStates": self._handle_get_trajectory_states,
+            "GetLandmarkPoses": self._handle_get_landmark_poses,
+            "SetLandmarkPose": self._handle_set_landmark_pose,
+            "IsTrajectoryFinished": self._handle_is_trajectory_finished,
+            "IsTrajectoryFrozen": self._handle_is_trajectory_frozen,
         }
         method_handlers = {
             name: grpc.unary_unary_rpc_method_handler(
@@ -85,12 +93,24 @@ class MapBuilderServer:
             )
             for name, fn in handlers.items()
         }
-        # Server-streaming subscription (ref: map_builder_service.proto
-        # ReceiveLocalSlamResults — returns (stream ReceiveLocalSlamResultsResponse)).
+        # Server-streaming subscriptions (ref: map_builder_service.proto
+        # ReceiveLocalSlamResults / ReceiveGlobalSlamOptimizations — both
+        # return server streams).
         method_handlers["ReceiveLocalSlamResults"] = grpc.unary_stream_rpc_method_handler(
             self._handle_receive_local_slam_results,
             request_deserializer=wire.loads,
             response_serializer=wire.dumps,
+        )
+        method_handlers["ReceiveGlobalSlamOptimizations"] = grpc.unary_stream_rpc_method_handler(
+            self._handle_receive_global_slam_optimizations,
+            request_deserializer=wire.loads,
+            response_serializer=wire.dumps,
+        )
+        # Fan optimization rounds out to subscribers (ref:
+        # map_builder_server.cc OnGlobalSlamOptimizations).
+        self._global_opt_subscribers: list = []
+        self.map_builder.pose_graph.add_global_slam_optimization_callback(
+            self._on_global_slam_optimization
         )
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(SERVICE, method_handlers),)
@@ -287,6 +307,114 @@ class MapBuilderServer:
                 subs = self._subscribers.get(trajectory_id, [])
                 if sub in subs:
                     subs.remove(sub)
+
+    def _handle_delete_trajectory(self, request):
+        """(ref: delete_trajectory_handler.cc)"""
+        self._sensor_queue.join()
+        self.map_builder.delete_trajectory(request["trajectory_id"])
+        return {}
+
+    def _handle_get_submap(self, request):
+        """(ref: get_submap_handler.cc / SubmapQuery — returns the submap's
+        global pose + grid payload; 3D submaps return both resolutions)."""
+        from hectorgrapher_tpu.cloud.local_slam_result import _pack_grid
+
+        pg = self.map_builder.pose_graph
+        with pg._lock:
+            idx = request["submap_index"]
+            if idx < 0 or idx >= len(pg.submaps):
+                return {"error": f"submap {idx} out of range"}
+            s = pg.submaps[idx]
+            out = {
+                "submap_index": idx,
+                "trajectory_id": s.trajectory_id,
+                "finished": s.finished,
+                "num_range_data": s.submap.num_range_data,
+                "global_translation": s.global_pose.t,
+                "global_rotation": s.global_pose.q,
+            }
+            if hasattr(s.submap, "grid"):
+                out["grid"] = _pack_grid(s.submap.grid, include_arrays=True)
+            else:
+                out["high_resolution_grid"] = _pack_grid(
+                    s.submap.high_resolution_grid, include_arrays=True
+                )
+                out["low_resolution_grid"] = _pack_grid(
+                    s.submap.low_resolution_grid, include_arrays=True
+                )
+            return out
+
+    def _handle_get_all_submap_poses(self, request):
+        """(ref: get_all_submap_poses.cc)"""
+        pg = self.map_builder.pose_graph
+        with pg._lock:
+            return {
+                "submap_poses": [
+                    {
+                        "submap_index": i,
+                        "trajectory_id": s.trajectory_id,
+                        "finished": s.finished,
+                        "translation": s.global_pose.t,
+                        "rotation": s.global_pose.q,
+                    }
+                    for i, s in enumerate(pg.submaps)
+                ]
+            }
+
+    def _handle_get_trajectory_states(self, request):
+        """(ref: get_trajectory_states_handler.cc)"""
+        states = self.map_builder.pose_graph.trajectory_states()
+        return {"trajectory_states": {int(k): v.name for k, v in states.items()}}
+
+    def _handle_get_landmark_poses(self, request):
+        """(ref: get_landmark_poses_handler.cc)"""
+        poses = self.map_builder.pose_graph.landmark_poses()
+        return {
+            "landmark_poses": {
+                name: {"translation": p.t, "rotation": p.q} for name, p in poses.items()
+            }
+        }
+
+    def _handle_set_landmark_pose(self, request):
+        """(ref: set_landmark_pose_handler.cc)"""
+        from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+        self.map_builder.pose_graph.set_landmark_pose(
+            request["landmark_id"],
+            NpRigid3(request["translation"], request["rotation"]),
+        )
+        return {}
+
+    def _handle_is_trajectory_finished(self, request):
+        """(ref: is_trajectory_finished_handler.cc)"""
+        return {"is_finished": self.map_builder.pose_graph.is_finished(request["trajectory_id"])}
+
+    def _handle_is_trajectory_frozen(self, request):
+        """(ref: is_trajectory_frozen_handler.cc)"""
+        return {"is_frozen": self.map_builder.pose_graph.is_frozen(request["trajectory_id"])}
+
+    def _on_global_slam_optimization(self, num_optimizations: int) -> None:
+        with self._lock:
+            for q in self._global_opt_subscribers:
+                q.put(num_optimizations)
+
+    def _handle_receive_global_slam_optimizations(self, request, context):
+        """Streams one message per completed optimization round
+        (ref: receive_global_slam_optimizations_handler.cc)."""
+        sub: "queue.Queue" = queue.Queue()
+        with self._lock:
+            self._global_opt_subscribers.append(sub)
+        try:
+            while context.is_active():
+                try:
+                    n = sub.get(timeout=self.SENSOR_QUEUE_POP_TIMEOUT)
+                except queue.Empty:
+                    continue
+                yield {"num_optimizations": n}
+        finally:
+            with self._lock:
+                if sub in self._global_opt_subscribers:
+                    self._global_opt_subscribers.remove(sub)
 
     def _handle_write_state(self, request):
         from hectorgrapher_tpu.io.serialization import save_state

@@ -546,6 +546,30 @@ def solve_ct_window(
     return result.x, result.final_cost, result.initial_cost
 
 
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+def solve_ct_window_batched(
+    high_grids,
+    low_grids,
+    problems: CtProblem,
+    states0: CtState,
+    weights: CtWeights,
+    is_tsdf: bool,
+    num_iterations: int = 12,
+):
+    """vmapped window solve over a leading batch axis — the multi-robot
+    server operating point (many trajectories, one chip). Amortizes the
+    per-solve fixed costs (table build bandwidth, dispatch, the 72x72
+    damped solves become one batched LU) exactly like the batched 2D
+    matcher; grids must share shapes (bucket by submap configuration).
+    All pytree leaves of every argument except `weights` carry a leading
+    batch dim; weights are shared."""
+    return jax.vmap(
+        lambda h, l, p, s: solve_ct_window_block(
+            h, l, p, s, weights, is_tsdf=is_tsdf, num_iterations=num_iterations
+        )
+    )(high_grids, low_grids, problems, states0)
+
+
 @jax.jit
 def unwarp_and_accumulate(
     state: CtState,

@@ -242,5 +242,13 @@ class MapBuilder:
         self.pose_graph.wait_for_all_computations()
         self.pose_graph.finish_trajectory(trajectory_id)
 
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """(ref: map_builder_interface.h DeleteTrajectory — removes the
+        trajectory's data from the pose graph.)"""
+        self.pose_graph.delete_trajectory(trajectory_id)
+        # Builders are indexed by trajectory id; keep indices stable.
+        if 0 <= trajectory_id < len(self._trajectory_builders):
+            self._trajectory_builders[trajectory_id] = None
+
     def num_trajectory_builders(self) -> int:
         return len(self._trajectory_builders)

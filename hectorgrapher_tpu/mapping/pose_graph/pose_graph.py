@@ -147,6 +147,10 @@ class PoseGraphBase:
         self.connectivity = TrajectoryConnectivityState()
         self.trimmers: List[object] = []
         self.num_optimizations = 0
+        self._global_optimization_callbacks: List[object] = []
+        # Landmark pose overrides (ref: pose_graph SetLandmarkPose — a
+        # client-provided pose seeds/fixes the landmark in optimization).
+        self._landmark_pose_overrides: Dict[str, object] = {}
 
         # Async work queue (ref: pose_graph_3d.cc AddWorkItem:162-177,
         # DrainWorkQueue:512-535): AddNode returns after enqueueing; the
@@ -219,6 +223,72 @@ class PoseGraphBase:
 
     def is_frozen(self, trajectory_id: int) -> bool:
         return self._trajectory_states.get(trajectory_id) == TrajectoryState.FROZEN
+
+    def is_finished(self, trajectory_id: int) -> bool:
+        """(ref: pose_graph IsTrajectoryFinished)"""
+        return self._trajectory_states.get(trajectory_id) == TrajectoryState.FINISHED
+
+    def trajectory_states(self) -> Dict[int, TrajectoryState]:
+        """(ref: pose_graph GetTrajectoryStates)"""
+        with self._lock:
+            return dict(self._trajectory_states)
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """Remove a trajectory's submaps/nodes/constraints from the graph
+        (ref: pose_graph_2d/3d.cc DeleteTrajectory — the trajectory is
+        marked DELETED and its data trimmed on the work queue)."""
+        from hectorgrapher_tpu.mapping.pose_graph.trimmers import trim_submaps
+
+        self.wait_for_all_computations()
+        with self._lock:
+            self._trajectory_states[trajectory_id] = TrajectoryState.DELETED
+            own = {
+                i for i, s in enumerate(self.submaps) if s.trajectory_id == trajectory_id
+            }
+        if own:
+            with self._lock:
+                trim_submaps(self, own)
+        # Nodes of the trajectory that survived (kept alive by constraints
+        # to other trajectories' submaps are already gone with those
+        # constraints; any unconstrained leftovers are dropped here).
+        with self._lock:
+            keep = [i for i, n in enumerate(self.nodes) if n.trajectory_id != trajectory_id]
+            if len(keep) != len(self.nodes):
+                node_remap = {old: new for new, old in enumerate(keep)}
+                self.constraints = [
+                    c for c in self.constraints if c.node_index in node_remap
+                ]
+                for c in self.constraints:
+                    c.node_index = node_remap[c.node_index]
+                self.nodes = [self.nodes[i] for i in keep]
+                self._node_index_by_id = {
+                    n.node_id: i for i, n in enumerate(self.nodes)
+                }
+
+    def set_landmark_pose(self, landmark_id: str, global_pose) -> None:
+        """Seed/override a landmark's global pose (ref: pose_graph
+        SetLandmarkPose — the provided pose replaces the optimizer's
+        estimate and seeds subsequent solves)."""
+        with self._lock:
+            self._landmark_pose_overrides[landmark_id] = global_pose
+            ids = getattr(self, "_landmark_ids", None)
+            if ids is not None and landmark_id not in ids:
+                ids[landmark_id] = len(ids)
+
+    def add_global_slam_optimization_callback(self, callback) -> None:
+        """callback(num_optimizations) runs after every optimization round
+        (ref: pose_graph SetGlobalSlamOptimizationCallback,
+        map_builder_server.cc OnGlobalSlamOptimizations fan-out)."""
+        self._global_optimization_callbacks.append(callback)
+
+    def _notify_global_optimization(self) -> None:
+        for cb in list(self._global_optimization_callbacks):
+            try:
+                cb(self.num_optimizations)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
 
     # -- hooks implemented by 2D/3D subclasses ------------------------------
 
@@ -426,6 +496,7 @@ class PoseGraphBase:
             with self._lock:
                 for trimmer in self.trimmers:
                     trimmer.trim(self)
+        self._notify_global_optimization()
 
     # -- shared SPA writeback helpers ---------------------------------------
 
@@ -509,7 +580,10 @@ class PoseGraph2D(PoseGraphBase):
         )
 
     def landmark_poses(self) -> Dict[str, NpRigid3]:
-        return dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+        out = dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+        for name, pose in self._landmark_pose_overrides.items():
+            out[name] = pose
+        return out
 
     def _lookup_buffer(self, buf, time: float) -> Optional[NpRigid3]:
         if not buf or time < buf[0][0] or time > buf[-1][0]:
@@ -841,7 +915,10 @@ class PoseGraph3D(PoseGraphBase):
         )
 
     def landmark_poses(self) -> Dict[str, NpRigid3]:
-        return dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+        out = dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+        for name, pose in self._landmark_pose_overrides.items():
+            out[name] = pose
+        return out
 
     def _lookup_buffer(self, buf: List[Tuple[float, NpRigid3]], time: float) -> Optional[NpRigid3]:
         if not buf or time < buf[0][0] or time > buf[-1][0]:

@@ -25,7 +25,8 @@ from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
     PreparedTsdf3D,
     gather_rows_3d,
     prepare_grid_3d,
-    trilinear_weights_and_derivs,
+    prob_value_and_dfrac,
+    tsdf_value_and_dfrac,
 )
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.transform.rigid import (
@@ -40,39 +41,22 @@ from hectorgrapher_tpu.transform.rigid import (
 
 
 def _gather(prepared, world):
-    """Rows pytree for one grid at world positions."""
-    if isinstance(prepared, PreparedTsdf3D):
-        return (gather_rows_3d(prepared.w_field, world), gather_rows_3d(prepared.wtsd_field, world))
-    return gather_rows_3d(prepared.prob_field, world)
+    """(N, 4, 128) z-segment stencil rows for one grid at world positions."""
+    return gather_rows_3d(prepared, world)
 
 
-def _value_and_dfrac(prepared, rows, w8, dw8):
+def _value_and_dfrac(prepared, rows, world):
     """Match-cost value (N,) and its d/dfrac (N, 3) from carried rows.
 
     Identical to autodiff of value_at_prepared_3d: the weight gate's
     derivative is zero a.e., and the gathered rows are constants."""
     if isinstance(prepared, PreparedTsdf3D):
-        w_rows, wtsd_rows = rows
-        wsum = jnp.sum(w_rows * w8, axis=-1)
-        wtsd = jnp.sum(wtsd_rows * w8, axis=-1)
-        gate = wsum > 1e-6
-        safe = jnp.maximum(wsum, 1e-6)
-        val = jnp.where(gate, wtsd / safe, 0.0)
-        dwsum = jnp.sum(w_rows[..., None, :] * dw8, axis=-1)  # (N, 3)
-        dwtsd = jnp.sum(wtsd_rows[..., None, :] * dw8, axis=-1)
-        dval = jnp.where(
-            gate[..., None],
-            (dwtsd * safe[..., None] - wtsd[..., None] * dwsum) / (safe * safe)[..., None],
-            0.0,
-        )
-        return val, dval
-    wsum = jnp.sum(rows * w8, axis=-1)
-    dval = -jnp.sum(rows[..., None, :] * dw8, axis=-1)
-    return 1.0 - wsum, dval
+        return tsdf_value_and_dfrac(prepared, rows, world)
+    return prob_value_and_dfrac(prepared, rows, world)
 
 
 def _meta_of(prepared):
-    return prepared.w_field.meta if isinstance(prepared, PreparedTsdf3D) else prepared.prob_field.meta
+    return prepared.meta
 
 
 def _skew_apply(p, world_rot):
@@ -138,8 +122,7 @@ def match_gn_3d(
 
     def grid_terms(pose, rows, prepared, cloud, scale):
         world = world_of(pose, cloud.positions)
-        w8, dw8 = trilinear_weights_and_derivs(world, _meta_of(prepared))
-        val, dval_dfrac = _value_and_dfrac(prepared, rows, w8, dw8)
+        val, dval_dfrac = _value_and_dfrac(prepared, rows, world)
         r = jnp.where(cloud.mask, val, 0.0) * scale
         return r, dval_dfrac
 

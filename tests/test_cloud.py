@@ -268,3 +268,75 @@ def test_streaming_local_slam_results(server):
     assert all("time" in m and "local_pose" in m for m in received)
     times = [float(m["time"]) for m in received]
     assert times == sorted(times)
+
+
+def test_query_and_lifecycle_rpcs(server):
+    """The reference's remaining query/lifecycle RPCs
+    (ref: map_builder_service.proto GetSubmap/GetAllSubmapPoses/
+    GetTrajectoryStates/GetLandmarkPoses/SetLandmarkPose/
+    IsTrajectoryFinished/IsTrajectoryFrozen/DeleteTrajectory/
+    ReceiveGlobalSlamOptimizations)."""
+    import threading
+
+    stub = MapBuilderStub(f"127.0.0.1:{server.port}")
+    tid = stub.add_trajectory_builder()
+    tb = stub.get_trajectory_builder(tid)
+    for i in range(10):
+        t = 0.1 * i
+        tb.add_odometry_data(t, NpRigid3(np.array([0.06 * i, 0, 0]), nq.quat_identity()))
+        pts = raycast_rect_room_2d(np.array([0.06 * i, 0.0]), 0.0, num_rays=720)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 1024)
+        tb.add_range_data(
+            TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32), ranges=cloud)
+        )
+    server.wait_until_idle()
+
+    # Submap queries.
+    submap_poses = stub.pose_graph.get_all_submap_poses()
+    assert len(submap_poses) >= 1
+    sub = stub.get_submap(0)
+    assert sub["trajectory_id"] == tid
+    assert "grid" in sub and sub["grid"]["type"] == "probability"
+    from hectorgrapher_tpu.cloud.local_slam_result import _unpack_grid
+
+    grid = _unpack_grid(sub["grid"])
+    assert grid.log_odds.shape[0] > 0
+    assert stub.get_submap(999).get("error")
+
+    # Trajectory state queries.
+    assert stub.pose_graph.trajectory_states()[tid] == "ACTIVE"
+    assert not stub.pose_graph.is_trajectory_finished(tid)
+    assert not stub.pose_graph.is_trajectory_frozen(tid)
+
+    # Landmarks: set + read back.
+    stub.pose_graph.set_landmark_pose("door_1", NpRigid3(np.array([1.0, 2.0, 0.0])))
+    poses = stub.pose_graph.landmark_poses()
+    assert "door_1" in poses
+    np.testing.assert_allclose(poses["door_1"].t[:2], [1.0, 2.0])
+
+    # Global-optimization stream: subscribe, trigger, expect one message.
+    stream = stub.receive_global_slam_optimizations()
+    got = []
+
+    def reader():
+        for msg in stream:
+            got.append(msg)
+            break
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    time.sleep(0.2)
+    stub.pose_graph.run_final_optimization()
+    th.join(timeout=10.0)
+    assert got and got[0]["num_optimizations"] >= 1
+    stream.cancel()
+
+    stub.finish_trajectory(tid)
+    assert stub.pose_graph.is_trajectory_finished(tid)
+
+    # Delete: trajectory data leaves the graph; state records DELETED.
+    stub.delete_trajectory(tid)
+    assert stub.pose_graph.trajectory_states()[tid] == "DELETED"
+    assert stub.pose_graph.get_all_submap_poses() == []
+    stub.close()
