@@ -36,9 +36,13 @@ import jax.numpy as jnp
 
 from hectorgrapher_tpu.mapping.grids import ProbabilityGrid, TSDFGrid
 from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+    PreparedTsdf3D,
+    gather_rows_3d,
     prepare_grid_3d,
+    prob_value_and_dfrac,
     probability_at_3d,
     tsd_at_3d_weighted,
+    tsdf_value_and_dfrac,
     value_at_prepared_3d,
 )
 from hectorgrapher_tpu.solvers.gauss_newton import levenberg_marquardt
@@ -316,19 +320,47 @@ def _retract_one(t, q, v, d9):
     )
 
 
+def _dquat_rotate_dq(q, p):
+    """d(R(q) p)/dq as a free 4-vector (N, 3, 4), wxyz convention.
+
+    R(q)p = (w^2 - v.v) p + 2 (v.p) v + 2 w (v x p); exact for tangents
+    orthogonal to q (guaranteed: the pose chain ends in quat_normalize,
+    whose jacobian projects onto the unit-sphere tangent space)."""
+    w, v = q[0], q[1:4]
+    vb = jnp.broadcast_to(v, p.shape)
+    vxp = jnp.cross(vb, p)
+    dw = 2.0 * (w * p + vxp)  # (N, 3)
+    vdotp = p @ v  # (N,)
+    cols = [dw]
+    eye = jnp.eye(3, dtype=p.dtype)
+    for i in range(3):
+        e = eye[i]
+        cols.append(
+            -2.0 * v[i] * p
+            + 2.0 * p[:, i : i + 1] * v[None, :]
+            + 2.0 * vdotp[:, None] * e[None, :]
+            + 2.0 * w * jnp.cross(jnp.broadcast_to(e, p.shape), p)
+        )
+    return jnp.stack(cols, axis=-1)  # (N, 3, 4)
+
+
 def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights: CtWeights, is_tsdf: bool,
                            direct: Optional[DirectImuData] = None):
     """Block-structured residual/Jacobian families for the window solve.
 
     Every residual block touches exactly TWO control points, so Jacobians
-    are taken over an 18-dim local tangent (jacfwd per block, vmapped)
-    and scatter-assembled into the K*9-dim normal equations — the same
-    trick as the SPA solver, cutting JVP work from 9K to 18 directions.
+    live on an 18-dim local tangent and scatter-assemble into the K*9-dim
+    normal equations. The scan blocks (the heavy path: grid row gathers +
+    lane mixing over C*P points) use ANALYTIC Jacobians — value gradient
+    from the carried-rows helpers chained through d(world)/d(pose) and a
+    tiny jacfwd d(pose)/d(tangent18) — so the row math runs once per
+    evaluation instead of once per tangent direction. The small pair
+    blocks (IMU + odometry) keep jacfwd.
     """
     n_hi = jnp.maximum(jnp.sum(problem.hi_mask, axis=1), 1).astype(jnp.float32)
     n_lo = jnp.maximum(jnp.sum(problem.lo_mask, axis=1), 1).astype(jnp.float32)
 
-    grid_value = value_at_prepared_3d
+    value_and_dfrac = tsdf_value_and_dfrac if is_tsdf else prob_value_and_dfrac
 
     def scan_block(state: CtState):
         """Per-cloud residuals + Jacobians wrt (prev, next) CP tangents."""
@@ -342,19 +374,31 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
             hi_scale = weights.high_resolution_grid_weight / jnp.sqrt(n_hi[ci]) * problem.cloud_mask[ci]
             lo_scale = weights.low_resolution_grid_weight / jnp.sqrt(n_lo[ci]) * problem.cloud_mask[ci]
 
-            def local(d18):
+            def pose_of(d18):
                 t0, q0, _ = _retract_one(tp, qp, vp, d18[:9])
                 t1, q1, _ = _retract_one(tn, qn, vn, d18[9:])
                 pose_t = t0 + f * (t1 - t0)
-                pose_q = quat_slerp(q0, q1, f)
-                hi_world = quat_rotate(pose_q[None, :], problem.hi_points[ci]) + pose_t[None, :]
-                lo_world = quat_rotate(pose_q[None, :], problem.lo_points[ci]) + pose_t[None, :]
-                hi_r = jnp.where(problem.hi_mask[ci], grid_value(prepared_hi, hi_world), 0.0) * hi_scale
-                lo_r = jnp.where(problem.lo_mask[ci], grid_value(prepared_lo, lo_world), 0.0) * lo_scale
-                return jnp.concatenate([hi_r, lo_r])
+                pose_q = quat_normalize(quat_slerp(q0, q1, f))
+                return jnp.concatenate([pose_t, pose_q])
 
             z = jnp.zeros(18, jnp.float32)
-            return jax.jacfwd(local)(z), local(z)
+            pose7 = pose_of(z)
+            dpose7 = jax.jacfwd(pose_of)(z)  # (7, 18) — tiny
+            pose_t, pose_q = pose7[:3], pose7[3:]
+
+            def grid_part(prepared, pts, mask, scale):
+                world = quat_rotate(pose_q[None, :], pts) + pose_t[None, :]
+                rows = gather_rows_3d(prepared, world)
+                val, dval_dfrac = value_and_dfrac(prepared, rows, world)
+                sm = jnp.where(mask, scale, 0.0)
+                dval_dworld = dval_dfrac / prepared.meta.resolution  # (P, 3)
+                dval_dq = jnp.einsum("ni,nij->nj", dval_dworld, _dquat_rotate_dq(pose_q, pts))
+                dval_dpose7 = jnp.concatenate([dval_dworld, dval_dq], axis=-1)
+                return val * sm, (dval_dpose7 @ dpose7) * sm[:, None]
+
+            hi_r, hi_J = grid_part(prepared_hi, problem.hi_points[ci], problem.hi_mask[ci], hi_scale)
+            lo_r, lo_J = grid_part(prepared_lo, problem.lo_points[ci], problem.lo_mask[ci], lo_scale)
+            return jnp.concatenate([hi_J, lo_J], axis=0), jnp.concatenate([hi_r, lo_r])
 
         J, r = jax.vmap(one)(jnp.arange(problem.cloud_prev.shape[0]))
         idx = jnp.concatenate(
@@ -467,8 +511,14 @@ def solve_ct_window_block(
         g = jnp.zeros((D,), jnp.float32)
         cost = 0.0
         for J, r, idx in (scan_block(state), pair_block(state)):
-            JtJ = JtJ.at[idx[:, :, None], idx[:, None, :]].add(jnp.einsum("cri,crj->cij", J, J))
-            g = g.at[idx].add(jnp.einsum("cri,cr->ci", J, r))
+            # Dense one-hot projection instead of scatter-add: E maps each
+            # block's 18-dim tangent into the D-dim layout; JtJ += E^T S E
+            # runs on the MXU and vmaps cleanly (batched scatters serialize,
+            # which wrecked solve_ct_window_batched at larger batches).
+            E = (idx[:, :, None] == jnp.arange(D)[None, None, :]).astype(jnp.float32)
+            S = jnp.einsum("cri,crj->cij", J, J)
+            JtJ = JtJ + jnp.einsum("cid,cij,cje->de", E, S, E)
+            g = g + jnp.einsum("cid,cri,cr->d", E, J, r)
             cost = cost + 0.5 * jnp.sum(r * r)
         return JtJ, g, cost
 

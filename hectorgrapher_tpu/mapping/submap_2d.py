@@ -23,6 +23,42 @@ from hectorgrapher_tpu.sensor.types import RangeData
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
 
 
+def _clipped_points_counter():
+    """Counter of scan returns falling outside the fixed submap extent.
+
+    The reference grows grids on demand (grid_2d.h GrowLimits:79-94);
+    fixed-extent dense arrays clip instead — this counter makes a
+    misconfigured extent visible rather than silent."""
+    from hectorgrapher_tpu.common.profiling import global_factory
+
+    global _CLIPPED
+    if _CLIPPED is None:
+        _CLIPPED = global_factory().new_counter_family(
+            "mapping_points_clipped_total",
+            "scan returns outside the fixed submap grid extent",
+        ).add({})
+    return _CLIPPED
+
+
+_CLIPPED = None
+
+
+def count_clipped(grid, range_data: RangeData) -> None:
+    """Sampled accounting of out-of-extent returns (host fetch of one
+    scalar; call at the insertion cadence you can afford)."""
+    import jax.numpy as _jnp
+
+    from hectorgrapher_tpu.mapping.grids import cell_index, in_bounds
+
+    pts = range_data.returns.positions[..., : len(grid.meta.min_corner)]
+    idx = cell_index(grid.meta, pts)
+    shape = grid.log_odds.shape if hasattr(grid, "log_odds") else grid.tsd.shape
+    clipped = _jnp.sum(range_data.returns.mask & ~in_bounds(idx, shape))
+    n = int(clipped)
+    if n:
+        _clipped_points_counter().increment(n)
+
+
 @dataclass
 class Submap2D:
     """(ref: submap_2d.h Submap2D; local_pose is the submap frame in the
@@ -108,6 +144,9 @@ class ActiveSubmaps2D:
             # min_corner is shifted to center the array on the submap
             # origin), so no per-insert transform is needed.
             submap.insert(range_data_in_local, self._inserter)
+        # Sampled clip accounting (one host scalar every 8 inserts).
+        if self._submaps[0].num_range_data % 8 == 1:
+            count_clipped(self._submaps[0].grid, range_data_in_local)
         if self._submaps[0].num_range_data == 2 * self._options.num_range_data:
             self._submaps[0].finish()
         return list(self._submaps)

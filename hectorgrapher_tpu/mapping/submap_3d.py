@@ -147,6 +147,11 @@ class ActiveSubmaps3D:
             submap.num_range_data += 1
         if self._submaps[0].num_range_data == 2 * self._options.num_range_data:
             self._submaps[0].finish()
+        # Sampled clip accounting (see submap_2d.count_clipped).
+        if self._submaps[0].num_range_data % 8 == 1:
+            from hectorgrapher_tpu.mapping.submap_2d import count_clipped
+
+            count_clipped(self._submaps[0].low_resolution_grid, range_data_in_local)
         return list(self._submaps)
 
     def _add_submap(self, origin_local: np.ndarray) -> None:
