@@ -151,6 +151,38 @@ def bench_ct_window():
     return iters / dt
 
 
+def bench_ct_window_batched(batch: int = 8):
+    """Server operating point: many trajectories' window solves batched
+    onto one chip (solve_ct_window_batched). Returns windows/s."""
+    import functools
+
+    import jax
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window_batched
+
+    hi, lo, problem, state, weights = _build_ct_example()
+
+    def bcast(t):
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), t)
+
+    his, los, probs, states = bcast(hi), bcast(lo), bcast(problem), bcast(state)
+    step = functools.partial(
+        solve_ct_window_batched, is_tsdf=True, num_iterations=8
+    )
+    out = step(his, los, probs, states, weights)
+    jax.block_until_ready(out)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(his, los, probs, states, weights)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_spa():
     import jax
     import jax.numpy as jnp
@@ -292,6 +324,10 @@ def main() -> None:
         _RECORD["ct_window_solves_per_s"] = round(bench_ct_window(), 1)
     except Exception as e:  # secondary metric must not kill the bench
         _RECORD["ct_error"] = str(e)
+    try:
+        _RECORD["ct_batched_windows_per_s"] = round(bench_ct_window_batched(), 1)
+    except Exception as e:
+        _RECORD["ct_batched_error"] = str(e)
     try:
         _RECORD["spa_solve_s"] = round(bench_spa(), 3)
     except Exception as e:
