@@ -321,31 +321,32 @@ def _retract_one(t, q, v, d9):
 
 
 def _dquat_rotate_dq(q, p):
-    """d(R(q) p)/dq as a free 4-vector (N, 3, 4), wxyz convention.
+    """d(R(q) p)/dq as a free 4-vector (..., 3, 4), wxyz convention;
+    q (..., 4) broadcasts against p (..., 3).
 
     R(q)p = (w^2 - v.v) p + 2 (v.p) v + 2 w (v x p); exact for tangents
     orthogonal to q (guaranteed: the pose chain ends in quat_normalize,
     whose jacobian projects onto the unit-sphere tangent space)."""
-    w, v = q[0], q[1:4]
-    vb = jnp.broadcast_to(v, p.shape)
-    vxp = jnp.cross(vb, p)
-    dw = 2.0 * (w * p + vxp)  # (N, 3)
-    vdotp = p @ v  # (N,)
+    w = q[..., 0:1]
+    v = q[..., 1:4]
+    vxp = jnp.cross(jnp.broadcast_to(v, p.shape), p)
+    dw = 2.0 * (w * p + vxp)  # (..., 3)
+    vdotp = jnp.sum(jnp.broadcast_to(v, p.shape) * p, axis=-1, keepdims=True)
     cols = [dw]
     eye = jnp.eye(3, dtype=p.dtype)
     for i in range(3):
         e = eye[i]
         cols.append(
-            -2.0 * v[i] * p
-            + 2.0 * p[:, i : i + 1] * v[None, :]
-            + 2.0 * vdotp[:, None] * e[None, :]
+            -2.0 * q[..., 1 + i : 2 + i] * p
+            + 2.0 * p[..., i : i + 1] * v
+            + 2.0 * vdotp * e
             + 2.0 * w * jnp.cross(jnp.broadcast_to(e, p.shape), p)
         )
-    return jnp.stack(cols, axis=-1)  # (N, 3, 4)
+    return jnp.stack(cols, axis=-1)  # (..., 3, 4)
 
 
 def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights: CtWeights, is_tsdf: bool,
-                           direct: Optional[DirectImuData] = None):
+                           direct: Optional[DirectImuData] = None, per_point: bool = False):
     """Block-structured residual/Jacobian families for the window solve.
 
     Every residual block touches exactly TWO control points, so Jacobians
@@ -361,6 +362,72 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
     n_lo = jnp.maximum(jnp.sum(problem.lo_mask, axis=1), 1).astype(jnp.float32)
 
     value_and_dfrac = tsdf_value_and_dfrac if is_tsdf else prob_value_and_dfrac
+
+    if per_point:
+        # Per-point unwarping (ref: AddPerPointMatchingResiduals,
+        # optimizing_local_trajectory_builder.cc:513-926): every point is
+        # its own scalar residual block bracketed by ITS control-point
+        # pair at its own timestamp. Same analytic-Jacobian scheme as the
+        # per-scan blocks; the tiny pose jacfwd runs per point (the grid
+        # row math still runs once per evaluation).
+        hi_prv, hi_nxt, hi_f = per_point_brackets(problem, problem.hi_times)
+        lo_prv, lo_nxt, lo_f = per_point_brackets(problem, problem.lo_times)
+
+        def _pose_of(tp, qp, vp, tn, qn, vn, f, d18):
+            t0, q0, _ = _retract_one(tp, qp, vp, d18[:9])
+            t1, q1, _ = _retract_one(tn, qn, vn, d18[9:])
+            return jnp.concatenate(
+                [t0 + f * (t1 - t0), quat_normalize(quat_slerp(q0, q1, f))]
+            )
+
+        def point_scan_block(state: CtState):
+            def part(points, mask, prv, nxt, f, prepared, scale_per_cloud):
+                P = points.shape[1]
+                pts = points.reshape(-1, 3)
+                m = mask.reshape(-1)
+                prv_, nxt_, f_ = prv.reshape(-1), nxt.reshape(-1), f.reshape(-1)
+                sm = jnp.where(m, jnp.repeat(scale_per_cloud, P), 0.0)
+                args = (
+                    state.translation[prv_], state.rotation[prv_], state.velocity[prv_],
+                    state.translation[nxt_], state.rotation[nxt_], state.velocity[nxt_],
+                    f_,
+                )
+                z = jnp.zeros(18, jnp.float32)
+                pose7 = jax.vmap(_pose_of, in_axes=(0,) * 7 + (None,))(*args, z)
+                dpose7 = jax.vmap(jax.jacfwd(_pose_of, argnums=7), in_axes=(0,) * 7 + (None,))(
+                    *args, z
+                )  # (N, 7, 18)
+                pose_t, pose_q = pose7[:, :3], pose7[:, 3:]
+                world = quat_rotate(pose_q, pts) + pose_t
+                rows = gather_rows_3d(prepared, world)
+                val, dval_dfrac = value_and_dfrac(prepared, rows, world)
+                dval_dworld = dval_dfrac / prepared.meta.resolution
+                dval_dq = jnp.einsum("ni,nij->nj", dval_dworld, _dquat_rotate_dq(pose_q, pts))
+                dval_dpose7 = jnp.concatenate([dval_dworld, dval_dq], axis=-1)
+                J = jnp.einsum("ni,nik->nk", dval_dpose7, dpose7) * sm[:, None]
+                idx = jnp.concatenate(
+                    [
+                        prv_[:, None] * 9 + jnp.arange(9)[None, :],
+                        nxt_[:, None] * 9 + jnp.arange(9)[None, :],
+                    ],
+                    axis=1,
+                )
+                return J[:, None, :], (val * sm)[:, None], idx
+
+            hi_scale = weights.high_resolution_grid_weight / jnp.sqrt(n_hi) * problem.cloud_mask
+            lo_scale = weights.low_resolution_grid_weight / jnp.sqrt(n_lo) * problem.cloud_mask
+            hJ, hr, hidx = part(problem.hi_points, problem.hi_mask, hi_prv, hi_nxt, hi_f,
+                                prepared_hi, hi_scale)
+            lJ, lr, lidx = part(problem.lo_points, problem.lo_mask, lo_prv, lo_nxt, lo_f,
+                                prepared_lo, lo_scale)
+            return (
+                jnp.concatenate([hJ, lJ], axis=0),
+                jnp.concatenate([hr, lr], axis=0),
+                jnp.concatenate([hidx, lidx], axis=0),
+            )
+
+    else:
+        point_scan_block = None
 
     def scan_block(state: CtState):
         """Per-cloud residuals + Jacobians wrt (prev, next) CP tangents."""
@@ -474,10 +541,10 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
         )
         return J, r, idx
 
-    return scan_block, pair_block
+    return (point_scan_block if per_point else scan_block), pair_block
 
 
-@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point"))
 def solve_ct_window_block(
     high_grid,
     low_grid,
@@ -487,19 +554,23 @@ def solve_ct_window_block(
     is_tsdf: bool,
     num_iterations: int = 12,
     direct: Optional[DirectImuData] = None,
+    per_point: bool = False,
 ):
-    """Block-assembled LM solve of the window (per-scan matching mode).
+    """Block-assembled LM solve of the window.
 
-    Same math as solve_ct_window's dense path, but with per-block 18-dim
-    Jacobians scatter-assembled into the normal equations.
+    Per-scan mode: one 18-dim block per cloud. Per-point mode: one scalar
+    block per point, bracketed by its own control-point pair (the
+    reference's AddPerPointMatchingResiduals). Both use analytic scan
+    Jacobians and dense MXU normal-equation assembly.
     """
     k = state0.translation.shape[0]
     D = 9 * k
-    # Materialize the interpolation patch matrices ONCE per solve.
+    # Materialize the interpolation tables ONCE per solve.
     prepared_hi = prepare_grid_3d(high_grid)
     prepared_lo = prepare_grid_3d(low_grid)
     scan_block, pair_block = make_ct_block_families(
-        prepared_hi, prepared_lo, problem, weights, is_tsdf, direct=direct
+        prepared_hi, prepared_lo, problem, weights, is_tsdf, direct=direct,
+        per_point=per_point,
     )
 
     per_cp_fixed = ~problem.cp_mask
@@ -564,36 +635,13 @@ def solve_ct_window(
 ):
     """Solve the window; returns (CtState, final_cost, initial_cost).
 
-    Per-scan mode dispatches to the block-assembled solver (18-dim
-    Jacobians per residual block); per-point mode — where a cloud's points
-    bracket different CP pairs and block structure does not hold — uses
-    the dense full-tangent LM.
-    """
-    if not per_point:
-        return solve_ct_window_block(
-            high_grid, low_grid, problem, state0, weights,
-            is_tsdf=is_tsdf, num_iterations=num_iterations, direct=direct,
-        )
-
-    k = state0.translation.shape[0]
-    residual = make_ct_residual(
-        high_grid, low_grid, problem, weights, is_tsdf, per_point=per_point, direct=direct
+    Both modes dispatch to the block-assembled solver; per-point mode uses
+    one scalar residual block per point with its own bracketing pair."""
+    return solve_ct_window_block(
+        high_grid, low_grid, problem, state0, weights,
+        is_tsdf=is_tsdf, num_iterations=num_iterations, direct=direct,
+        per_point=per_point,
     )
-
-    # Freeze CP0 entirely and all invalid CPs (:1268-1275).
-    per_cp_fixed = ~problem.cp_mask
-    per_cp_fixed = per_cp_fixed.at[0].set(True)
-    fixed_mask = jnp.repeat(per_cp_fixed, 9)
-
-    result = levenberg_marquardt(
-        residual,
-        state0,
-        ct_retract,
-        tangent_dim=k * 9,
-        num_iterations=num_iterations,
-        fixed_mask=fixed_mask,
-    )
-    return result.x, result.final_cost, result.initial_cost
 
 
 @functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))

@@ -138,3 +138,34 @@ class TestCtWindowSolver:
         )
         t1 = np.asarray(solved.translation)[1]
         np.testing.assert_allclose(t1, [0.1, 0.0, 0.0], atol=0.01)
+
+
+def test_block_solver_cost_matches_dense_residual():
+    """The block families' assembled cost must equal the straightforward
+    dense residual stack (make_ct_residual) — the golden reference for the
+    analytic-Jacobian/block-assembly rewrite, in both bracketing modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct import window_solver as ws
+
+    hi, lo, problem, state, weights = _build_ct_example(grid=32)
+    # Spread per-point times so per-point mode brackets differently.
+    problem = problem._replace(
+        hi_times=jnp.linspace(-0.09, 0.0, problem.hi_times.shape[1], dtype=jnp.float32)[
+            None, :
+        ].repeat(problem.hi_times.shape[0], 0),
+        lo_times=jnp.linspace(-0.09, 0.0, problem.lo_times.shape[1], dtype=jnp.float32)[
+            None, :
+        ].repeat(problem.lo_times.shape[0], 0),
+    )
+    for per_point in (False, True):
+        dense = ws.make_ct_residual(hi, lo, problem, weights, True, per_point=per_point)
+        r = dense(state)
+        dense_cost = float(0.5 * jnp.sum(r * r))
+        _, _, initial_cost = ws.solve_ct_window(
+            hi, lo, problem, state, weights, is_tsdf=True, num_iterations=1,
+            per_point=per_point,
+        )
+        np.testing.assert_allclose(float(initial_cost), dense_cost, rtol=2e-3)
