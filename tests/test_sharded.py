@@ -186,3 +186,41 @@ def test_sharded_constraint_search_uneven_and_single_device_mesh():
             np.testing.assert_allclose(score_s, float(score_1), rtol=1e-5)
 
     assert sharded_fast_matches_2d(prepared, [], config, mesh) == []
+
+
+def test_sharded_ct_windows_match_unsharded():
+    """Multi-robot serving: CT window solves sharded over the mesh equal
+    the single-device batched solve (parallel/ct_windows.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    mesh8 = Mesh(np.array(jax.devices()[:8]), axis_names=("graph",))
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window_batched
+    from hectorgrapher_tpu.parallel.ct_windows import solve_ct_windows_sharded
+
+    hi, lo, problem, state, weights = _build_ct_example(grid=32)
+    B = 8
+
+    def bcast(t):
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), t)
+
+    his, los, probs, states = bcast(hi), bcast(lo), bcast(problem), bcast(state)
+    # Perturb each trajectory's initial state so shards solve distinct
+    # problems.
+    rng = np.random.default_rng(0)
+    states = states._replace(
+        translation=states.translation + jnp.asarray(
+            rng.normal(0, 0.01, states.translation.shape).astype(np.float32)
+        )
+    )
+    ref = solve_ct_window_batched(his, los, probs, states, weights, is_tsdf=True, num_iterations=4)
+    out = solve_ct_windows_sharded(
+        mesh8, his, los, probs, states, weights, is_tsdf=True, num_iterations=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0].translation), np.asarray(ref[0].translation), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), rtol=2e-4)
