@@ -213,6 +213,9 @@ def match_correlative_2d(
 
     cloud: points in tracking frame (xy used). Returns (score, pose).
     """
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # a just-finished submap may be uint16
     prob = grid.probability()
     nx, ny = prob.shape
     res = grid.meta.resolution
@@ -266,6 +269,9 @@ def score_volume_dense(
     """Straightforward per-cell scoring of the full (theta, dx, dy) volume
     (no penalty). Reference semantics spelled out one candidate cell at a
     time - the cross-check oracle for the grouped matcher."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)
     prob = grid.probability()
     nx, ny = prob.shape
     n_th = 2 * window.num_angles + 1
@@ -304,6 +310,9 @@ def prepare_correlative_table(grid: ProbabilityGrid, window: SearchWindow2D):
     Build once per grid VERSION and amortize across the matches scored
     against it (the analog of the reference's per-submap precomputation
     grids; construction costs ~1.7 ms for a 256^2 grid)."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # a just-finished submap may be uint16
     k, gsz, half, *_ = _window_geometry(window)
     return _wide_patch_table(grid.probability(), k, half)
 
@@ -321,6 +330,9 @@ def _match_correlative_2d_batched_pallas(
 ):
     from hectorgrapher_tpu.ops.pallas_prep2d import TILE_B, correlative_prep_2d_batched
 
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # a just-finished submap may be uint16
     prob = grid.probability()
     nx, ny = prob.shape
     res = grid.meta.resolution

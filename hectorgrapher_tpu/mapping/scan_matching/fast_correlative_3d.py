@@ -36,6 +36,9 @@ from hectorgrapher_tpu.transform.rigid import Rigid3, quat_from_yaw, quat_multip
 
 def grid_match_scores(grid) -> jax.Array:
     """Hit-likelihood field in [0.1, 0.9] for matching."""
+    from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+
+    grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     if isinstance(grid, ProbabilityGrid):
         return grid.probability()
     tsd = grid.tsd

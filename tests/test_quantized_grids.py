@@ -145,3 +145,57 @@ class TestQuantizedPipeline:
             assert any(
                 s.submap.grid.log_odds.dtype == jnp.uint16 for s in loaded_finished
             )
+
+
+class TestMatchersOnQuantizedGrids:
+    def test_local_matchers_equal_on_quantized_grid(self):
+        """The local 2D matchers (correlative + GN prep) must dequantize
+        transparently — a just-finished submap can still be the matching
+        submap for one insert (submap_2d.py finish window)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from hectorgrapher_tpu.common.config import (
+            ProbabilityGridRangeDataInserterOptions2D,
+        )
+        from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+        from hectorgrapher_tpu.mapping.grids import (
+            dequantize_probability_grid,
+            make_probability_grid,
+            quantize_probability_grid,
+        )
+        from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+        from hectorgrapher_tpu.mapping.scan_matching.correlative_2d import (
+            make_search_window,
+            match_correlative_2d,
+        )
+        from hectorgrapher_tpu.mapping.scan_matching.gn_2d import match_gn_2d_probability
+        from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+        from hectorgrapher_tpu.transform.rigid import Rigid2
+
+        grid = make_probability_grid(0.05, (128, 128))
+        insert = make_probability_inserter_2d(
+            ProbabilityGridRangeDataInserterOptions2D(), max_range=6.4, resolution=0.05
+        )
+        pts = raycast_rect_room_2d(np.zeros(2), 0.0, half_width=2.5, half_height=2.0, num_rays=360)
+        pts = pts[~np.isnan(pts[:, 0])]
+        cloud = pad_cloud(pts.astype(np.float32), 512)
+        grid = insert(
+            grid,
+            RangeData(
+                origin=jnp.zeros(3, jnp.float32),
+                returns=cloud,
+                misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+            ),
+        )
+        q = quantize_probability_grid(grid)
+        deq = dequantize_probability_grid(q)
+        initial = Rigid2(jnp.asarray([0.04, -0.03], jnp.float32), jnp.asarray(0.01, jnp.float32))
+        window = make_search_window(0.15, np.radians(10.0), 0.05, 3.5)
+        s_q, p_q = match_correlative_2d(q, cloud, initial, window, 0.1, 0.1)
+        s_d, p_d = match_correlative_2d(deq, cloud, initial, window, 0.1, 0.1)
+        np.testing.assert_allclose(float(s_q), float(s_d), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p_q.translation), np.asarray(p_d.translation), atol=1e-7)
+        g_q, c_q = match_gn_2d_probability(q, cloud, p_q, initial.translation, 1.0, 10.0, 40.0)
+        g_d, c_d = match_gn_2d_probability(deq, cloud, p_d, initial.translation, 1.0, 10.0, 40.0)
+        np.testing.assert_allclose(np.asarray(g_q.translation), np.asarray(g_d.translation), atol=1e-6)
