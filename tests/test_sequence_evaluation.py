@@ -65,3 +65,68 @@ def test_sequence_dir_evaluation_produces_ate(sequence_dir, tmp_path, capsys):
     assert "Abs translational error" in out
     abs_err = float(out.split("Abs translational error")[1].split("+/-")[0])
     assert abs_err < 0.05
+
+
+@pytest.fixture(scope="module")
+def sequence_dir_3d(tmp_path_factory):
+    """Recorded 3D sequence: PLY scans + imu.csv/odometry.csv/mocap.csv —
+    the DRZ-shaped input for the CT pipeline (--use_3d)."""
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+    from hectorgrapher_tpu.transform import np_quat as nq
+
+    path = tmp_path_factory.mktemp("seq3d")
+    rng = np.random.default_rng(11)
+    gravity = np.array([0.0, 0.0, 9.80665])
+
+    def gt(t, speed=0.25, rest=0.6):
+        return np.array([speed * max(0.0, t - rest), 0.0, 0.0])
+
+    imu_rows, odom_rows, mocap_rows = [], [], []
+    t, dt_imu, next_odom, next_scan = 0.0, 0.01, 0.0, 0.05
+    while t <= 2.4:
+        accel = gravity  # level drive: gravity only, zero gyro
+        imu_rows.append([t, accel[0], accel[1], accel[2], 0, 0, 0])
+        if t >= next_odom:
+            p = gt(t) + rng.normal(0, 0.002, 3)
+            odom_rows.append([t, p[0], p[1], p[2], 1, 0, 0, 0])
+            next_odom += 0.05
+        if t >= next_scan:
+            pts = raycast_box_room_3d(
+                gt(t), nq.quat_identity(), num_azimuth=96, num_elevation=24,
+                noise_std=0.004, rng=rng,
+            )
+            pts = pts[~np.isnan(pts[:, 0])].astype(np.float32)
+            write_ply(str(path / f"scan_{t:0.3f}.ply"), pts)
+            mocap_rows.append([t] + list(gt(t)) + [1, 0, 0, 0])
+            next_scan += 0.1
+        t = round(t + dt_imu, 6)
+    np.savetxt(path / "imu.csv", imu_rows, delimiter=",")
+    np.savetxt(path / "odometry.csv", odom_rows, delimiter=",")
+    np.savetxt(path / "mocap.csv", mocap_rows, delimiter=",")
+    return str(path)
+
+
+def test_sequence_dir_evaluation_3d_ct(sequence_dir_3d, capsys):
+    """File-driven 3D continuous-time SLAM end-to-end: the recorded
+    sequence drives the CT pipeline through the same CLI a DRZ run uses."""
+    rc = cli_main(
+        [
+            "mapping-evaluation",
+            "--sequence_dir", sequence_dir_3d,
+            "--use_3d",
+            "--config_overrides", 'trajectory_builder_3d.submaps.high_grid_size=96',
+            "--config_overrides", 'trajectory_builder_3d.submaps.low_grid_size=48',
+            "--config_overrides", 'trajectory_builder_3d.submaps.num_range_data=8',
+            "--config_overrides", 'trajectory_builder_3d.submaps.grid_type="TSDF"',
+            "--config_overrides", 'trajectory_builder_3d.motion_filter.max_distance_meters=0.02',
+            "--config_overrides", 'trajectory_builder_3d.motion_filter.max_time_seconds=0.05',
+            "--config_overrides", 'trajectory_builder_3d.optimizing_local_trajectory_builder.initialization_duration=0.45',
+            "--config_overrides", 'trajectory_builder_3d.optimizing_local_trajectory_builder.points_per_cloud=256',
+            "--config_overrides", 'pose_graph.optimize_every_n_nodes=0',
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "ATE RMSE" in out, out
+    rmse = float(out.split("ATE RMSE:")[1].split("m")[0])
+    assert rmse < 0.15, out
