@@ -124,13 +124,16 @@ def bench_scan_matcher():
     out = step()
     jax.block_until_ready(out)
 
+    # Min of 3 timing loops: one tunnel hiccup must not tax the record.
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step()
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def bench_ct_window():
@@ -143,12 +146,14 @@ def bench_ct_window():
     out = jit_step(*args)
     jax.block_until_ready(out)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jit_step(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return iters / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jit_step(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return iters / best
 
 
 def bench_ct_window_batched(batch: int = 8):
@@ -175,12 +180,14 @@ def bench_ct_window_batched(batch: int = 8):
     out = step(his, los, probs, states, weights)
     jax.block_until_ready(out)
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(his, los, probs, states, weights)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(his, los, probs, states, weights)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def bench_spa():

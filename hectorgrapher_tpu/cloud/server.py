@@ -316,7 +316,13 @@ class MapBuilderServer:
 
     def _handle_get_submap(self, request):
         """(ref: get_submap_handler.cc / SubmapQuery — returns the submap's
-        global pose + grid payload; 3D submaps return both resolutions)."""
+        global pose + grid payload; 3D submaps return both resolutions).
+
+        Grid references are snapshotted under the lock but the device-to-
+        host transfer + packing happen OUTSIDE it — a full-grid D2H copy
+        under pg._lock would stall the SLAM threads for the whole RPC.
+        Grids are immutable arrays (inserters replace, never mutate), so
+        the snapshot stays consistent."""
         from hectorgrapher_tpu.cloud.local_slam_result import _pack_grid
 
         pg = self.map_builder.pose_graph
@@ -334,15 +340,15 @@ class MapBuilderServer:
                 "global_rotation": s.global_pose.q,
             }
             if hasattr(s.submap, "grid"):
-                out["grid"] = _pack_grid(s.submap.grid, include_arrays=True)
+                grids = {"grid": s.submap.grid}
             else:
-                out["high_resolution_grid"] = _pack_grid(
-                    s.submap.high_resolution_grid, include_arrays=True
-                )
-                out["low_resolution_grid"] = _pack_grid(
-                    s.submap.low_resolution_grid, include_arrays=True
-                )
-            return out
+                grids = {
+                    "high_resolution_grid": s.submap.high_resolution_grid,
+                    "low_resolution_grid": s.submap.low_resolution_grid,
+                }
+        for key, grid in grids.items():
+            out[key] = _pack_grid(grid, include_arrays=True)
+        return out
 
     def _handle_get_all_submap_poses(self, request):
         """(ref: get_all_submap_poses.cc)"""

@@ -137,9 +137,10 @@ class SubmapsOptions2D:
     range_data_inserter: RangeDataInserterOptions2D = _mkdefault(RangeDataInserterOptions2D)
     # TPU-native: submap grids are fixed-extent dense arrays (cells per side).
     grid_size: int = 512
-    # "float32" | "float16" | "bfloat16" | "uint16" (uint16 = reference-parity
-    # quantized storage, applied when a submap finishes; ref:
-    # probability_values.h:64-92, tsd_value_converter.h:33-73).
+    # "float32" | "uint16" (reference-parity quantized storage, applied when
+    # a submap finishes; ref: probability_values.h:64-92,
+    # tsd_value_converter.h:33-73). TSDF grids additionally accept
+    # "float16"/"bfloat16" active storage.
     grid_storage_dtype: str = "float32"
 
 

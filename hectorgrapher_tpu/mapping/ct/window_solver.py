@@ -405,26 +405,40 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
                 dval_dq = jnp.einsum("ni,nij->nj", dval_dworld, _dquat_rotate_dq(pose_q, pts))
                 dval_dpose7 = jnp.concatenate([dval_dworld, dval_dq], axis=-1)
                 J = jnp.einsum("ni,nik->nk", dval_dpose7, dpose7) * sm[:, None]
-                idx = jnp.concatenate(
-                    [
-                        prv_[:, None] * 9 + jnp.arange(9)[None, :],
-                        nxt_[:, None] * 9 + jnp.arange(9)[None, :],
-                    ],
-                    axis=1,
-                )
-                return J[:, None, :], (val * sm)[:, None], idx
+                return J, val * sm, prv_
 
             hi_scale = weights.high_resolution_grid_weight / jnp.sqrt(n_hi) * problem.cloud_mask
             lo_scale = weights.low_resolution_grid_weight / jnp.sqrt(n_lo) * problem.cloud_mask
-            hJ, hr, hidx = part(problem.hi_points, problem.hi_mask, hi_prv, hi_nxt, hi_f,
-                                prepared_hi, hi_scale)
-            lJ, lr, lidx = part(problem.lo_points, problem.lo_mask, lo_prv, lo_nxt, lo_f,
-                                prepared_lo, lo_scale)
-            return (
-                jnp.concatenate([hJ, lJ], axis=0),
-                jnp.concatenate([hr, lr], axis=0),
-                jnp.concatenate([hidx, lidx], axis=0),
+            outs = [
+                part(problem.hi_points, problem.hi_mask, hi_prv, hi_nxt, hi_f,
+                     prepared_hi, hi_scale),
+                part(problem.lo_points, problem.lo_mask, lo_prv, lo_nxt, lo_f,
+                     prepared_lo, lo_scale),
+            ]
+            # Pre-reduce by bracket pair (nxt == prv + 1 by construction):
+            # segment-summing the 18x18 outer products collapses N scalar
+            # blocks to K-1 pair blocks BEFORE the one-hot projection — at
+            # production per-point cardinality a per-block (N, 18, D)
+            # one-hot would be an O(points x tangent) HBM blowup.
+            k1 = problem.cp_times.shape[0] - 1
+            S = jnp.zeros((k1, 18, 18), jnp.float32)
+            gb = jnp.zeros((k1, 18), jnp.float32)
+            cost = 0.0
+            for J, r, seg in outs:
+                S = S + jax.ops.segment_sum(
+                    J[:, :, None] * J[:, None, :], seg, num_segments=k1
+                )
+                gb = gb + jax.ops.segment_sum(J * r[:, None], seg, num_segments=k1)
+                cost = cost + 0.5 * jnp.sum(r * r)
+            pairs = jnp.arange(k1)
+            idx = jnp.concatenate(
+                [
+                    (pairs * 9)[:, None] + jnp.arange(9)[None, :],
+                    ((pairs + 1) * 9)[:, None] + jnp.arange(9)[None, :],
+                ],
+                axis=1,
             )
+            return S, gb, cost, idx
 
     else:
         point_scan_block = None
@@ -581,16 +595,25 @@ def solve_ct_window_block(
         JtJ = jnp.zeros((D, D), jnp.float32)
         g = jnp.zeros((D,), jnp.float32)
         cost = 0.0
-        for J, r, idx in (scan_block(state), pair_block(state)):
+        for fam in (scan_block(state), pair_block(state)):
             # Dense one-hot projection instead of scatter-add: E maps each
             # block's 18-dim tangent into the D-dim layout; JtJ += E^T S E
             # runs on the MXU and vmaps cleanly (batched scatters serialize,
             # which wrecked solve_ct_window_batched at larger batches).
+            # Families come either raw (J, r, idx) or pre-reduced
+            # (S, g_blk, cost_blk, idx) — the per-point family segment-sums
+            # its scalar blocks into K-1 pair blocks first.
+            if len(fam) == 4:
+                S, gb, cb, idx = fam
+            else:
+                J, r, idx = fam
+                S = jnp.einsum("cri,crj->cij", J, J)
+                gb = jnp.einsum("cri,cr->ci", J, r)
+                cb = 0.5 * jnp.sum(r * r)
             E = (idx[:, :, None] == jnp.arange(D)[None, None, :]).astype(jnp.float32)
-            S = jnp.einsum("cri,crj->cij", J, J)
             JtJ = JtJ + jnp.einsum("cid,cij,cje->de", E, S, E)
-            g = g + jnp.einsum("cid,cri,cr->d", E, J, r)
-            cost = cost + 0.5 * jnp.sum(r * r)
+            g = g + jnp.einsum("cid,ci->d", E, gb)
+            cost = cost + cb
         return JtJ, g, cost
 
     def cost_of(state):

@@ -234,24 +234,27 @@ class PoseGraphBase:
             return dict(self._trajectory_states)
 
     def delete_trajectory(self, trajectory_id: int) -> None:
-        """Remove a trajectory's submaps/nodes/constraints from the graph
-        (ref: pose_graph_2d/3d.cc DeleteTrajectory — the trajectory is
-        marked DELETED and its data trimmed on the work queue)."""
+        """Remove a trajectory's submaps/nodes/constraints and per-
+        trajectory sensor buffers from the graph (ref: pose_graph_2d/3d.cc
+        DeleteTrajectory — the trajectory is marked DELETED and its data
+        trimmed on the work queue).
+
+        Holds _opt_lock for the whole operation: a concurrent optimization
+        round's trimmer would remap the positional indices between our
+        index snapshot and the trim."""
         from hectorgrapher_tpu.mapping.pose_graph.trimmers import trim_submaps
 
         self.wait_for_all_computations()
-        with self._lock:
+        with self._opt_lock, self._lock:
             self._trajectory_states[trajectory_id] = TrajectoryState.DELETED
             own = {
                 i for i, s in enumerate(self.submaps) if s.trajectory_id == trajectory_id
             }
-        if own:
-            with self._lock:
+            if own:
                 trim_submaps(self, own)
-        # Nodes of the trajectory that survived (kept alive by constraints
-        # to other trajectories' submaps are already gone with those
-        # constraints; any unconstrained leftovers are dropped here).
-        with self._lock:
+            # Nodes of the trajectory that survived (kept alive by
+            # constraints to other trajectories' submaps are already gone
+            # with those constraints; unconstrained leftovers drop here).
             keep = [i for i, n in enumerate(self.nodes) if n.trajectory_id != trajectory_id]
             if len(keep) != len(self.nodes):
                 node_remap = {old: new for new, old in enumerate(keep)}
@@ -264,16 +267,49 @@ class PoseGraphBase:
                 self._node_index_by_id = {
                     n.node_id: i for i, n in enumerate(self.nodes)
                 }
+            # Per-trajectory sensor state must go with the trajectory:
+            # stale landmark observations would otherwise re-bind to other
+            # trajectories' nodes in later solves.
+            for attr in ("_odometry", "_fixed_frame", "_imu"):
+                buf = getattr(self, attr, None)
+                if isinstance(buf, dict):
+                    buf.pop(trajectory_id, None)
+            obs = getattr(self, "_landmark_observations", None)
+            if obs is not None:
+                self._landmark_observations = [
+                    o for o in obs if o["trajectory_id"] != trajectory_id
+                ]
 
     def set_landmark_pose(self, landmark_id: str, global_pose) -> None:
-        """Seed/override a landmark's global pose (ref: pose_graph
-        SetLandmarkPose — the provided pose replaces the optimizer's
-        estimate and seeds subsequent solves)."""
+        """Set a landmark's global pose (ref: pose_graph SetLandmarkPose —
+        the provided pose replaces the current estimate and seeds the next
+        solve, which may refine it; _build_extras consumes the override as
+        the landmark's initialization and _run_optimization drops it once
+        an optimized estimate exists)."""
         with self._lock:
             self._landmark_pose_overrides[landmark_id] = global_pose
             ids = getattr(self, "_landmark_ids", None)
             if ids is not None and landmark_id not in ids:
                 ids[landmark_id] = len(ids)
+
+    def landmark_poses(self) -> Dict[str, NpRigid3]:
+        """Current landmark estimates: optimized poses, with client
+        overrides (set_landmark_pose) shadowing until the next solve
+        consumes them as seeds."""
+        with self._lock:
+            out = dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
+            out.update(self._landmark_pose_overrides)
+            return out
+
+    def _consume_landmark_overrides(self, optimized_ids) -> None:
+        """Drop overrides whose landmark was just optimized (the seed has
+        been consumed; the refined estimate takes over). Caller context:
+        end of _run_optimization."""
+        with self._lock:
+            for name in list(self._landmark_pose_overrides):
+                ids = getattr(self, "_landmark_ids", {})
+                if ids.get(name) in optimized_ids:
+                    self._landmark_pose_overrides.pop(name)
 
     def add_global_slam_optimization_callback(self, callback) -> None:
         """callback(num_optimizations) runs after every optimization round
@@ -579,12 +615,6 @@ class PoseGraph2D(PoseGraphBase):
                  rotation_weight=rotation_weight)
         )
 
-    def landmark_poses(self) -> Dict[str, NpRigid3]:
-        out = dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
-        for name, pose in self._landmark_pose_overrides.items():
-            out[name] = pose
-        return out
-
     def _lookup_buffer(self, buf, time: float) -> Optional[NpRigid3]:
         if not buf or time < buf[0][0] or time > buf[-1][0]:
             return None
@@ -667,14 +697,28 @@ class PoseGraph2D(PoseGraphBase):
             lm_node = np.zeros(O, np.int32); lm_index = np.zeros(O, np.int32)
             lm_mask = np.zeros(O, bool); lm_rel = np.zeros((O, 3), np.float32)
             lm_wt = np.zeros(O, np.float32); lm_wr = np.zeros(O, np.float32)
-            node_times = [n.time for n in nodes]
+            # Observations bind to the nearest node OF THEIR TRAJECTORY
+            # (ref: optimization_problem_2d.cc landmark node interpolation
+            # is per trajectory); a global nearest-in-time would attach
+            # another trajectory's motion to the landmark.
+            by_traj: Dict[int, Tuple[list, list]] = {}
+            for i, n in enumerate(nodes):
+                by_traj.setdefault(n.trajectory_id, ([], []))[0].append(n.time)
+                by_traj[n.trajectory_id][1].append(i)
             lm_init: Dict[int, np.ndarray] = {}
+            for name, pose in self._landmark_pose_overrides.items():
+                li = self._landmark_ids.get(name)
+                if li is not None:
+                    lm_init[li] = _pose2_of(pose)
             count = 0
             for obs in self._landmark_observations:
                 if count >= O:
                     break
-                j = int(np.searchsorted(node_times, obs["time"]))
-                j = min(max(j - 1, 0), len(nodes) - 1)
+                times_t, idx_t = by_traj.get(obs["trajectory_id"], (None, None))
+                if times_t is None:
+                    continue
+                j = int(np.searchsorted(times_t, obs["time"]))
+                j = idx_t[min(max(j - 1, 0), len(idx_t) - 1)]
                 lm_node[count] = j
                 lm_index[count] = obs["landmark_index"]
                 lm_mask[count] = True
@@ -850,6 +894,7 @@ class PoseGraph2D(PoseGraphBase):
                 name: _rigid_of_pose2(np.asarray(lm_out)[idx])
                 for name, idx in self._landmark_ids.items()
             }
+            self._consume_landmark_overrides(set(self._landmark_ids.values()))
         else:
             sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
         sub_out = np.asarray(sub_out)
@@ -913,12 +958,6 @@ class PoseGraph3D(PoseGraphBase):
                 rotation_weight=rotation_weight,
             )
         )
-
-    def landmark_poses(self) -> Dict[str, NpRigid3]:
-        out = dict(self._landmark_poses) if hasattr(self, "_landmark_poses") else {}
-        for name, pose in self._landmark_pose_overrides.items():
-            out[name] = pose
-        return out
 
     def _lookup_buffer(self, buf: List[Tuple[float, NpRigid3]], time: float) -> Optional[NpRigid3]:
         if not buf or time < buf[0][0] or time > buf[-1][0]:
@@ -1126,12 +1165,25 @@ class PoseGraph3D(PoseGraphBase):
             lm_rq = np.tile(np.array([1, 0, 0, 0], np.float32), (O, 1))
             lm_wt = np.zeros(O, np.float32)
             lm_wr = np.zeros(O, np.float32)
-            node_times = [n.time for n in nodes]
+            # Per-trajectory node binding + override seeding (see the 2D
+            # variant; ref: optimization_problem_3d.cc landmark nodes are
+            # interpolated within the observation's own trajectory).
+            by_traj: Dict[int, Tuple[list, list]] = {}
+            for i, n in enumerate(nodes):
+                by_traj.setdefault(n.trajectory_id, ([], []))[0].append(n.time)
+                by_traj[n.trajectory_id][1].append(i)
             count = 0
             lm_init: Dict[int, NpRigid3] = {}
+            for name, pose in self._landmark_pose_overrides.items():
+                li = self._landmark_ids.get(name)
+                if li is not None:
+                    lm_init[li] = pose
             for obs in self._landmark_observations:
-                j = int(np.searchsorted(node_times, obs["time"]))
-                j = min(max(j - 1, 0), len(nodes) - 1)
+                times_t, idx_t = by_traj.get(obs["trajectory_id"], (None, None))
+                if times_t is None:
+                    continue
+                j = int(np.searchsorted(times_t, obs["time"]))
+                j = idx_t[min(max(j - 1, 0), len(idx_t) - 1)]
                 if count >= O:
                     break
                 lm_node[count] = j
@@ -1309,6 +1361,7 @@ class PoseGraph3D(PoseGraphBase):
                 )
                 for name, idx in self._landmark_ids.items()
             }
+            self._consume_landmark_overrides(set(self._landmark_ids.values()))
         else:
             st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
         st_o, sq_o = np.asarray(st_o), np.asarray(sq_o)

@@ -105,13 +105,25 @@ class ActiveSubmaps2D:
         size = options.grid_size
         grid_type = options.grid_options_2d.grid_type
         ins_opts = options.range_data_inserter
+        storage_name = getattr(options, "grid_storage_dtype", "float32")
+        if grid_type != "TSDF" and storage_name in ("float16", "bfloat16"):
+            # Probability grids store f32 log-odds + bool mask; a silent
+            # no-op here would fake the documented memory saving.
+            raise ValueError(
+                f"grid_storage_dtype={storage_name!r} is only supported for TSDF "
+                "grids (use 'uint16' for quantize-on-finish of probability grids)"
+            )
         if grid_type == "TSDF":
+            from hectorgrapher_tpu.mapping.grids import STORAGE_DTYPES
+
+            storage = STORAGE_DTYPES["float32" if self._quantize_on_finish else storage_name]
             tsdf_opts = ins_opts.tsdf_range_data_inserter
             self._make_grid = lambda: make_tsdf_grid(
                 resolution,
                 (size, size),
                 truncation_distance=tsdf_opts.truncation_distance,
                 max_weight=tsdf_opts.maximum_weight,
+                dtype=storage,
             )
             self._inserter = make_tsdf_inserter_2d(tsdf_opts, resolution)
         else:

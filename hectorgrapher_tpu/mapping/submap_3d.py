@@ -85,6 +85,11 @@ class ActiveSubmaps3D:
         storage_name = getattr(options, "grid_storage_dtype", "float32")
         # uint16 quantizes on finish; active grids compute in f32.
         self._quantize_on_finish = storage_name == "uint16"
+        if not self._is_tsdf and storage_name in ("float16", "bfloat16"):
+            raise ValueError(
+                f"grid_storage_dtype={storage_name!r} is only supported for TSDF "
+                "grids (use 'uint16' for quantize-on-finish of probability grids)"
+            )
         storage = STORAGE_DTYPES["float32" if self._quantize_on_finish else storage_name]
         if self._is_tsdf:
             hi_t = hi_opts.tsdf_range_data_inserter

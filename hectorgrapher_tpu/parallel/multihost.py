@@ -63,6 +63,11 @@ def local_device_slice(global_batch: int) -> slice:
     """The rows of a leading batch axis this host feeds (hosts supply
     per-host data for globally-sharded arrays via
     jax.make_array_from_process_local_data or equivalent)."""
+    if global_batch % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count "
+            f"{jax.process_count()} — pad the batch (rows would be silently dropped)"
+        )
     per = global_batch // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)

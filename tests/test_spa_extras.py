@@ -159,3 +159,74 @@ def test_imu_rotation_residuals_constrain_orientation():
     for i in range(N):
         dot = abs(float(np.sum(nqr[i] * gt_q[i])))
         assert dot > 0.9995, f"node {i} rotation error: dot {dot}"
+
+
+def test_set_landmark_pose_seeds_solve_then_yields_to_estimate():
+    """set_landmark_pose seeds the next optimization (lm_init override)
+    and is consumed by it: afterwards landmark_poses() returns the
+    OPTIMIZED estimate, not the stale client pose (ref: pose_graph
+    SetLandmarkPose semantics; code-review r2 finding)."""
+    import numpy as np
+
+    from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
+    from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+    from hectorgrapher_tpu.transform import np_quat as nq
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    options = replace_deep(
+        MapBuilderOptions(),
+        {
+            "use_trajectory_builder_2d": True,
+            "pose_graph.optimize_every_n_nodes": 0,
+        },
+    )
+    mb = MapBuilder(options)
+    pg = mb.pose_graph
+    pg.register_trajectory(0)
+    # Hand-build two nodes + a landmark observed from both.
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PgNode
+
+    for i in range(2):
+        node = PgNode(
+            time=float(i),
+            local_pose=NpRigid3(np.array([i * 1.0, 0, 0])),
+            global_pose=NpRigid3(np.array([i * 1.0, 0, 0])),
+            trajectory_id=0,
+            node_id=i,
+        )
+        pg.nodes.append(node)
+        pg._node_index_by_id[i] = i
+        pg.add_landmark_data(
+            0, float(i), "lm", NpRigid3(np.array([0.5, 1.0 - i * 1.0, 0.0])), 10.0, 10.0
+        )
+    # Minimal graph so the optimization actually runs: one submap + INTRA
+    # constraints anchoring both nodes.
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import Constraint, PgSubmap
+
+    class _FakeSubmap:
+        local_pose = NpRigid3(np.zeros(3))
+        num_range_data = 2
+        insertion_finished = False
+
+    pg.submaps.append(
+        PgSubmap(submap=_FakeSubmap(), global_pose=NpRigid3(np.zeros(3)), trajectory_id=0, submap_id=0)
+    )
+    pg._submap_index_by_id[0] = 0
+    for i in range(2):
+        pg.constraints.append(
+            Constraint(
+                submap_index=0,
+                node_index=i,
+                zbar=NpRigid3(np.array([i * 1.0, 0, 0])),
+                translation_weight=100.0,
+                rotation_weight=100.0,
+                tag="INTRA",
+            )
+        )
+    # Client seed far from the observations' implied position (~(0.5, 1)).
+    pg.set_landmark_pose("lm", NpRigid3(np.array([100.0, 100.0, 0.0])))
+    assert np.allclose(pg.landmark_poses()["lm"].t[:2], [100.0, 100.0])
+    pg.run_final_optimization()
+    lm = pg.landmark_poses()["lm"]
+    # Override consumed: the estimate reflects the observations again.
+    assert np.linalg.norm(lm.t[:2] - np.array([0.5, 1.0])) < 1.0, lm.t
