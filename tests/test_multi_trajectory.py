@@ -90,3 +90,34 @@ def test_second_trajectory_globally_localizes():
     # Nodes added after the first cross-constraint must be well localized.
     assert min(errs) < 0.15, f"localization errors {errs}"
     assert errs[-1] < 0.2, f"final node error {errs[-1]}"
+
+
+def test_delete_trajectory_keeps_other_trajectory_intact():
+    """DeleteTrajectory removes one trajectory's submaps/nodes/constraints
+    and sensor buffers while the survivor keeps optimizing
+    (ref: pose_graph DeleteTrajectory; r2 code-review lifecycle fixes)."""
+    mb = MapBuilder(make_options())
+    rng = np.random.default_rng(3)
+    tid0 = mb.add_trajectory_builder()
+    tid1 = mb.add_trajectory_builder()
+    drive(mb.get_trajectory_builder(tid0), np.linspace(0.0, 0.8, 9), 0.0, rng)
+    drive(mb.get_trajectory_builder(tid1), np.linspace(0.1, 0.9, 9), 10.0, rng)
+    pg = mb.pose_graph
+    pg.wait_for_all_computations()
+    assert any(n.trajectory_id == tid0 for n in pg.nodes)
+    assert any(n.trajectory_id == tid1 for n in pg.nodes)
+    n_t1_nodes = sum(1 for n in pg.nodes if n.trajectory_id == tid1)
+
+    mb.delete_trajectory(tid0)
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import TrajectoryState
+
+    assert pg.trajectory_states()[tid0] == TrajectoryState.DELETED
+    assert all(n.trajectory_id == tid1 for n in pg.nodes)
+    assert all(s.trajectory_id == tid1 for s in pg.submaps)
+    assert len(pg.nodes) <= n_t1_nodes
+    # Constraint indices stay consistent and optimization still runs.
+    for c in pg.constraints:
+        assert 0 <= c.node_index < len(pg.nodes)
+        assert 0 <= c.submap_index < len(pg.submaps)
+    pg.run_final_optimization()
+    assert all(np.isfinite(n.global_pose.t).all() for n in pg.nodes)
