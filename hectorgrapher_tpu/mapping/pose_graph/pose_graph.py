@@ -104,6 +104,27 @@ class PgSubmap:
     submap_id: int = -1
 
 
+_SCORE_HISTOGRAMS: Dict[str, object] = {}
+
+
+def _observe_constraint_score(kind: str, score: float) -> None:
+    """Loop-closure matcher score histograms (ref: constraint_builder_
+    {2d,3d}.cc:303-315 — the reference logs score histograms after every
+    constraint round; here they land in the metrics registry and the
+    Prometheus endpoint)."""
+    from hectorgrapher_tpu.common.profiling import global_factory
+
+    h = _SCORE_HISTOGRAMS.get(kind)
+    if h is None:
+        h = global_factory().new_histogram_family(
+            f"pose_graph_constraint_scores_{kind}",
+            "loop-closure matcher scores (found + rejected candidates)",
+            boundaries=[i / 20.0 for i in range(1, 21)],
+        ).add({})
+        _SCORE_HISTOGRAMS[kind] = h
+    h.observe(score)
+
+
 class _SamplerState:
     """(ref: common/fixed_ratio_sampler.h FixedRatioSampler)"""
 
@@ -805,6 +826,7 @@ class PoseGraph2D(PoseGraphBase):
             min_score = cb.min_score
         fast, gn_prepared = self._submap_matcher(pg_submap, config.depth)
         score, pose = match_fast_2d_prepared(fast, node.cloud, initial, config)
+        _observe_constraint_score("global" if global_search else "local", float(score))
         if float(score) < min_score:
             return None
 
@@ -1256,6 +1278,7 @@ class PoseGraph3D(PoseGraphBase):
         )
         fc = cb.fast_correlative_scan_matcher_3d
         min_score = cb.global_localization_min_score if global_search else cb.min_score
+        _observe_constraint_score("global" if global_search else "local", float(score))
         if float(score) < min_score:
             return None
         if float(low_score) < fc.min_low_resolution_score:
