@@ -24,6 +24,14 @@ def test_spa_converges_at_5k_nodes_500_submaps_20k_constraints():
     problem, t_gt, s_gt = make_scale_spa_problem(
         num_nodes=5000, num_submaps=500, num_constraints=20000, noise=0.5, seed=0
     )
+
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            return next(
+                int(line.split()[1]) for line in f if line.startswith("VmRSS:")
+            ) / 1024
+
+    rss_before = _rss_mb()
     t0 = time.perf_counter()
     st, sq, nt, nq, cost = jax.block_until_ready(solve_spa_3d(problem, num_iterations=10))
     wall = time.perf_counter() - t0
@@ -36,16 +44,14 @@ def test_spa_converges_at_5k_nodes_500_submaps_20k_constraints():
     assert float(cost) < 1.0
 
     # Memory guard: the CG path's footprint is O(C*6*12 + (S+N)*36) —
-    # no (S, N) coupling tensor — and must stay far under a chip budget.
-    # Current RSS, not ru_maxrss: the latter is the process-wide high-water
-    # mark and reflects every test that ran before this one in a full run.
-    with open("/proc/self/status") as f:
-        vmrss_kb = next(
-            int(line.split()[1]) for line in f if line.startswith("VmRSS:")
-        )
-    rss_mb = vmrss_kb / 1024
+    # no (S, N) coupling tensor. Measure the DELTA across the solve: the
+    # absolute RSS of a long pytest process accumulates allocator caches
+    # from every earlier test (a full-suite run carries ~8 GB of residue),
+    # while the Schur-path regression this guards against would add ~9.5 GB
+    # HERE.
+    rss_delta = _rss_mb() - rss_before
     print(
         f"spa-scale: N=5000 S=500 C=20000 solve {wall:.1f}s "
-        f"(incl. compile) RSS after solve {rss_mb:.0f} MB"
+        f"(incl. compile) RSS delta {rss_delta:.0f} MB"
     )
-    assert rss_mb < 8192, rss_mb
+    assert rss_delta < 4096, rss_delta
