@@ -19,7 +19,7 @@ from __future__ import annotations
 import functools
 
 import jax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window_batched
@@ -69,5 +69,7 @@ def solve_ct_windows_sharded(
             sharded,
             sharded,
         ),
-        check_rep=False,
+        # The LM while_loop's early-termination carry becomes device-varying
+        # mid-loop; vma checking would reject it (it is genuinely per-shard).
+        check_vma=False,
     )(high_grids, low_grids, problems, states0, weights)
