@@ -193,3 +193,223 @@ def sharded_fast_matches_2d(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 3D: the reference's actual fan-out workload
+# (ref: constraint_builder_3d.cc:162-189 — one thread-pool task per
+# (node, finished submap) candidate with per-submap matcher-construction
+# dependency tasks; here every candidate of a round is one sharded launch,
+# submaps partitioned across the mesh.)
+# ---------------------------------------------------------------------------
+
+from hectorgrapher_tpu.mapping.grids import ProbabilityGrid
+from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+    FastSearch3DConfig,
+    match_fast_3d,
+)
+from hectorgrapher_tpu.mapping.scan_matching.rotational_histogram import match_histograms
+from hectorgrapher_tpu.transform.rigid import Rigid3
+
+
+class CandidateBatch3D(NamedTuple):
+    hi_positions: jax.Array  # (C_pad, N, 3)
+    hi_mask: jax.Array  # (C_pad, N)
+    lo_positions: jax.Array  # (C_pad, Nl, 3)
+    lo_mask: jax.Array  # (C_pad, Nl)
+    init_translation: jax.Array  # (C_pad, 3)
+    init_rotation: jax.Array  # (C_pad, 4)
+    scan_histogram: jax.Array  # (C_pad, H)
+    initial_yaw: jax.Array  # (C_pad,)
+    submap_slot: jax.Array  # (C_pad,) int32 local slot on the owning device
+    valid: jax.Array  # (C_pad,) bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "mesh", "grid_shape", "low_shape", "use_rotational", "axis"),
+)
+def _sharded_scores_3d(
+    pyramids: jax.Array,  # (S_pad, depth, F) sharded over submaps
+    hi_min_corners: jax.Array,  # (S_pad, 3)
+    low_fields: jax.Array,  # (S_pad, lx, ly, lz)
+    lo_min_corners: jax.Array,  # (S_pad, 3)
+    histograms: jax.Array,  # (S_pad, H)
+    hi_resolution: jax.Array,
+    lo_resolution: jax.Array,
+    batch: CandidateBatch3D,
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    grid_shape,
+    low_shape,
+    use_rotational: bool,
+    axis: str = "graph",
+):
+    n_yaw = 2 * config.num_yaw + 1
+    yaws = (jnp.arange(n_yaw, dtype=jnp.float32) - config.num_yaw) * config.yaw_step
+
+    def device_fn(pyr, hmc, low, lmc, hist, hp, hm, lp, lm, it, iq, sh, iy, cs, cv):
+        def one(hp1, hm1, lp1, lm1, it1, iq1, sh1, iy1, s1):
+            yaw_scores = match_histograms(hist[s1], sh1, yaws + iy1)
+            if not use_rotational:
+                yaw_scores = jnp.ones_like(yaw_scores)
+            elif n_yaw > 16:
+                # Beam-search yaw restriction (see FastCorrelativeScanMatcher3D._run).
+                kth = jnp.sort(yaw_scores)[-16]
+                yaw_scores = jnp.where(yaw_scores >= kth, yaw_scores, -1.0)
+            score, low_score, rot_score, pose = match_fast_3d(
+                pyr[s1],
+                GridMeta(resolution=hi_resolution, min_corner=hmc[s1]),
+                grid_shape,
+                low[s1],
+                GridMeta(resolution=lo_resolution, min_corner=lmc[s1]),
+                PointCloud(hp1, hm1),
+                PointCloud(lp1, lm1),
+                Rigid3(translation=it1, rotation=iq1),
+                yaw_scores,
+                config,
+            )
+            return score, low_score, pose.translation, pose.rotation
+
+        sc, lsc, pt, pq = jax.vmap(one)(hp, hm, lp, lm, it, iq, sh, iy, cs)
+        return jnp.where(cv, sc, -jnp.inf), lsc, pt, pq
+
+    spec = P(axis)
+    return jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(spec,) * 15,
+        out_specs=(spec, spec, spec, spec),
+    )(
+        pyramids, hi_min_corners, low_fields, lo_min_corners, histograms,
+        batch.hi_positions, batch.hi_mask, batch.lo_positions, batch.lo_mask,
+        batch.init_translation, batch.init_rotation, batch.scan_histogram,
+        batch.initial_yaw, batch.submap_slot, batch.valid,
+    )
+
+
+def sharded_fast_matches_3d(
+    matchers,  # Sequence[FastCorrelativeScanMatcher3D] (same grid shapes)
+    candidates,  # [(submap_index, hi_cloud, lo_cloud, scan_histogram, initial_pose(Rigid3), initial_yaw)]
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+):
+    """Score every 3D (node, finished submap) candidate of a constraint
+    round in ONE launch sharded over the mesh (submaps partitioned by id;
+    candidates routed to their submap's owner). Returns
+    [(score, low_score, Rigid3 pose)] in candidate order — the caller
+    applies the min_score / low-resolution gates and GN refinement exactly
+    as the single-device path does."""
+    n_dev = mesh.devices.size
+    if not candidates:
+        return []
+    depth, F = np.asarray(matchers[0]._pyramid_flat).shape
+    lshape = tuple(np.asarray(matchers[0]._low_scores).shape)
+    hgrid = matchers[0]._high_grid
+    gshape = tuple(
+        hgrid.tsd.shape if hasattr(hgrid, "tsd") else hgrid.log_odds.shape
+    )
+    H = np.asarray(matchers[0]._histogram).shape[0]
+    hi_res = float(np.asarray(hgrid.meta.resolution))
+    lo_res = float(np.asarray(matchers[0]._low_grid.meta.resolution))
+
+    s_count = len(matchers)
+    s_pad = ((s_count + n_dev - 1) // n_dev) * n_dev
+    s_per_dev = s_pad // n_dev
+    pyr = np.zeros((s_pad, depth, F), np.float32)
+    hmc = np.zeros((s_pad, 3), np.float32)
+    low = np.zeros((s_pad,) + lshape, np.float32)
+    lmc = np.zeros((s_pad, 3), np.float32)
+    hist = np.zeros((s_pad, H), np.float32)
+    for i, m in enumerate(matchers):
+        assert np.asarray(m._pyramid_flat).shape == (depth, F), "mixed pyramid shapes"
+        pyr[i] = np.asarray(m._pyramid_flat)
+        hmc[i] = np.asarray(m._high_grid.meta.min_corner)
+        low[i] = np.asarray(m._low_scores)
+        lmc[i] = np.asarray(m._low_grid.meta.min_corner)
+        hist[i] = np.asarray(m._histogram)
+
+    per_dev: List[List[int]] = [[] for _ in range(n_dev)]
+    for ci, cand in enumerate(candidates):
+        per_dev[cand[0] // s_per_dev].append(ci)
+    c_max = max(1, max(len(lst) for lst in per_dev))
+    c_pad = n_dev * c_max
+    n_hi = np.asarray(candidates[0][1].positions).shape[0]
+    n_lo = np.asarray(candidates[0][2].positions).shape[0]
+
+    hp = np.zeros((c_pad, n_hi, 3), np.float32)
+    hm = np.zeros((c_pad, n_hi), bool)
+    lp = np.zeros((c_pad, n_lo, 3), np.float32)
+    lm = np.zeros((c_pad, n_lo), bool)
+    it = np.zeros((c_pad, 3), np.float32)
+    iq = np.tile(np.array([1, 0, 0, 0], np.float32), (c_pad, 1))
+    sh = np.zeros((c_pad, H), np.float32)
+    iy = np.zeros(c_pad, np.float32)
+    cs = np.zeros(c_pad, np.int32)
+    cv = np.zeros(c_pad, bool)
+    slot_of_candidate = np.full(len(candidates), -1, np.int32)
+    for d, lst in enumerate(per_dev):
+        for k, ci in enumerate(lst):
+            row = d * c_max + k
+            si, hi_cloud, lo_cloud, scan_hist, init, init_yaw = candidates[ci]
+            hp[row] = np.asarray(hi_cloud.positions)
+            hm[row] = np.asarray(hi_cloud.mask)
+            lp[row] = np.asarray(lo_cloud.positions)
+            lm[row] = np.asarray(lo_cloud.mask)
+            it[row] = np.asarray(init.translation)
+            iq[row] = np.asarray(init.rotation)
+            sh[row] = np.asarray(scan_hist)
+            iy[row] = float(init_yaw)
+            cs[row] = si - d * s_per_dev
+            cv[row] = True
+            slot_of_candidate[ci] = row
+
+    sharding = NamedSharding(mesh, P(axis))
+    batch = CandidateBatch3D(
+        hi_positions=jax.device_put(hp, sharding),
+        hi_mask=jax.device_put(hm, sharding),
+        lo_positions=jax.device_put(lp, sharding),
+        lo_mask=jax.device_put(lm, sharding),
+        init_translation=jax.device_put(it, sharding),
+        init_rotation=jax.device_put(iq, sharding),
+        scan_histogram=jax.device_put(sh, sharding),
+        initial_yaw=jax.device_put(iy, sharding),
+        submap_slot=jax.device_put(cs, sharding),
+        valid=jax.device_put(cv, sharding),
+    )
+    scores, low_scores, pose_t, pose_q = _sharded_scores_3d(
+        jax.device_put(pyr, sharding),
+        jax.device_put(hmc, sharding),
+        jax.device_put(low, sharding),
+        jax.device_put(lmc, sharding),
+        jax.device_put(hist, sharding),
+        jnp.asarray(hi_res, jnp.float32),
+        jnp.asarray(lo_res, jnp.float32),
+        batch,
+        config,
+        mesh,
+        gshape,
+        lshape,
+        use_rotational,
+        axis,
+    )
+    scores = np.asarray(scores)
+    low_scores = np.asarray(low_scores)
+    pose_t = np.asarray(pose_t)
+    pose_q = np.asarray(pose_q)
+    out = []
+    for ci in range(len(candidates)):
+        row = slot_of_candidate[ci]
+        out.append(
+            (
+                float(scores[row]),
+                float(low_scores[row]),
+                Rigid3(
+                    translation=jnp.asarray(pose_t[row]),
+                    rotation=jnp.asarray(pose_q[row]),
+                ),
+            )
+        )
+    return out

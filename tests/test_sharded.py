@@ -224,3 +224,93 @@ def test_sharded_ct_windows_match_unsharded():
         np.asarray(out[0].translation), np.asarray(ref[0].translation), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), rtol=2e-4)
+
+
+def test_sharded_constraint_search_3d_matches_single_device():
+    """The 3D sharded candidate scoring equals the per-candidate matcher
+    (ref: constraint_builder_3d.cc:162-189 fan-out — here one launch over
+    the mesh, submaps partitioned by id)."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common.config import (
+        FastCorrelativeScanMatcherOptions3D,
+        TSDFRangeDataInserterOptions3D,
+    )
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+    from hectorgrapher_tpu.mapping.grids import make_tsdf_grid
+    from hectorgrapher_tpu.mapping.inserters_3d import make_tsdf_inserter_3d
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+        FastCorrelativeScanMatcher3D,
+        make_fast_search_3d_config,
+    )
+    from hectorgrapher_tpu.mapping.scan_matching.rotational_histogram import (
+        compute_histogram,
+    )
+    from hectorgrapher_tpu.parallel.constraint_search import sharded_fast_matches_3d
+    from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+    from hectorgrapher_tpu.sensor.voxel_filter import compact_cloud, voxel_filter
+    from hectorgrapher_tpu.transform import np_quat as nq
+    from hectorgrapher_tpu.transform.rigid import Rigid3
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("graph",))
+    options = FastCorrelativeScanMatcherOptions3D(
+        branch_and_bound_depth=4,
+        linear_xy_search_window=1.0,
+        linear_z_search_window=0.3,
+        angular_search_window=np.radians(15.0),
+        min_rotational_score=0.2,
+    )
+    ins_opts = TSDFRangeDataInserterOptions3D(
+        normal_computation_method="NONE", min_range=0.4, max_range=30.0
+    )
+    ins_hi = make_tsdf_inserter_3d(ins_opts, 0.15)
+    ins_lo = make_tsdf_inserter_3d(ins_opts, 0.45)
+
+    rng = np.random.default_rng(5)
+    matchers = []
+    clouds = []
+    for s in range(3):
+        hi = make_tsdf_grid(0.15, (64, 64, 32), truncation_distance=0.45, max_weight=1000.0)
+        lo = make_tsdf_grid(0.45, (24, 24, 12), truncation_distance=1.0, max_weight=1000.0)
+        center = np.array([0.3 * s, -0.2 * s, 0.0], np.float32)
+        pts = raycast_box_room_3d(
+            center, nq.quat_identity(), half_extents=(3.0 + 0.2 * s, 2.5, 1.2),
+            num_azimuth=96, num_elevation=20, noise_std=0.003, rng=rng,
+        )
+        pts = pts[~np.isnan(pts[:, 0])] + center
+        rd = RangeData(
+            origin=jnp.asarray(center, jnp.float32),
+            returns=pad_cloud(pts.astype(np.float32), 4096),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        hi = ins_hi(hi, rd)
+        lo = ins_lo(lo, rd)
+        hc = pad_cloud(pts.astype(np.float32), 4096)
+        hist = np.asarray(compute_histogram(hc.positions, hc.mask, 120))
+        matchers.append(FastCorrelativeScanMatcher3D(options, hi, lo, hist))
+        scan = compact_cloud(voxel_filter(pad_cloud(pts.astype(np.float32), 4096), 0.2), 512)
+        low_c = compact_cloud(voxel_filter(pad_cloud(pts.astype(np.float32), 4096), 0.45), 256)
+        scan_hist = compute_histogram(scan.positions, scan.mask, 120)
+        clouds.append((scan, low_c, scan_hist))
+
+    candidates = []
+    for s in range(3):
+        scan, low_c, scan_hist = clouds[s]
+        for _ in range(2):
+            candidates.append((s, scan, low_c, scan_hist, Rigid3.identity(), 0.0))
+
+    config = make_fast_search_3d_config(options, 0.15, 8.0, False, 256)
+    results = sharded_fast_matches_3d(matchers, candidates, config, mesh)
+    assert len(results) == len(candidates)
+    for (si, scan, low_c, scan_hist, init, iy), (score, low_score, pose) in zip(
+        candidates, results
+    ):
+        ref_score, ref_low, _, ref_pose = matchers[si].match(
+            init, scan, low_c, scan_hist, iy, max_scan_range=8.0, top_k=256
+        )
+        np.testing.assert_allclose(score, float(ref_score), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(low_score, float(ref_low), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(pose.translation), np.asarray(ref_pose.translation), atol=1e-5
+        )
+        assert score > 0.3
