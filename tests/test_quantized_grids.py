@@ -199,3 +199,92 @@ class TestMatchersOnQuantizedGrids:
         g_q, c_q = match_gn_2d_probability(q, cloud, p_q, initial.translation, 1.0, 10.0, 40.0)
         g_d, c_d = match_gn_2d_probability(deq, cloud, p_d, initial.translation, 1.0, 10.0, 40.0)
         np.testing.assert_allclose(np.asarray(g_q.translation), np.asarray(g_d.translation), atol=1e-6)
+
+
+class TestQuantized3D:
+    def test_finished_3d_submap_quantizes_and_matcher_accepts(self):
+        """3D quantize-on-finish: ActiveSubmaps3D with uint16 storage
+        quantizes both resolutions at finish; the loop-closure matcher and
+        the CT prep dequantize transparently."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from hectorgrapher_tpu.common.config import (
+            FastCorrelativeScanMatcherOptions3D,
+            SubmapsOptions3D,
+            replace_deep,
+        )
+        from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+            FastCorrelativeScanMatcher3D,
+        )
+        from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+            interp_tsdf_prepared,
+            prepare_grid_3d,
+        )
+        from hectorgrapher_tpu.mapping.scan_matching.rotational_histogram import (
+            compute_histogram,
+        )
+        from hectorgrapher_tpu.mapping.submap_3d import ActiveSubmaps3D
+        from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+        from hectorgrapher_tpu.sensor.voxel_filter import compact_cloud, voxel_filter
+        from hectorgrapher_tpu.transform import np_quat as nq
+        from hectorgrapher_tpu.transform.rigid import Rigid3
+
+        opts = replace_deep(
+            SubmapsOptions3D(),
+            {
+                "grid_type": "TSDF",
+                "num_range_data": 2,
+                "high_grid_size": 48,
+                "low_grid_size": 24,
+                "grid_storage_dtype": "uint16",
+            },
+        )
+        active = ActiveSubmaps3D(opts)
+        pts = raycast_box_room_3d(
+            np.zeros(3), nq.quat_identity(), half_extents=(2.0, 1.8, 1.0),
+            num_azimuth=64, num_elevation=12,
+        )
+        pts = pts[~np.isnan(pts[:, 0])]
+        rd = RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=pad_cloud(pts.astype(np.float32), 2048),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        hist = np.zeros(120, np.float32)
+        for _ in range(4):  # 2*num_range_data inserts -> first submap finishes
+            active.insert_data(rd, hist, np.zeros(3))
+        finished = [s for s in active.submaps if s.insertion_finished]
+        assert finished, "no finished 3D submap"
+        sub = finished[0]
+        assert sub.high_resolution_grid.tsd.dtype == jnp.uint16
+        assert sub.low_resolution_grid.tsd.dtype == jnp.uint16
+
+        # Loop-closure matcher accepts the quantized grids (dequantizes).
+        fc_opts = FastCorrelativeScanMatcherOptions3D(
+            branch_and_bound_depth=3,
+            linear_xy_search_window=0.5,
+            linear_z_search_window=0.3,
+            angular_search_window=np.radians(10.0),
+            min_rotational_score=0.1,
+        )
+        hc = pad_cloud(pts.astype(np.float32), 2048)
+        scan = compact_cloud(voxel_filter(hc, 0.3), 256)
+        low_c = compact_cloud(voxel_filter(hc, 0.6), 128)
+        scan_hist = compute_histogram(scan.positions, scan.mask, 120)
+        matcher = FastCorrelativeScanMatcher3D(
+            fc_opts, sub.high_resolution_grid, sub.low_resolution_grid,
+            np.asarray(compute_histogram(hc.positions, hc.mask, 120)),
+        )
+        score, low_score, _, pose = matcher.match(
+            Rigid3.identity(), scan, low_c, scan_hist, 0.0, max_scan_range=4.0, top_k=128
+        )
+        assert float(score) > 0.3
+        np.testing.assert_allclose(np.asarray(pose.translation), np.zeros(3), atol=0.2)
+
+        # CT interpolation prep dequantizes too.
+        prepared = prepare_grid_3d(sub.high_resolution_grid)
+        tsd, w = interp_tsdf_prepared(prepared, jnp.asarray(pts[:64], jnp.float32))
+        assert np.isfinite(np.asarray(tsd)).all()
+        assert float(jnp.max(w)) > 0.0
