@@ -15,9 +15,13 @@ import threading
 import time
 from typing import Dict, Optional
 
-from hectorgrapher_tpu.metrics.metrics import FamilyFactory
+from hectorgrapher_tpu.metrics.metrics import GLOBAL_FACTORY, FamilyFactory
 
-_factory = FamilyFactory()
+# ONE process-wide registry: everything registered here (section
+# histograms, clip counters, constraint-score histograms, ...) is what
+# the Prometheus endpoint serves (metrics/http_exporter.py defaults to
+# GLOBAL_FACTORY — a second registry here would leave /metrics empty).
+_factory = GLOBAL_FACTORY
 _sections = _factory.new_histogram_family(
     "hg_section_seconds",
     "Wall time per instrumented section",

@@ -643,10 +643,27 @@ def cmd_map_builder_server(args) -> int:
     from hectorgrapher_tpu.cloud.server import MapBuilderServer
     from hectorgrapher_tpu.mapping.map_builder import MapBuilder
 
-    options = cfg.replace_deep(
-        cfg.MapBuilderOptions(),
-        {"use_trajectory_builder_2d": not args.use_3d, "use_trajectory_builder_3d": args.use_3d},
-    )
+    if args.configuration_basename:
+        # (ref: map_builder_server_main.cc:28-34 — -configuration_directory
+        # + -configuration_basename load the Lua options.)
+        from hectorgrapher_tpu.common.lua_config import load_map_builder_options
+
+        dirs = args.configuration_directory or [
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "configuration_files")
+        ]
+        options = load_map_builder_options(args.configuration_basename, dirs).map_builder
+    else:
+        options = cfg.replace_deep(
+            cfg.MapBuilderOptions(),
+            {"use_trajectory_builder_2d": not args.use_3d, "use_trajectory_builder_3d": args.use_3d},
+        )
+    if args.config_overrides:
+        kv = {}
+        for item in args.config_overrides:
+            key, _, value = item.partition("=")
+            kv[key] = json.loads(value)
+        options = cfg.replace_deep(options, kv)
     server = MapBuilderServer(MapBuilder(options), args.address)
     server.start()
     print(f"map builder server listening on port {server.port}")
@@ -759,6 +776,22 @@ def main(argv=None) -> int:
         type=int,
         default=9100,
         help="prometheus /metrics port (ref: map_builder_server_main.cc:40); -1 disables",
+    )
+    p.add_argument(
+        "--configuration_basename",
+        default="",
+        help="Lua config file, e.g. map_builder_server.lua "
+        "(ref: map_builder_server_main.cc -configuration_basename)",
+    )
+    p.add_argument(
+        "--configuration_directory",
+        action="append",
+        help="Lua include directories (default: the packaged configuration_files/)",
+    )
+    p.add_argument(
+        "--config_overrides",
+        action="append",
+        help="dotted-key=json overrides applied after the Lua config",
     )
     p.set_defaults(fn=cmd_map_builder_server)
 
