@@ -29,6 +29,57 @@ import numpy as np
 
 CPP_BASELINE_MATCHES_PER_S = 100.0
 
+# TPU v5e (v5 lite) single-chip peaks for the roofline columns:
+# 819 GB/s HBM bandwidth; 197 TFLOP/s bf16 MXU, ~1/4 of that for the f32
+# path these kernels run in. Sources: public v5e spec sheet numbers.
+V5E_HBM_GBPS = 819.0
+V5E_F32_GFLOPS = 49_000.0
+
+
+def _cost_analysis(jitted, *args):
+    """XLA-estimated flops + bytes accessed of the compiled executable.
+    'bytes accessed' is XLA's per-HLO estimate (counts each fusion's
+    operand/output traffic), the standard roofline numerator."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _roofline(flops: float, bytes_accessed: float, time_s: float) -> dict:
+    """Achieved GFLOP/s + GB/s and % of v5e peaks for one invocation."""
+    gb_s = bytes_accessed / time_s / 1e9
+    gflop_s = flops / time_s / 1e9
+    return {
+        "time_ms": round(time_s * 1e3, 3),
+        "flops": flops,
+        "bytes": bytes_accessed,
+        "gflop_per_s": round(gflop_s, 1),
+        "gb_per_s": round(gb_s, 1),
+        "pct_hbm_peak": round(100.0 * gb_s / V5E_HBM_GBPS, 1),
+        "pct_mxu_f32_peak": round(100.0 * gflop_s / V5E_F32_GFLOPS, 1),
+    }
+
+
+def _time_median_p95(fn, warmups: int = 2, samples: int = 20):
+    """Per-invocation wall times at driver cadence (one dispatch per
+    sample — NOT min-of-burst; VERDICT r2 weak #4)."""
+    import jax
+
+    for _ in range(warmups):
+        jax.block_until_ready(fn())
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    arr = np.asarray(times)
+    return float(np.median(arr)), float(np.percentile(arr, 95))
+
 # One JSON line must reach stdout no matter how the TPU tunnel misbehaves
 # (raise, hang, or die mid-bench). _RECORD is filled in progressively;
 # _emit prints it exactly once.
@@ -133,27 +184,89 @@ def bench_scan_matcher():
             out = step()
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return batch * iters / best
+    matches_per_s = batch * iters / best
+    extras = {}
+
+    # --- production-shaped numbers (VERDICT r2 #2) -----------------------
+    # Single-scan (batch=1) latency — the front-end operating point
+    # (local_trajectory_builder_2d.cc ScanMatch runs one scan at a time) —
+    # and the real-time ratio at the reference's 10 Hz scan rate.
+    try:
+        cloud1 = PointCloud(positions=cloud.positions[None], mask=cloud.mask[None])
+        init1 = Rigid2(
+            translation=initial.translation[None], angle=initial.angle[None]
+        )
+
+        def step_b1():
+            scores, coarse = match_correlative_2d_batched(
+                grid, cloud1, init1, window, 0.1, 0.1, prepared_table=table
+            )
+            poses, costs = match_gn_2d_probability_batched(
+                grid, cloud1, coarse, init1.translation, 1.0, 10.0, 40.0,
+                num_iterations=10, prepared_field=field,
+            )
+            return poses, scores, costs
+
+        med, p95 = _time_median_p95(step_b1)
+        extras["scan_match_latency_ms_b1"] = round(med * 1e3, 3)
+        extras["scan_match_latency_ms_b1_p95"] = round(p95 * 1e3, 3)
+        extras["scan_match_rtr_10hz"] = round((1.0 / med) / 10.0, 1)
+    except Exception as e:
+        extras["latency_b1_error"] = str(e)
+
+    # --- roofline: correlative + GN stages at the batched operating point
+    try:
+        corr_jit = jax.jit(
+            lambda c, i: match_correlative_2d_batched(
+                grid, c, i, window, 0.1, 0.1, prepared_table=table
+            )
+        )
+        _, coarse = corr_jit(clouds, initials)
+        jax.block_until_ready(coarse)
+        gn_jit = jax.jit(
+            lambda c, p, t: match_gn_2d_probability_batched(
+                grid, c, p, t, 1.0, 10.0, 40.0,
+                num_iterations=10, prepared_field=field,
+            )
+        )
+        jax.block_until_ready(gn_jit(clouds, coarse, initials.translation))
+        corr_med, _ = _time_median_p95(lambda: corr_jit(clouds, initials), samples=10)
+        gn_med, _ = _time_median_p95(
+            lambda: gn_jit(clouds, coarse, initials.translation), samples=10
+        )
+        cf, cb = _cost_analysis(corr_jit, clouds, initials)
+        gf, gb = _cost_analysis(gn_jit, clouds, coarse, initials.translation)
+        extras["roofline_correlative_b1024"] = _roofline(cf, cb, corr_med)
+        extras["roofline_gn_b1024"] = _roofline(gf, gb, gn_med)
+    except Exception as e:
+        extras["roofline_error"] = str(e)
+    return matches_per_s, extras
 
 
 def bench_ct_window():
+    """CT window solve at driver cadence: median + p95 of single-dispatch
+    wall times (VERDICT r2 weak #4 — burst minima overstated the rate by
+    2x vs what the driver records), plus the stage roofline. Returns
+    (solves_per_s_median, extras)."""
     import jax
 
     from __graft_entry__ import entry
 
     step, args = entry()
     jit_step = jax.jit(step)
-    out = jit_step(*args)
-    jax.block_until_ready(out)
-    iters = 20
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jit_step(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return iters / best
+    jax.block_until_ready(jit_step(*args))
+    med, p95 = _time_median_p95(lambda: jit_step(*args), warmups=3, samples=20)
+    extras = {
+        "ct_window_solve_ms_median": round(med * 1e3, 3),
+        "ct_window_solve_ms_p95": round(p95 * 1e3, 3),
+        "ct_rtr_10hz": round((1.0 / med) / 10.0, 1),
+    }
+    try:
+        f, b = _cost_analysis(jit_step, *args)
+        extras["roofline_ct_window"] = _roofline(f, b, med)
+    except Exception as e:
+        extras["ct_roofline_error"] = str(e)
+    return 1.0 / med, extras
 
 
 def bench_ct_window_batched(batch: int = 8):
@@ -190,6 +303,83 @@ def bench_ct_window_batched(batch: int = 8):
     return batch * iters / best
 
 
+def bench_constraint_round(num_submaps: int = 32):
+    """Production-shaped loop-closure round: N (node, finished submap)
+    candidates through the REAL PoseGraph2D work item — host gates, ONE
+    sharded matcher launch, ONE batched GN launch, merge (VERDICT r2 #1).
+    Returns (median_round_seconds, num_candidates).
+
+    The reference's equivalent is ComputeConstraintsForNode fanning one
+    thread-pool task per candidate (constraint_builder_3d.cc:162-189)."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common.config import (
+        MapBuilderOptions,
+        ProbabilityGridRangeDataInserterOptions2D,
+        replace_deep,
+    )
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+    from hectorgrapher_tpu.mapping.grids import make_probability_grid
+    from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PgNode, PoseGraph2D
+    from hectorgrapher_tpu.mapping.submap_2d import Submap2D
+    from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    grid = make_probability_grid(0.05, (256, 256))
+    insert = make_probability_inserter_2d(
+        ProbabilityGridRangeDataInserterOptions2D(), max_range=12.8, resolution=0.05
+    )
+    pts = raycast_rect_room_2d(np.zeros(2), 0.0, half_width=4.02, half_height=3.41, num_rays=720)
+    pts = pts[~np.isnan(pts[:, 0])].astype(np.float32)
+    cloud = pad_cloud(pts, 512)
+    grid = insert(
+        grid,
+        RangeData(
+            origin=jnp.zeros(3, jnp.float32),
+            returns=cloud,
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 8),
+        ),
+    )
+    options = replace_deep(
+        MapBuilderOptions(),
+        {
+            "pose_graph.optimize_every_n_nodes": 0,  # time the round, not SPA
+            "pose_graph.async_work_queue": False,  # time synchronously
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 100.0,
+            "pose_graph.constraint_builder.min_score": 0.5,
+        },
+    ).pose_graph
+    pg = PoseGraph2D(options)
+
+    def mknode(t):
+        return PgNode(
+            time=t,
+            local_pose=NpRigid3(np.zeros(3)),
+            global_pose=NpRigid3.identity(),
+            cloud=cloud,
+        )
+
+    # num_submaps finished submaps (one INTRA node each; the adds also warm
+    # the pow2-padded launch shapes and per-submap matcher caches).
+    for i in range(num_submaps):
+        sm = Submap2D(local_pose=NpRigid3(np.zeros(3)), grid=grid, insertion_finished=True)
+        pg.add_node(mknode(0.01 * i), [sm])
+    active = Submap2D(
+        local_pose=NpRigid3(np.zeros(3)),
+        grid=make_probability_grid(0.05, (32, 32)),
+        insertion_finished=False,
+    )
+    pg.add_node(mknode(1.0), [active])  # warm the full-size round
+    times = []
+    for k in range(5):
+        t0 = time.perf_counter()
+        pg.add_node(mknode(2.0 + k), [active])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), num_submaps
+
+
 def bench_spa():
     import jax
     import jax.numpy as jnp
@@ -218,13 +408,23 @@ def bench_spa():
         c_huber_scale=jnp.full(C, 10.0, jnp.float32),
     )
     out = solve_spa_3d(problem, num_iterations=50)
+    import functools
+
     import jax
 
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = solve_spa_3d(problem, num_iterations=50)
     jax.block_until_ready(out)
-    return time.perf_counter() - t0
+    spa_s = time.perf_counter() - t0
+    extras = {}
+    try:
+        spa_jit = jax.jit(functools.partial(solve_spa_3d, num_iterations=50))
+        f, b = _cost_analysis(spa_jit, problem)
+        extras["roofline_spa"] = _roofline(f, b, spa_s)
+    except Exception as e:
+        extras["spa_roofline_error"] = str(e)
+    return spa_s, extras
 
 
 def bench_spa_scale():
@@ -322,13 +522,16 @@ def main() -> None:
         return
 
     try:
-        matches_per_s = bench_scan_matcher()
+        matches_per_s, sm_extras = bench_scan_matcher()
         _RECORD["value"] = round(matches_per_s, 1)
         _RECORD["vs_baseline"] = round(matches_per_s / CPP_BASELINE_MATCHES_PER_S, 2)
+        _RECORD.update(sm_extras)
     except Exception as e:
         _RECORD["error"] = f"scan matcher bench failed: {e}"
     try:
-        _RECORD["ct_window_solves_per_s"] = round(bench_ct_window(), 1)
+        ct_rate, ct_extras = bench_ct_window()
+        _RECORD["ct_window_solves_per_s"] = round(ct_rate, 1)
+        _RECORD.update(ct_extras)
     except Exception as e:  # secondary metric must not kill the bench
         _RECORD["ct_error"] = str(e)
     try:
@@ -336,7 +539,15 @@ def main() -> None:
     except Exception as e:
         _RECORD["ct_batched_error"] = str(e)
     try:
-        _RECORD["spa_solve_s"] = round(bench_spa(), 3)
+        round_s, n_cands = bench_constraint_round()
+        _RECORD["constraint_round_s"] = round(round_s, 4)
+        _RECORD["constraint_round_candidates"] = n_cands
+    except Exception as e:
+        _RECORD["constraint_round_error"] = str(e)
+    try:
+        spa_s, spa_extras = bench_spa()
+        _RECORD["spa_solve_s"] = round(spa_s, 3)
+        _RECORD.update(spa_extras)
     except Exception as e:
         _RECORD["spa_error"] = str(e)
     try:

@@ -437,6 +437,13 @@ class PoseGraphOptions:
     # async_work_queue=False is the deterministic switch for tests that
     # need constraint searches to complete inline.
     async_work_queue: bool = True
+    # TPU-only knob: score every loop-closure candidate of a work-queue
+    # round in ONE mesh-sharded matcher launch plus ONE batched GN
+    # refinement launch ("batch, don't queue" — the TPU replacement for
+    # the reference's one-thread-pool-task-per-candidate fan-out,
+    # constraint_builder_3d.cc:162-189). False falls back to one device
+    # launch per candidate.
+    use_batched_constraint_search: bool = True
     constraint_builder: ConstraintBuilderOptions = _mkdefault(ConstraintBuilderOptions)
     matcher_translation_weight: float = 5e2
     matcher_rotation_weight: float = 1.6e3

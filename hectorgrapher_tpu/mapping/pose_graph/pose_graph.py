@@ -125,6 +125,68 @@ def _observe_constraint_score(kind: str, score: float) -> None:
     h.observe(score)
 
 
+_BATCH_METRICS: Dict[str, object] = {}
+
+
+def _observe_batched_round(num_candidates: int) -> None:
+    """Count batched loop-closure launches + candidates per launch (the
+    observable proof that production rounds ride the sharded path)."""
+    from hectorgrapher_tpu.common.profiling import global_factory
+
+    if "rounds" not in _BATCH_METRICS:
+        _BATCH_METRICS["rounds"] = global_factory().new_counter_family(
+            "pose_graph_batched_constraint_rounds_total",
+            "loop-closure rounds scored via one sharded matcher launch",
+        ).add({})
+        _BATCH_METRICS["candidates"] = global_factory().new_histogram_family(
+            "pose_graph_batched_constraint_candidates",
+            "gate-passing candidates per batched loop-closure launch",
+            boundaries=[2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0, 1024.0],
+        ).add({})
+    _BATCH_METRICS["rounds"].increment()
+    _BATCH_METRICS["candidates"].observe(float(num_candidates))
+
+
+_GRAPH_MESH = None
+
+
+def constraint_search_mesh():
+    """Device mesh for batched loop-closure launches: all local devices on
+    a 'graph' axis. One chip locally degenerates to plain batching; the
+    multihost server installs a global mesh via set_constraint_search_mesh
+    so the same launches shard submaps across hosts (SURVEY §2.12 #3)."""
+    global _GRAPH_MESH
+    if _GRAPH_MESH is None:
+        import jax
+        from jax.sharding import Mesh
+
+        _GRAPH_MESH = Mesh(np.asarray(jax.devices()), ("graph",))
+    return _GRAPH_MESH
+
+
+def set_constraint_search_mesh(mesh) -> None:
+    global _GRAPH_MESH
+    _GRAPH_MESH = mesh
+
+
+def _stack_trees(trees, pad_to: int = 0):
+    """Stack a list of identically-shaped pytrees along a new axis 0,
+    repeating the first element up to pad_to lanes (padding bounds the
+    number of distinct batch shapes the jitted solvers compile for)."""
+    import jax
+
+    if pad_to > len(trees):
+        trees = list(trees) + [trees[0]] * (pad_to - len(trees))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class _SamplerState:
     """(ref: common/fixed_ratio_sampler.h FixedRatioSampler)"""
 
@@ -414,24 +476,32 @@ class PoseGraphBase:
         """INTER searches + optimization cadence — the body of the
         reference's ComputeConstraintsForNode work item. All arguments are
         stable ids; entries trimmed while this item was queued resolve to
-        None and are skipped."""
+        None and are skipped.
+
+        The reference fans one thread-pool task out per candidate pair
+        (constraint_builder_3d.cc:162-189) and merges results at the
+        WhenDone barrier (:150-160). Here the whole round's candidates are
+        gated on the host (same order, so the FixedRatioSamplers pulse
+        identically), then scored in ONE mesh-sharded matcher launch and
+        ONE batched GN-refinement launch (_compute_constraints_batched);
+        results merge afterwards — the same dispatch-gate/merge-at-barrier
+        semantics, with device batching instead of a task DAG."""
         from hectorgrapher_tpu.common import profiling
 
-        # INTER constraints: this node vs all finished submaps.
-        with profiling.section("constraint_search"):
-            with self._lock:
-                candidate_ids = [
-                    s.submap_id
-                    for s in self.submaps
-                    if s.finished and s.submap_id not in inserted_ids
-                ]
-            for sid in candidate_ids:
-                self._maybe_add_constraint(node_id, sid)
-
-        # Newly finished submaps vs all old nodes. One pass over the
-        # constraint list (per-node scans are O(nodes * constraints) and
-        # stall the front-end while holding the lock).
+        # Candidate pairs in the reference's dispatch order:
+        # (a) this node vs all finished submaps,
+        # (b) each newly finished submap vs all old nodes.
+        pairs: List[Tuple[int, int]] = []
+        with self._lock:
+            pairs.extend(
+                (node_id, s.submap_id)
+                for s in self.submaps
+                if s.finished and s.submap_id not in inserted_ids
+            )
         for sid in finished_ids:
+            # One pass over the constraint list (per-node scans are
+            # O(nodes * constraints) and stall the front-end while holding
+            # the lock).
             with self._lock:
                 intra: Dict[int, set] = {}
                 for c in self.constraints:
@@ -442,13 +512,58 @@ class PoseGraphBase:
                                 self.submaps[c.submap_index].submap_id
                             )
                 old_node_ids = [n.node_id for n in self.nodes if n.node_id < node_id]
-            for nid in old_node_ids:
-                if sid not in intra.get(nid, ()):
-                    self._maybe_add_constraint(nid, sid)
+            pairs.extend(
+                (nid, sid) for nid in old_node_ids if sid not in intra.get(nid, ())
+            )
+
+        with profiling.section("constraint_search"):
+            gated_local: List[tuple] = []
+            gated_global: List[tuple] = []
+            for nid, sid in pairs:
+                gated = self._gate_candidate(nid, sid)
+                if gated is None:
+                    continue
+                node, pg_submap, global_search = gated
+                (gated_global if global_search else gated_local).append(
+                    (nid, sid, node, pg_submap)
+                )
+
+            # Local-window searches: one sharded launch for the round.
+            results = None
+            if self._options.use_batched_constraint_search and len(gated_local) >= 2:
+                try:
+                    results = self._compute_constraints_batched(gated_local)
+                except NotImplementedError:
+                    results = None
+            if results is not None:
+                _observe_batched_round(len(gated_local))
+                for (nid, sid, node, pg_submap), constraint in zip(gated_local, results):
+                    if constraint is not None:
+                        self._append_constraint(nid, sid, node, pg_submap, constraint)
+            else:
+                for nid, sid, node, pg_submap in gated_local:
+                    constraint = self._compute_constraint(node, pg_submap, global_search=False)
+                    if constraint is not None:
+                        self._append_constraint(nid, sid, node, pg_submap, constraint)
+
+            # Full-submap (global localization) searches run per candidate:
+            # their window spans the whole submap, a different compiled
+            # configuration, and the global sampler keeps them rare.
+            for nid, sid, node, pg_submap in gated_global:
+                constraint = self._compute_constraint(node, pg_submap, global_search=True)
+                if constraint is not None:
+                    self._append_constraint(nid, sid, node, pg_submap, constraint)
 
         self._num_nodes_since_last_optimization += 1
         if self._num_nodes_since_last_optimization >= self._options.optimize_every_n_nodes > 0:
             self.run_final_optimization(self._options.optimization_problem.ceres_solver_options.max_num_iterations)
+
+    def _compute_constraints_batched(self, gated_local: List[tuple]):
+        """Score + refine every local-window candidate of a round in one
+        batched launch. Returns a list of Optional[Constraint] aligned with
+        gated_local, or raises NotImplementedError to fall back to the
+        serial per-candidate path (e.g. mixed grid shapes)."""
+        raise NotImplementedError
 
     # -- async work queue ----------------------------------------------------
 
@@ -482,18 +597,21 @@ class PoseGraphBase:
         if self._async:
             self._work_queue.join()
 
-    def _maybe_add_constraint(self, node_id: int, submap_id: int) -> None:
+    def _gate_candidate(self, node_id: int, submap_id: int):
         """Local-vs-global decision + distance/sampling gates
         (ref: pose_graph ComputeConstraint :248-311 — recently-connected
         trajectories search a local window; otherwise the global
         localization sampler gates a full-submap search). Arguments are
-        stable ids; the matcher itself runs on the resolved objects so a
-        concurrent trim cannot redirect it to a different node/submap."""
+        stable ids. Returns (node, pg_submap, global_search) for candidates
+        that pass the gates, None otherwise — gate decisions happen at
+        dispatch time, exactly like the reference's MaybeAdd*Constraint;
+        the matches themselves run (possibly batched) afterwards and merge
+        at the barrier (constraint_builder_3d.cc:150-160)."""
         with self._lock:
             ni = self._node_index_by_id.get(node_id)
             si = self._submap_index_by_id.get(submap_id)
             if ni is None or si is None:
-                return  # trimmed while this work item was pending
+                return None  # trimmed while this work item was pending
             node = self.nodes[ni]
             pg_submap = self.submaps[si]
             last = self.connectivity.last_connection_time(node.trajectory_id, pg_submap.trajectory_id)
@@ -508,28 +626,40 @@ class PoseGraphBase:
             if recently_connected:
                 d = np.linalg.norm(node.global_pose.t - pg_submap.global_pose.t)
                 if d > self._options.constraint_builder.max_constraint_distance:
-                    return
+                    return None
                 if not self._sampler.pulse():
-                    return
-                global_search = False
-            else:
-                if not self._global_sampler.pulse():
-                    return
-                global_search = True
+                    return None
+                return node, pg_submap, False
+            if not self._global_sampler.pulse():
+                return None
+            return node, pg_submap, True
+
+    def _append_constraint(self, node_id: int, submap_id: int, node, pg_submap, constraint) -> None:
+        """Merge a found constraint into the graph (the per-constraint part
+        of the reference's WhenDone barrier merge, pose_graph_3d.cc:436-510).
+        Positional indices are resolved by stable id at append time — after
+        any trim that ran while the matcher executed."""
+        with self._lock:
+            ni = self._node_index_by_id.get(node_id)
+            si = self._submap_index_by_id.get(submap_id)
+            if ni is None or si is None:
+                return  # trimmed during the matcher launch — drop it
+            constraint.node_index = ni
+            constraint.submap_index = si
+            self.constraints.append(constraint)
+            self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
+
+    def _maybe_add_constraint(self, node_id: int, submap_id: int) -> None:
+        """Single-candidate path: gate, match on device, merge."""
+        gated = self._gate_candidate(node_id, submap_id)
+        if gated is None:
+            return
+        node, pg_submap, global_search = gated
         # The matcher launch runs without the lock (device work) on the
-        # node/submap OBJECTS — positional indices are resolved again at
-        # append time, after any trim that ran while the matcher executed.
+        # node/submap OBJECTS.
         constraint = self._compute_constraint(node, pg_submap, global_search=global_search)
         if constraint is not None:
-            with self._lock:
-                ni = self._node_index_by_id.get(node_id)
-                si = self._submap_index_by_id.get(submap_id)
-                if ni is None or si is None:
-                    return  # trimmed during the matcher launch — drop it
-                constraint.node_index = ni
-                constraint.submap_index = si
-                self.constraints.append(constraint)
-                self.connectivity.connect(node.trajectory_id, pg_submap.trajectory_id, node.time)
+            self._append_constraint(node_id, submap_id, node, pg_submap, constraint)
 
     def run_final_optimization(self, num_iterations: Optional[int] = None) -> None:
         """(ref: RunFinalOptimization — used both periodically and at end)"""
@@ -610,6 +740,10 @@ class PoseGraph2D(PoseGraphBase):
         self._max_scan_range = max_scan_range
         # submap_index -> (pyramid depth, PreparedFastMatcher2D, GN fields)
         self._matcher_cache: Dict[int, tuple] = {}
+        # Device-resident pack of every finished submap's prepared matcher,
+        # sharded over the constraint-search mesh; rebuilt only when new
+        # submaps finish (finished grids never change), NOT per round.
+        self._pack2d: Optional[dict] = None
         self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._landmark_ids: Dict[str, int] = {}
@@ -785,6 +919,45 @@ class PoseGraph2D(PoseGraphBase):
         self._matcher_cache[pg_submap.submap_id] = (depth, fast, gn)
         return fast, gn
 
+    def _get_pack_2d(self, needed_sids, depth: int, mesh):
+        """Device-resident pack of prepared matchers for the batched
+        constraint search. Rebuilt only when a needed submap is not packed
+        yet (a submap finished since the last round), when a trim removed
+        packed entries' caches, or when the mesh changed — finished grids
+        are immutable, so between rebuilds every round reuses the same
+        sharded device arrays (zero H2B re-upload)."""
+        from hectorgrapher_tpu.parallel.constraint_search import pack_submaps_2d
+
+        state = self._pack2d
+        if (
+            state is not None
+            and state["depth"] == depth
+            and state["mesh"] is mesh
+            and all(sid in state["slots"] for sid in needed_sids)
+        ):
+            return state["slots"], state["packed"]
+        prev_order = state["order"] if state is not None else []
+        order = [sid for sid in prev_order if sid in self._matcher_cache]
+        order += [sid for sid in needed_sids if sid not in order]
+        prepared = []
+        keep = []
+        for sid in order:
+            cached = self._matcher_cache.get(sid)
+            if cached is not None and cached[0] == depth:
+                keep.append(sid)
+                prepared.append(cached[1])
+        if len({tuple(np.asarray(pm.flat_levels).shape) for pm in prepared}) != 1:
+            raise NotImplementedError("mixed pyramid shapes")
+        packed = pack_submaps_2d(prepared, mesh)
+        self._pack2d = {
+            "order": keep,
+            "slots": {sid: i for i, sid in enumerate(keep)},
+            "depth": depth,
+            "mesh": mesh,
+            "packed": packed,
+        }
+        return self._pack2d["slots"], packed
+
     def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
         gated by min_score (global_localization_min_score for full-submap
@@ -855,6 +1028,108 @@ class PoseGraph2D(PoseGraphBase):
             rotation_weight=cb.loop_closure_rotation_weight,
             tag="INTER",
         )
+
+    def _compute_constraints_batched(self, gated_local):
+        """All local-window candidates of a constraint round in ONE sharded
+        fast-matcher launch + ONE batched GN-refinement launch.
+
+        The TPU-native replacement for the reference's per-candidate
+        thread-pool fan-out (ref: constraint_builder_2d.cc
+        MaybeAddConstraint/ComputeConstraint, tasks dispatched at :112-160):
+        submaps are partitioned over the mesh's 'graph' axis, candidates
+        routed to their submap's owner, every gate/refinement identical to
+        the serial _compute_constraint."""
+        from hectorgrapher_tpu.mapping.scan_matching.gn_2d import (
+            match_gn_2d_fields_batched,
+        )
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            sharded_fast_matches_2d_packed,
+        )
+
+        cb = self._options.constraint_builder
+        # Stacking requires uniform shapes (production grids are
+        # fixed-extent per config; anything else -> serial fallback).
+        resolutions = {
+            float(np.asarray(p.submap.grid.meta.resolution)) for *_, p in gated_local
+        }
+        npts = {np.asarray(n.cloud.positions).shape[0] for _, _, n, _ in gated_local}
+        kinds = {isinstance(p.submap.grid, TSDFGrid) for *_, p in gated_local}
+        if len(resolutions) != 1 or len(npts) != 1 or len(kinds) != 1:
+            raise NotImplementedError("mixed candidate shapes")
+        is_tsdf = kinds.pop()
+        config = make_fast_search_config(
+            cb.fast_correlative_scan_matcher.linear_search_window,
+            cb.fast_correlative_scan_matcher.angular_search_window,
+            resolutions.pop(),
+            self._max_scan_range,
+            cb.fast_correlative_scan_matcher.branch_and_bound_depth,
+        )
+        # Per-submap matcher + GN artifacts come from the persistent cache
+        # (built once per finished submap, ref:
+        # DispatchScanMatcherConstruction); the device-resident pack of all
+        # finished submaps is reused across rounds.
+        gn_by_sid: Dict[int, object] = {}
+        for _, sid, _, p in gated_local:
+            if sid not in gn_by_sid:
+                _, gn = self._submap_matcher(p, config.depth)
+                gn_by_sid[sid] = gn
+        mesh = constraint_search_mesh()
+        slot_by_sid, packed = self._get_pack_2d(gn_by_sid.keys(), config.depth, mesh)
+        gn_fields_by_sid = gn_by_sid
+
+        candidates = []
+        for _, sid, node, p in gated_local:
+            init = p.global_pose.inverse().compose(node.global_pose)
+            node_in_grid = p.submap.local_pose.compose(init)
+            initial = Rigid2(
+                translation=jnp.asarray(node_in_grid.t[:2], jnp.float32),
+                angle=jnp.asarray(nq.quat_yaw(node_in_grid.q), jnp.float32),
+            )
+            candidates.append((slot_by_sid[sid], node.cloud, initial))
+        matches = sharded_fast_matches_2d_packed(packed, candidates, config, mesh)
+
+        survivors = []
+        for i, (score, pose) in enumerate(matches):
+            _observe_constraint_score("local", float(score))
+            if float(score) >= cb.min_score:
+                survivors.append((i, pose))
+        results: List[Optional[Constraint]] = [None] * len(gated_local)
+        if not survivors:
+            return results
+
+        pad = _pow2(len(survivors))
+        stacked_fields = _stack_trees(
+            [gn_fields_by_sid[gated_local[i][1]] for i, _ in survivors], pad
+        )
+        clouds = _stack_trees([gated_local[i][2].cloud for i, _ in survivors], pad)
+        poses = _stack_trees([pose for _, pose in survivors], pad)
+        cm = cb.ceres_scan_matcher
+        refined, _ = match_gn_2d_fields_batched(
+            stacked_fields,
+            clouds,
+            poses,
+            poses.translation,
+            cm.occupied_space_weight,
+            cm.translation_weight,
+            cm.rotation_weight,
+            is_tsdf=is_tsdf,
+            num_iterations=cm.ceres_solver_options.max_num_iterations,
+        )
+        rt = np.asarray(refined.translation)
+        ra = np.asarray(refined.angle)
+        for k, (i, _) in enumerate(survivors):
+            _, sid, node, p = gated_local[i]
+            refined_np = _rigid_of_pose2(np.array([rt[k, 0], rt[k, 1], ra[k]]))
+            zbar = p.submap.local_pose.inverse().compose(refined_np)
+            results[i] = Constraint(
+                submap_index=-1,  # resolved by _append_constraint under the lock
+                node_index=-1,
+                zbar=zbar,
+                translation_weight=cb.loop_closure_translation_weight,
+                rotation_weight=cb.loop_closure_rotation_weight,
+                tag="INTER",
+            )
+        return results
 
     def _run_optimization(self, num_iterations: int) -> None:
         """(ref: optimization_problem_2d.cc Solve)"""
@@ -936,6 +1211,9 @@ class PoseGraph3D(PoseGraphBase):
         super().__init__(options)
         self._histogram_size = histogram_size
         self._max_scan_range = max_scan_range
+        # Device-resident pack of finished-submap matcher state for the
+        # batched constraint search (see PoseGraph2D._pack2d).
+        self._pack3d: Optional[dict] = None
         # Auxiliary sensor buffers for the optimization problem
         # (ref: optimization_problem_3d.h odometry_data_/fixed_frame_pose_
         # data_/landmark_nodes_; MapByTime per trajectory).
@@ -1250,6 +1528,41 @@ class PoseGraph3D(PoseGraphBase):
             self._histogram_size,
         )
 
+    def _get_pack_3d(self, needed_matchers: Dict[int, object], mesh):
+        """Device-resident pack of 3D matcher state for the batched
+        constraint search, rebuilt only when a new submap finished, a trim
+        removed packed submaps, or the mesh changed (see _get_pack_2d —
+        the 3D pyramids are far larger, so per-round re-upload would
+        dominate the round)."""
+        from hectorgrapher_tpu.parallel.constraint_search import pack_submaps_3d
+
+        state = self._pack3d
+        if (
+            state is not None
+            and state["mesh"] is mesh
+            and all(sid in state["slots"] for sid in needed_matchers)
+        ):
+            return state["slots"], state["packed"]
+        with self._lock:
+            live = {
+                s.submap_id: s.matcher for s in self.submaps if s.matcher is not None
+            }
+        live.update(needed_matchers)
+        prev_order = state["order"] if state is not None else []
+        order = [sid for sid in prev_order if sid in live]
+        order += [sid for sid in live if sid not in order]
+        matchers = [live[sid] for sid in order]
+        if len({tuple(np.asarray(m._pyramid_flat).shape) for m in matchers}) != 1:
+            raise NotImplementedError("mixed pyramid shapes")
+        packed = pack_submaps_3d(matchers, mesh)
+        self._pack3d = {
+            "order": order,
+            "slots": {sid: i for i, sid in enumerate(order)},
+            "mesh": mesh,
+            "packed": packed,
+        }
+        return self._pack3d["slots"], packed
+
     def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_3d.cc ComputeConstraint:191-296;
         global_search uses MatchFullSubmap with the global localization
@@ -1310,6 +1623,133 @@ class PoseGraph3D(PoseGraphBase):
             rotation_weight=cb.loop_closure_rotation_weight,
             tag="INTER",
         )
+
+    def _compute_constraints_batched(self, gated_local):
+        """All local-window 3D candidates of a constraint round in ONE
+        sharded fast-matcher launch + ONE batched GN-refinement launch —
+        the reference's defining back-end fan-out
+        (ref: constraint_builder_3d.cc:162-189 one task per candidate,
+        barrier at :150-160) as mesh-sharded batching. Gates and
+        refinement parameters identical to the serial _compute_constraint."""
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+            make_fast_search_3d_config,
+        )
+        from hectorgrapher_tpu.mapping.scan_matching.gn_3d import match_gn_3d_batched
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            sharded_fast_matches_3d_packed,
+        )
+
+        cb = self._options.constraint_builder
+        fc = cb.fast_correlative_scan_matcher_3d
+        matcher_by_sid: Dict[int, object] = {}
+        for _, sid, _, p in gated_local:
+            if sid not in matcher_by_sid:
+                if p.matcher is None:
+                    self._on_submap_finished(p)
+                matcher_by_sid[sid] = p.matcher
+        matchers = list(matcher_by_sid.values())
+        pyr_shapes = {tuple(np.asarray(m._pyramid_flat).shape) for m in matchers}
+        low_shapes = {tuple(np.asarray(m._low_scores).shape) for m in matchers}
+        res_set = {float(np.asarray(m._high_grid.meta.resolution)) for m in matchers}
+        n_hi = {np.asarray(n.high_cloud.positions).shape[0] for _, _, n, _ in gated_local}
+        n_lo = {np.asarray(n.low_cloud.positions).shape[0] for _, _, n, _ in gated_local}
+        n_hist = {np.asarray(n.histogram).shape[0] for _, _, n, _ in gated_local}
+        if (
+            len(pyr_shapes) != 1
+            or len(low_shapes) != 1
+            or len(res_set) != 1
+            or len(n_hi) != 1
+            or len(n_lo) != 1
+            or len(n_hist) != 1
+        ):
+            raise NotImplementedError("mixed candidate shapes")
+        # Same config construction as FastCorrelativeScanMatcher3D.match.
+        config = make_fast_search_3d_config(
+            fc, res_set.pop(), self._max_scan_range, False, 256
+        )
+        mesh = constraint_search_mesh()
+        slot_by_sid, packed = self._get_pack_3d(matcher_by_sid, mesh)
+
+        candidates = []
+        for _, sid, node, p in gated_local:
+            init = p.global_pose.inverse().compose(node.global_pose)
+            node_in_grid = p.submap.local_pose.compose(init)
+            initial = Rigid3(
+                translation=jnp.asarray(node_in_grid.t, jnp.float32),
+                rotation=jnp.asarray(node_in_grid.q, jnp.float32),
+            )
+            candidates.append(
+                (
+                    slot_by_sid[sid],
+                    node.high_cloud,
+                    node.low_cloud,
+                    np.asarray(node.histogram),
+                    initial,
+                    float(nq.quat_yaw(node_in_grid.q)),
+                )
+            )
+        matches = sharded_fast_matches_3d_packed(
+            packed,
+            candidates,
+            config,
+            mesh,
+            use_rotational=bool(fc.use_rotational_scan_matcher),
+        )
+
+        survivors = []
+        for i, (score, low_score, pose) in enumerate(matches):
+            _observe_constraint_score("local", float(score))
+            if float(score) < cb.min_score:
+                continue
+            if float(low_score) < fc.min_low_resolution_score:
+                continue
+            survivors.append((i, pose))
+        results: List[Optional[Constraint]] = [None] * len(gated_local)
+        if not survivors:
+            return results
+
+        pad = _pow2(len(survivors))
+        # Refine against the matcher's f32-ensured grids (identical values
+        # to the submap's own grids — dequantization is deterministic) so
+        # quantized and f32 submaps stack into one launch.
+        hi_grids = _stack_trees(
+            [gated_local[i][3].matcher._high_grid for i, _ in survivors], pad
+        )
+        lo_grids = _stack_trees(
+            [gated_local[i][3].matcher._low_grid for i, _ in survivors], pad
+        )
+        hi_clouds = _stack_trees([gated_local[i][2].high_cloud for i, _ in survivors], pad)
+        lo_clouds = _stack_trees([gated_local[i][2].low_cloud for i, _ in survivors], pad)
+        poses = _stack_trees([pose for _, pose in survivors], pad)
+        cm = cb.ceres_scan_matcher_3d
+        refined, _ = match_gn_3d_batched(
+            hi_grids,
+            lo_grids,
+            hi_clouds,
+            lo_clouds,
+            poses,
+            poses.translation,
+            cm.occupied_space_weight_0,
+            cm.occupied_space_weight_1,
+            cm.translation_weight,
+            cm.rotation_weight,
+            num_iterations=cm.ceres_solver_options.max_num_iterations,
+        )
+        rt = np.asarray(refined.translation)
+        rq = np.asarray(refined.rotation)
+        for k, (i, _) in enumerate(survivors):
+            _, sid, node, p = gated_local[i]
+            refined_np = NpRigid3(rt[k].astype(np.float64), rq[k].astype(np.float64))
+            zbar = p.submap.local_pose.inverse().compose(refined_np)
+            results[i] = Constraint(
+                submap_index=-1,  # resolved by _append_constraint under the lock
+                node_index=-1,
+                zbar=zbar,
+                translation_weight=cb.loop_closure_translation_weight,
+                rotation_weight=cb.loop_closure_rotation_weight,
+                tag="INTER",
+            )
+        return results
 
     def _run_optimization(self, num_iterations: int) -> None:
         """(ref: optimization_problem_3d.cc Solve:257-530.)"""

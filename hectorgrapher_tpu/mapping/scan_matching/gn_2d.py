@@ -199,7 +199,10 @@ def _lm_grid_2d(
         delta = -_solve3_sym(damped, g)
         pose_new = Rigid2(translation=pose.translation + delta[:2], angle=pose.angle + delta[2])
         cost_new, r_occ_new, aux_new = terms(pose_new)
-        accept = cost_new < cost
+        # ~done freezes converged lanes under vmap (a batched launch runs
+        # until every lane converges; a frozen lane must return exactly
+        # what the serial solve would have).
+        accept = (cost_new < cost) & ~done
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, min_lambda), jnp.minimum(lam * 4.0, max_lambda))
         x_norm = jnp.sqrt(jnp.sum(pose.translation**2) + pose.angle**2)
         done_next = (
@@ -441,3 +444,34 @@ def match_gn_2d_probability_batched(
         ),
         in_axes=(0, 0, 0),
     )(clouds, initial_poses, target_translations)
+
+
+def match_gn_2d_fields_batched(
+    stacked_fields,
+    clouds: PointCloud,
+    initial_poses: Rigid2,
+    target_translations,
+    occupied_space_weight,
+    translation_weight,
+    rotation_weight,
+    is_tsdf: bool,
+    num_iterations: int = 20,
+):
+    """Batched refinement where every match targets a DIFFERENT submap.
+
+    stacked_fields: the per-submap prepared fields (from
+    prepare_gn_probability_field / prepare_gn_tsdf_fields) stacked leaf-wise
+    with a leading batch axis — the loop-closure fan-out shape: one
+    (node, submap) refinement per lane (ref: constraint_builder_2d.cc
+    ComputeConstraint's ceres_scan_matcher_.Match, one thread-pool task per
+    candidate; here one vmap lane each). Converged lanes freeze
+    (see _lm_grid_2d), so each lane returns the serial solve's result."""
+    fn = _match_gn_2d_tsdf_fields if is_tsdf else _match_gn_2d_probability_field
+    return jax.vmap(
+        lambda f, cl, ip, tt: fn(
+            f, cl, ip, tt,
+            occupied_space_weight, translation_weight, rotation_weight,
+            num_iterations=num_iterations,
+        ),
+        in_axes=(0, 0, 0, 0),
+    )(stacked_fields, clouds, initial_poses, target_translations)

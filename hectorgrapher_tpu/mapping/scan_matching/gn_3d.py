@@ -179,7 +179,8 @@ def match_gn_3d(
         )
         rows_hi_new, rows_lo_new = gather_all(pose_new)
         cost_new = cost_at(pose_new, rows_hi_new, rows_lo_new)
-        accept = cost_new < cost
+        # ~done freezes converged lanes under vmap (see gn_2d).
+        accept = (cost_new < cost) & ~done
         lam_next = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-10), jnp.minimum(lam * 4.0, 1e6))
         sel = lambda a, b: jnp.where(accept, b, a)
         pose_next = jax.tree.map(sel, pose, pose_new)
@@ -210,3 +211,32 @@ def match_gn_3d(
         ),
     )
     return carry[2], carry[6]
+
+
+def match_gn_3d_batched(
+    high_grids,
+    low_grids,
+    high_clouds: PointCloud,
+    low_clouds: PointCloud,
+    initial_poses: Rigid3,
+    target_translations,
+    occupied_space_weight_0,
+    occupied_space_weight_1,
+    translation_weight,
+    rotation_weight,
+    num_iterations: int = 10,
+):
+    """Batched CeresScanMatcher3D refinement, one (node, submap) candidate
+    per lane — grids stacked leaf-wise with a leading batch axis so every
+    lane refines against its OWN submap pair (ref: constraint_builder_3d.cc
+    ComputeConstraint:258-269, one thread-pool task per candidate).
+    Converged lanes freeze, so per-lane results equal the serial solve."""
+    return jax.vmap(
+        lambda hg, lg, hc, lc, ip, tt: match_gn_3d(
+            hg, lg, hc, lc, ip, tt,
+            occupied_space_weight_0, occupied_space_weight_1,
+            translation_weight, rotation_weight,
+            num_iterations=num_iterations,
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )(high_grids, low_grids, high_clouds, low_clouds, initial_poses, target_translations)

@@ -37,6 +37,16 @@ from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.transform.rigid import Rigid2
 
 
+def _pow2_pad(n: int) -> int:
+    """Pad per-device counts to powers of two: the production pose graph
+    launches a round of every size, and each new (S_pad, C_pad) shape would
+    otherwise recompile the jitted sharded matcher."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class CandidateBatch2D(NamedTuple):
     """Device-ready candidate arrays (C_pad = n_devices * per_device)."""
 
@@ -97,6 +107,56 @@ def _sharded_scores_2d(
     )
 
 
+class PackedSubmaps2D(NamedTuple):
+    """Device-resident stack of prepared 2D matchers, sharded over the
+    mesh's submap axis. Built ONCE per set of finished submaps (the grids
+    of finished submaps never change — ref: submap freezing on
+    insertion_finished) and reused by every constraint round against them;
+    re-uploading the pyramid stack per round would move tens of MB of HBM
+    traffic per loop-closure round for nothing."""
+
+    levels: jax.Array  # (S_pad, depth, F) sharded over axis
+    min_corners: jax.Array  # (S_pad, 2) sharded
+    resolution: jax.Array  # scalar f32
+    dims: Tuple[int, int]
+    s_per_dev: int
+    count: int
+
+
+def pack_submaps_2d(
+    prepared_submaps: Sequence[PreparedFastMatcher2D],
+    mesh: Mesh,
+    axis: str = "graph",
+) -> PackedSubmaps2D:
+    """Stack + shard prepared matchers over the mesh (submap i owned by
+    device i // s_per_dev, contiguous blocks; s_per_dev pow2-padded so the
+    pack grows through O(log S) shapes)."""
+    n_dev = mesh.devices.size
+    depth, F = np.asarray(prepared_submaps[0].flat_levels).shape
+    res = float(np.asarray(prepared_submaps[0].meta.resolution))
+    nx, ny = (int(v) for v in np.asarray(prepared_submaps[0].dims))
+    for pm in prepared_submaps:
+        assert np.asarray(pm.flat_levels).shape == (depth, F), "mixed pyramid shapes"
+
+    s_count = len(prepared_submaps)
+    s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
+    s_pad = s_per_dev * n_dev
+    levels = np.zeros((s_pad, depth, F), np.float32)
+    mcs = np.zeros((s_pad, 2), np.float32)
+    for i, pm in enumerate(prepared_submaps):
+        levels[i] = np.asarray(pm.flat_levels)
+        mcs[i] = np.asarray(pm.meta.min_corner)
+    sharding = NamedSharding(mesh, P(axis))
+    return PackedSubmaps2D(
+        levels=jax.device_put(levels, sharding),
+        min_corners=jax.device_put(mcs, sharding),
+        resolution=jnp.asarray(res, jnp.float32),
+        dims=(nx, ny),
+        s_per_dev=s_per_dev,
+        count=s_count,
+    )
+
+
 def sharded_fast_matches_2d(
     prepared_submaps: Sequence[PreparedFastMatcher2D],
     candidates: Sequence[Tuple[int, PointCloud, Rigid2]],
@@ -105,37 +165,37 @@ def sharded_fast_matches_2d(
     axis: str = "graph",
 ) -> List[Tuple[float, Rigid2]]:
     """Score every (submap_index, cloud, initial_pose) candidate across the
-    mesh; returns [(score, pose)] in candidate order.
+    mesh; returns [(score, pose)] in candidate order. Packs the submaps on
+    the fly — hot callers (the production pose graph) pack once via
+    pack_submaps_2d and call sharded_fast_matches_2d_packed per round."""
+    if not candidates:
+        return []
+    packed = pack_submaps_2d(prepared_submaps, mesh, axis)
+    return sharded_fast_matches_2d_packed(packed, candidates, config, mesh, axis)
 
-    Submap i goes to device i * n_dev // S_pad (contiguous blocks); each
-    candidate runs on its submap's owner. One launch per round replaces
-    the reference's one-task-per-candidate thread-pool dispatch
-    (constraint_builder_2d.cc:112-160)."""
+
+def sharded_fast_matches_2d_packed(
+    packed: PackedSubmaps2D,
+    candidates: Sequence[Tuple[int, PointCloud, Rigid2]],
+    config: FastSearchConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> List[Tuple[float, Rigid2]]:
+    """One launch per round replaces the reference's one-task-per-candidate
+    thread-pool dispatch (constraint_builder_2d.cc:112-160). Candidates are
+    routed to the device owning their submap's pack slot."""
     n_dev = mesh.devices.size
     if not candidates:
         return []
-    depth, F = np.asarray(prepared_submaps[0].flat_levels).shape
     npts = np.asarray(candidates[0][1].positions).shape[0]
-    res = float(np.asarray(prepared_submaps[0].meta.resolution))
-    nx, ny = (int(v) for v in np.asarray(prepared_submaps[0].dims))
-    for pm in prepared_submaps:
-        assert np.asarray(pm.flat_levels).shape == (depth, F), "mixed pyramid shapes"
-
-    s_count = len(prepared_submaps)
-    s_pad = ((s_count + n_dev - 1) // n_dev) * n_dev
-    s_per_dev = s_pad // n_dev
-
-    levels = np.zeros((s_pad, depth, F), np.float32)
-    mcs = np.zeros((s_pad, 2), np.float32)
-    for i, pm in enumerate(prepared_submaps):
-        levels[i] = np.asarray(pm.flat_levels)
-        mcs[i] = np.asarray(pm.meta.min_corner)
+    s_per_dev = packed.s_per_dev
+    nx, ny = packed.dims
 
     # Route candidates to their submap's owning device.
     per_dev: List[List[int]] = [[] for _ in range(n_dev)]
     for ci, (si, _, _) in enumerate(candidates):
         per_dev[si // s_per_dev].append(ci)
-    c_max = max(1, max(len(lst) for lst in per_dev))
+    c_max = _pow2_pad(max(1, max(len(lst) for lst in per_dev)))
     c_pad = n_dev * c_max
 
     clp = np.zeros((c_pad, npts, 3), np.float32)
@@ -167,9 +227,9 @@ def sharded_fast_matches_2d(
         valid=jax.device_put(cv, sharding),
     )
     scores, pose_t, pose_a = _sharded_scores_2d(
-        jax.device_put(levels, sharding),
-        jax.device_put(mcs, sharding),
-        jnp.asarray(res, jnp.float32),
+        packed.levels,
+        packed.min_corners,
+        packed.resolution,
         batch,
         config,
         mesh,
@@ -288,36 +348,38 @@ def _sharded_scores_3d(
     )
 
 
-def sharded_fast_matches_3d(
-    matchers,  # Sequence[FastCorrelativeScanMatcher3D] (same grid shapes)
-    candidates,  # [(submap_index, hi_cloud, lo_cloud, scan_histogram, initial_pose(Rigid3), initial_yaw)]
-    config: FastSearch3DConfig,
-    mesh: Mesh,
-    use_rotational: bool = True,
-    axis: str = "graph",
-):
-    """Score every 3D (node, finished submap) candidate of a constraint
-    round in ONE launch sharded over the mesh (submaps partitioned by id;
-    candidates routed to their submap's owner). Returns
-    [(score, low_score, Rigid3 pose)] in candidate order — the caller
-    applies the min_score / low-resolution gates and GN refinement exactly
-    as the single-device path does."""
+class PackedSubmaps3D(NamedTuple):
+    """Device-resident stack of 3D matcher state sharded over the mesh
+    (see PackedSubmaps2D — the 3D pyramids are far larger, so per-round
+    re-upload would be prohibitive)."""
+
+    pyramids: jax.Array  # (S_pad, depth, F) sharded
+    hi_min_corners: jax.Array  # (S_pad, 3)
+    low_fields: jax.Array  # (S_pad,) + low_shape
+    lo_min_corners: jax.Array  # (S_pad, 3)
+    histograms: jax.Array  # (S_pad, H)
+    hi_resolution: jax.Array  # scalar f32
+    lo_resolution: jax.Array  # scalar f32
+    grid_shape: Tuple[int, ...]
+    low_shape: Tuple[int, ...]
+    s_per_dev: int
+    count: int
+
+
+def pack_submaps_3d(matchers, mesh: Mesh, axis: str = "graph") -> PackedSubmaps3D:
+    """Stack + shard FastCorrelativeScanMatcher3D state over the mesh."""
     n_dev = mesh.devices.size
-    if not candidates:
-        return []
     depth, F = np.asarray(matchers[0]._pyramid_flat).shape
     lshape = tuple(np.asarray(matchers[0]._low_scores).shape)
     hgrid = matchers[0]._high_grid
-    gshape = tuple(
-        hgrid.tsd.shape if hasattr(hgrid, "tsd") else hgrid.log_odds.shape
-    )
+    gshape = tuple(hgrid.tsd.shape if hasattr(hgrid, "tsd") else hgrid.log_odds.shape)
     H = np.asarray(matchers[0]._histogram).shape[0]
     hi_res = float(np.asarray(hgrid.meta.resolution))
     lo_res = float(np.asarray(matchers[0]._low_grid.meta.resolution))
 
     s_count = len(matchers)
-    s_pad = ((s_count + n_dev - 1) // n_dev) * n_dev
-    s_per_dev = s_pad // n_dev
+    s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
+    s_pad = s_per_dev * n_dev
     pyr = np.zeros((s_pad, depth, F), np.float32)
     hmc = np.zeros((s_pad, 3), np.float32)
     low = np.zeros((s_pad,) + lshape, np.float32)
@@ -330,11 +392,65 @@ def sharded_fast_matches_3d(
         low[i] = np.asarray(m._low_scores)
         lmc[i] = np.asarray(m._low_grid.meta.min_corner)
         hist[i] = np.asarray(m._histogram)
+    sharding = NamedSharding(mesh, P(axis))
+    return PackedSubmaps3D(
+        pyramids=jax.device_put(pyr, sharding),
+        hi_min_corners=jax.device_put(hmc, sharding),
+        low_fields=jax.device_put(low, sharding),
+        lo_min_corners=jax.device_put(lmc, sharding),
+        histograms=jax.device_put(hist, sharding),
+        hi_resolution=jnp.asarray(hi_res, jnp.float32),
+        lo_resolution=jnp.asarray(lo_res, jnp.float32),
+        grid_shape=gshape,
+        low_shape=lshape,
+        s_per_dev=s_per_dev,
+        count=s_count,
+    )
+
+
+def sharded_fast_matches_3d(
+    matchers,  # Sequence[FastCorrelativeScanMatcher3D] (same grid shapes)
+    candidates,  # [(submap_index, hi_cloud, lo_cloud, scan_histogram, initial_pose(Rigid3), initial_yaw)]
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+):
+    """Score every 3D (node, finished submap) candidate of a constraint
+    round in ONE launch sharded over the mesh. Packs the submaps on the
+    fly — hot callers pack once (pack_submaps_3d) and use
+    sharded_fast_matches_3d_packed per round."""
+    if not candidates:
+        return []
+    packed = pack_submaps_3d(matchers, mesh, axis)
+    return sharded_fast_matches_3d_packed(
+        packed, candidates, config, mesh, use_rotational, axis
+    )
+
+
+def sharded_fast_matches_3d_packed(
+    packed: PackedSubmaps3D,
+    candidates,
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+):
+    """One sharded launch for a round's 3D candidates (submaps partitioned
+    by pack slot; candidates routed to their submap's owner). Returns
+    [(score, low_score, Rigid3 pose)] in candidate order — the caller
+    applies the min_score / low-resolution gates and GN refinement exactly
+    as the single-device path does."""
+    n_dev = mesh.devices.size
+    if not candidates:
+        return []
+    s_per_dev = packed.s_per_dev
+    H = int(packed.histograms.shape[-1])
 
     per_dev: List[List[int]] = [[] for _ in range(n_dev)]
     for ci, cand in enumerate(candidates):
         per_dev[cand[0] // s_per_dev].append(ci)
-    c_max = max(1, max(len(lst) for lst in per_dev))
+    c_max = _pow2_pad(max(1, max(len(lst) for lst in per_dev)))
     c_pad = n_dev * c_max
     n_hi = np.asarray(candidates[0][1].positions).shape[0]
     n_lo = np.asarray(candidates[0][2].positions).shape[0]
@@ -380,18 +496,18 @@ def sharded_fast_matches_3d(
         valid=jax.device_put(cv, sharding),
     )
     scores, low_scores, pose_t, pose_q = _sharded_scores_3d(
-        jax.device_put(pyr, sharding),
-        jax.device_put(hmc, sharding),
-        jax.device_put(low, sharding),
-        jax.device_put(lmc, sharding),
-        jax.device_put(hist, sharding),
-        jnp.asarray(hi_res, jnp.float32),
-        jnp.asarray(lo_res, jnp.float32),
+        packed.pyramids,
+        packed.hi_min_corners,
+        packed.low_fields,
+        packed.lo_min_corners,
+        packed.histograms,
+        packed.hi_resolution,
+        packed.lo_resolution,
         batch,
         config,
         mesh,
-        gshape,
-        lshape,
+        packed.grid_shape,
+        packed.low_shape,
         use_rotational,
         axis,
     )
