@@ -154,6 +154,99 @@ def first(fd: Dict[int, List[object]], field: int, default=None):
     return values[0] if values else default
 
 
+# -- packed repeated scalars (proto3 default packing) ---------------------------
+
+
+def encode_packed_varints(values) -> bytes:
+    """Packed varint payload for repeated int32/int64/uint32 fields.
+    Negative values use the 10-byte two's-complement form, as protobuf
+    does. Vectorized for the common all-in-[0, 2^21) case (grid cells)."""
+    values = np.asarray(values, np.int64)
+    if values.size == 0:
+        return b""
+    if values.min() >= 0 and values.max() < (1 << 21):
+        v = values
+        n1 = v < (1 << 7)
+        n2 = (~n1) & (v < (1 << 14))
+        n3 = ~(n1 | n2)
+        lengths = np.where(n1, 1, np.where(n2, 2, 3)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        out = np.zeros(int(lengths.sum()), np.uint8)
+        out[offsets] = np.where(lengths > 1, (v & 0x7F) | 0x80, v & 0x7F)
+        m2 = lengths >= 2
+        out[offsets[m2] + 1] = np.where(
+            lengths[m2] > 2, ((v[m2] >> 7) & 0x7F) | 0x80, (v[m2] >> 7) & 0x7F
+        )
+        m3 = lengths >= 3
+        out[offsets[m3] + 2] = (v[m3] >> 14) & 0x7F
+        return out.tobytes()
+    return b"".join(encode_varint(int(x)) for x in values)
+
+
+def decode_packed_varints(blob: bytes) -> np.ndarray:
+    """Decode a packed varint payload to int64 (two's-complement
+    interpretation, so negative int32/int64 round-trip)."""
+    b = np.frombuffer(blob, np.uint8).astype(np.uint64)
+    if b.size == 0:
+        return np.zeros(0, np.int64)
+    ends = np.flatnonzero(b < 128)
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), np.uint64)
+    for k in range(int(lengths.max())):
+        idx = lengths > k
+        vals[idx] |= (b[starts[idx] + k] & np.uint64(0x7F)) << np.uint64(7 * k)
+    return vals.astype(np.int64)
+
+
+def zigzag_encode(values) -> np.ndarray:
+    """sint32/sint64 zigzag (proto sint fields, e.g. hybrid-grid indices)."""
+    v = np.asarray(values, np.int64)
+    return (v << 1) ^ (v >> 63)
+
+
+def zigzag_decode(values) -> np.ndarray:
+    v = np.asarray(values, np.int64)
+    return (v >> 1) ^ -(v & 1)
+
+
+def encode_packed_floats(values) -> bytes:
+    """Packed fixed32 float payload (repeated float)."""
+    return np.asarray(values, "<f4").tobytes()
+
+
+def decode_packed_floats(blob: bytes) -> np.ndarray:
+    return np.frombuffer(blob, "<f4").copy()
+
+
+def repeated_varints(fd: Dict[int, List[object]], field: int) -> np.ndarray:
+    """Collect a repeated varint-scalar field that may arrive packed
+    (length-delimited blobs) or unpacked (individual varints) — decoders
+    must accept both per the protobuf spec."""
+    chunks = []
+    for value in fd.get(field, []):
+        if isinstance(value, (bytes, bytearray)):
+            chunks.append(decode_packed_varints(bytes(value)))
+        else:
+            chunks.append(np.asarray([value], np.uint64).astype(np.int64))
+    if not chunks:
+        return np.zeros(0, np.int64)
+    return np.concatenate(chunks)
+
+
+def repeated_floats(fd: Dict[int, List[object]], field: int) -> np.ndarray:
+    """Collect a repeated float field, packed or unpacked."""
+    chunks = []
+    for value in fd.get(field, []):
+        if isinstance(value, (bytes, bytearray)):
+            chunks.append(decode_packed_floats(bytes(value)))
+        else:
+            chunks.append(np.asarray([as_float(value)], np.float32))
+    if not chunks:
+        return np.zeros(0, np.float32)
+    return np.concatenate(chunks)
+
+
 # -- transform.proto messages ---------------------------------------------------
 
 

@@ -165,9 +165,25 @@ class ActiveSubmaps3D:
             self._submaps.pop(0)
         high = self._make_high()
         low = self._make_low()
-        center = np.asarray(origin_local[:3], dtype=np.float32)
-        high = high._replace(meta=high.meta._replace(min_corner=high.meta.min_corner + jnp.asarray(center)))
-        low = low._replace(meta=low.meta._replace(min_corner=low.meta.min_corner + jnp.asarray(center)))
+        origin_t = np.asarray(origin_local[:3], np.float64)
+
+        def place(grid):
+            """Center the empty grid on the submap origin, snapped so that
+            voxel centers land on the reference's index*resolution lattice
+            in the submap frame (ref: hybrid_grid.h GetCenterOfCell) —
+            makes pbstream export lossless (io/pbstream_state.py). The
+            snap moves the EMPTY grid by at most half a voxel before any
+            insertion, so nothing is resampled."""
+            res = float(np.asarray(grid.meta.resolution))
+            mc = np.asarray(grid.meta.min_corner, np.float64) + origin_t
+            k = np.round((mc - origin_t) / res + 0.5)
+            mc_snapped = origin_t + (k - 0.5) * res
+            return grid._replace(
+                meta=grid.meta._replace(min_corner=jnp.asarray(mc_snapped, jnp.float32))
+            )
+
+        high = place(high)
+        low = place(low)
         self._submaps.append(
             Submap3D(
                 local_pose=NpRigid3(np.asarray(origin_local[:3], np.float64)),

@@ -216,6 +216,37 @@ def _load_pose_graph_from_state(path: str):
     return pg
 
 
+def cmd_state_convert(args) -> int:
+    """Convert between our .npz state container and the reference's full
+    .pbstream (submap grids, node data, pose graph — ref:
+    io/internal/mapping_state_serialization.cc, io/pbstream_main.cc)."""
+    from hectorgrapher_tpu.common.config import MapBuilderOptions
+    from hectorgrapher_tpu.io.pbstream_state import (
+        load_pbstream_state,
+        sniff_dim,
+        write_pbstream_state,
+    )
+    from hectorgrapher_tpu.io.serialization import load_state, save_state
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PoseGraph2D, PoseGraph3D
+
+    if args.input.endswith(".pbstream"):
+        cls = PoseGraph3D if sniff_dim(args.input) == 3 else PoseGraph2D
+        pg = cls(MapBuilderOptions().pose_graph)
+        load_pbstream_state(pg, args.input, load_frozen_state=False)
+    else:
+        pg = _load_pose_graph_from_state(args.input)
+    if args.output.endswith(".pbstream"):
+        write_pbstream_state(pg, args.output)
+    else:
+        save_state(pg, args.output)
+    print(
+        f"converted {args.input} -> {args.output} "
+        f"({len(pg.nodes)} nodes, {len(pg.submaps)} submaps, "
+        f"{len(pg.constraints)} constraints)"
+    )
+    return 0
+
+
 def cmd_paint_map(args) -> int:
     """Render a serialized state to a PNG: composited submaps + stroked
     trajectories (ref: io/submap_painter.cc PaintSubmapSlices +
@@ -697,6 +728,14 @@ def main(argv=None) -> int:
     p.add_argument("state")
     p.add_argument("output")
     p.set_defaults(fn=cmd_state_migrate)
+
+    p = sub.add_parser(
+        "state-convert",
+        help="convert a state file between .npz and the reference's full .pbstream",
+    )
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_state_convert)
 
     p = sub.add_parser("print-configuration", help="dump resolved options")
     p.add_argument("--override", action="append", help="dotted.key=json_value")
