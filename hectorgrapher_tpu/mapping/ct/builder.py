@@ -132,6 +132,9 @@ class OptimizingLocalTrajectoryBuilder:
         self._active_submaps = ActiveSubmaps3D(options.submaps, options.rotational_histogram_size)
         self._motion_filter = MotionFilter(options.motion_filter)
         self._extrapolator: Optional[PoseExtrapolator] = None
+        from hectorgrapher_tpu.mapping.frontend_metrics import FrontEndMetrics
+
+        self._frontend_metrics = FrontEndMetrics("ct_3d")
 
         self._imu_times: List[float] = []
         self._imu_acc: List[np.ndarray] = []
@@ -179,7 +182,20 @@ class OptimizingLocalTrajectoryBuilder:
         self._odom.append((time, pose))
         self._extrapolator.add_odometry_data(time, pose)
 
-    def add_range_data(self, data: TimedPointCloudData) -> Optional[MatchingResult]:
+    def add_range_data(self, data: TimedPointCloudData):
+        """Instrumented front-end step: publishes per-scan latency and
+        real-time ratios (ref: local_trajectory_builder_2d.cc:29-36,
+        optimizing_local_trajectory_builder.cc:1667-1678)."""
+        import time as _time
+
+        t0w, t0c = _time.perf_counter(), _time.thread_time()
+        result = self._add_range_data_impl(data)
+        self._frontend_metrics.observe_step(
+            float(data.time), _time.perf_counter() - t0w, _time.thread_time() - t0c
+        )
+        return result
+
+    def _add_range_data_impl(self, data: TimedPointCloudData) -> Optional[MatchingResult]:
         """(ref: AddRangeData :188-264)"""
         if self._extrapolator is None:
             return None  # IMU not yet initialized

@@ -73,6 +73,9 @@ class LocalTrajectoryBuilder2D:
             options.max_range,
         )
         self._is_tsdf = options.submaps.grid_options_2d.grid_type == "TSDF"
+        from hectorgrapher_tpu.mapping.frontend_metrics import FrontEndMetrics
+
+        self._frontend_metrics = FrontEndMetrics("2d")
 
     # -- sensor input ------------------------------------------------------
 
@@ -101,7 +104,20 @@ class LocalTrajectoryBuilder2D:
             self._extrapolator.add_pose(time, NpRigid3.identity())
         self._extrapolator.add_odometry_data(time, pose)
 
-    def add_range_data(self, data: TimedPointCloudData) -> Optional[MatchingResult]:
+    def add_range_data(self, data: TimedPointCloudData):
+        """Instrumented front-end step: publishes per-scan latency and
+        real-time ratios (ref: local_trajectory_builder_2d.cc:29-36,
+        optimizing_local_trajectory_builder.cc:1667-1678)."""
+        import time as _time
+
+        t0w, t0c = _time.perf_counter(), _time.thread_time()
+        result = self._add_range_data_impl(data)
+        self._frontend_metrics.observe_step(
+            float(data.time), _time.perf_counter() - t0w, _time.thread_time() - t0c
+        )
+        return result
+
+    def _add_range_data_impl(self, data: TimedPointCloudData) -> Optional[MatchingResult]:
         """(ref: local_trajectory_builder_2d.cc AddRangeData:104-210).
 
         Simplifications this round: single range sensor (no

@@ -60,6 +60,9 @@ class LocalTrajectoryBuilder3D:
         self._active_submaps = ActiveSubmaps3D(options.submaps, options.rotational_histogram_size)
         self._motion_filter = MotionFilter(options.motion_filter)
         self._extrapolator: Optional[PoseExtrapolator] = None
+        from hectorgrapher_tpu.mapping.frontend_metrics import FrontEndMetrics
+
+        self._frontend_metrics = FrontEndMetrics("classic_3d")
         self._cloud_cap = 4096
         self._P = 1024
         self._window = make_search_window_3d(
@@ -86,7 +89,20 @@ class LocalTrajectoryBuilder3D:
             return
         self._extrapolator.add_odometry_data(time, pose)
 
-    def add_range_data(self, data: TimedPointCloudData) -> Optional[MatchingResult3D]:
+    def add_range_data(self, data: TimedPointCloudData):
+        """Instrumented front-end step: publishes per-scan latency and
+        real-time ratios (ref: local_trajectory_builder_2d.cc:29-36,
+        optimizing_local_trajectory_builder.cc:1667-1678)."""
+        import time as _time
+
+        t0w, t0c = _time.perf_counter(), _time.thread_time()
+        result = self._add_range_data_impl(data)
+        self._frontend_metrics.observe_step(
+            float(data.time), _time.perf_counter() - t0w, _time.thread_time() - t0c
+        )
+        return result
+
+    def _add_range_data_impl(self, data: TimedPointCloudData) -> Optional[MatchingResult3D]:
         """(ref: local_trajectory_builder_3d.cc AddRangeData — whole-scan
         unwarp via the extrapolated pose; num_accumulated_range_data=1)."""
         if self._extrapolator is None:

@@ -126,6 +126,7 @@ def _observe_constraint_score(kind: str, score: float) -> None:
 
 
 _BATCH_METRICS: Dict[str, object] = {}
+_RESIDUAL_HISTOGRAMS: Dict[str, object] = {}
 
 
 def _observe_batched_round(num_candidates: int) -> None:
@@ -243,6 +244,12 @@ class PoseGraphBase:
         # front-end keeps streaming — the reference's exact structure).
         self._lock = threading.RLock()
         self._opt_lock = threading.Lock()
+        # Multi-host solver plane (SURVEY §2.12 #3): when set, the SPA
+        # solve runs sharded over this mesh and `_solver_broadcast` (if
+        # any) ships each solve's inputs to follower processes so every
+        # participant enters the same collective program.
+        self._solver_mesh = None
+        self._solver_broadcast = None
         self._async = bool(getattr(options, "async_work_queue", False))
         self._work_queue: Optional[queue_mod.Queue] = None
         self._worker: Optional[threading.Thread] = None
@@ -393,6 +400,18 @@ class PoseGraphBase:
                 ids = getattr(self, "_landmark_ids", {})
                 if ids.get(name) in optimized_ids:
                     self._landmark_pose_overrides.pop(name)
+
+    def set_solver_mesh(self, mesh, broadcast=None) -> None:
+        """Install a device mesh for the back-end's device programs: the
+        batched constraint search runs sharded over it, and extras-free
+        SPA solves route through the sharded solvers (parallel/sharded.py).
+        `broadcast(op, payload)` — if given — is called before each sharded
+        solve so follower processes of a multi-host mesh run the same
+        program (cloud/solver_plane.py). None reverts to local devices."""
+        self._solver_mesh = mesh
+        self._solver_broadcast = broadcast
+        if mesh is not None:
+            set_constraint_search_mesh(mesh)
 
     def add_global_slam_optimization_callback(self, callback) -> None:
         """callback(num_optimizations) runs after every optimization round
@@ -680,10 +699,50 @@ class PoseGraphBase:
             self._run_optimization(num_iterations)
             self.num_optimizations += 1
             self._num_nodes_since_last_optimization = 0
+            if self._options.log_residual_histograms:
+                self._log_residual_histograms()
             with self._lock:
                 for trimmer in self.trimmers:
                     trimmer.trim(self)
         self._notify_global_optimization()
+
+    def _log_residual_histograms(self) -> None:
+        """Post-optimization constraint residual histograms, gated by
+        log_residual_histograms (ref: pose_graph.lua:88; the reference's
+        OptimizationProblem logs per-residual-family histograms under this
+        flag — here they land in the metrics registry / the Prometheus
+        endpoint instead of LOG(INFO))."""
+        from hectorgrapher_tpu.common.profiling import global_factory
+
+        if "trans" not in _RESIDUAL_HISTOGRAMS:
+            f = global_factory()
+            _RESIDUAL_HISTOGRAMS["trans"] = f.new_histogram_family(
+                "hg_pose_graph_residual_translation_m",
+                "post-optimization constraint translation residuals",
+                boundaries=[0.001, 0.003, 0.01, 0.03, 0.1, 0.3, 1.0, 3.0],
+            )
+            _RESIDUAL_HISTOGRAMS["rot"] = f.new_histogram_family(
+                "hg_pose_graph_residual_rotation_deg",
+                "post-optimization constraint rotation residuals",
+                boundaries=[0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0],
+            )
+        with self._lock:
+            snapshot = [
+                (
+                    c.tag,
+                    self.submaps[c.submap_index].global_pose,
+                    self.nodes[c.node_index].global_pose,
+                    c.zbar,
+                )
+                for c in self.constraints
+            ]
+        for tag, submap_pose, node_pose, zbar in snapshot:
+            actual = submap_pose.inverse().compose(node_pose)
+            dt = float(np.linalg.norm(actual.t - zbar.t))
+            dq = nq.quat_multiply(nq.quat_conjugate(zbar.q), actual.q)
+            angle = 2.0 * math.degrees(math.acos(min(1.0, abs(float(dq[0])))))
+            _RESIDUAL_HISTOGRAMS["trans"].add({"tag": tag}).observe(dt)
+            _RESIDUAL_HISTOGRAMS["rot"].add({"tag": tag}).observe(angle)
 
     # -- shared SPA writeback helpers ---------------------------------------
 
@@ -1192,6 +1251,26 @@ class PoseGraph2D(PoseGraphBase):
                 for name, idx in self._landmark_ids.items()
             }
             self._consume_landmark_overrides(set(self._landmark_ids.values()))
+        elif self._solver_mesh is not None:
+            # Multi-host / multi-chip SPA: constraints sharded over the
+            # mesh axis, normal equations psum-reduced (SURVEY §2.12 #3).
+            # The extras-augmented solve stays single-device for now — the
+            # extras families are O(nodes), the constraint assembly this
+            # shards is the O(C) term.
+            import jax
+
+            from hectorgrapher_tpu.parallel.sharded import solve_spa_2d_sharded
+
+            iters = min(num_iterations, 50)
+            # numpy pytrees: identical host-local numpy inputs act as
+            # replicated global values on a multi-process mesh (see
+            # cloud/solver_plane.py).
+            problem_np = jax.tree.map(np.asarray, problem)
+            if self._solver_broadcast is not None:
+                self._solver_broadcast("spa2d", (problem_np, iters))
+            sub_out, node_out, _ = solve_spa_2d_sharded(
+                problem_np, self._solver_mesh, num_iterations=iters
+            )
         else:
             sub_out, node_out, _ = solve_spa_2d(problem, num_iterations=min(num_iterations, 50))
         sub_out = np.asarray(sub_out)
@@ -1825,6 +1904,18 @@ class PoseGraph3D(PoseGraphBase):
                 for name, idx in self._landmark_ids.items()
             }
             self._consume_landmark_overrides(set(self._landmark_ids.values()))
+        elif self._solver_mesh is not None:
+            import jax
+
+            from hectorgrapher_tpu.parallel.sharded import solve_spa_3d_sharded
+
+            iters = min(num_iterations, 50)
+            problem_np = jax.tree.map(np.asarray, problem)  # see 2D branch
+            if self._solver_broadcast is not None:
+                self._solver_broadcast("spa3d", (problem_np, iters))
+            st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d_sharded(
+                problem_np, self._solver_mesh, num_iterations=iters
+            )
         else:
             st_o, sq_o, nt_o, nq_o, _ = solve_spa_3d(problem, num_iterations=min(num_iterations, 50))
         st_o, sq_o = np.asarray(st_o), np.asarray(sq_o)
