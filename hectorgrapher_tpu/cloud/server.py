@@ -93,6 +93,12 @@ class MapBuilderServer:
             )
             for name, fn in handlers.items()
         }
+        # Full RPC surface, exported so the wire fuzz test exercises every
+        # handler (tests/test_cloud.py) without hand-maintaining a copy.
+        self.method_names = list(handlers) + [
+            "ReceiveLocalSlamResults",
+            "ReceiveGlobalSlamOptimizations",
+        ]
         # Server-streaming subscriptions (ref: map_builder_service.proto
         # ReceiveLocalSlamResults / ReceiveGlobalSlamOptimizations — both
         # return server streams).

@@ -340,3 +340,98 @@ def test_query_and_lifecycle_rpcs(server):
     assert stub.pose_graph.trajectory_states()[tid] == "DELETED"
     assert stub.pose_graph.get_all_submap_poses() == []
     stub.close()
+
+
+class TestWireHardening:
+    """Malformed-payload fuzzing across the whole RPC surface (VERDICT r2
+    #10): every handler must reject hostile bytes with an RPC error — never
+    crash the server or execute code — and the server must keep serving."""
+
+    def _payloads(self):
+        import pickle
+
+        class Exploit:
+            def __reduce__(self):
+                import os
+
+                return (os.system, ("echo pwned",))
+
+        deep = [1]
+        cursor = deep
+        for _ in range(200):
+            nxt = [1]
+            cursor.append(nxt)
+            cursor = nxt
+        return {
+            "random_bytes": b"\x99\xf3garbage-not-a-pickle\x00\x01",
+            "truncated_pickle": pickle.dumps({"a": 1})[:-3],
+            "forbidden_type": pickle.dumps(Exploit()),
+            "nesting_bomb": pickle.dumps(deep),
+            "wrong_schema": pickle.dumps(12345),
+            "empty": b"",
+        }
+
+    def test_every_handler_survives_malformed_payloads(self, server):
+        import grpc
+
+        from hectorgrapher_tpu.cloud import wire
+        from hectorgrapher_tpu.cloud.server import SERVICE
+
+        channel = grpc.insecure_channel(f"127.0.0.1:{server.port}")
+        identity = lambda b: b
+        failures = []
+        for name in server.method_names:
+            for kind, payload in self._payloads().items():
+                streaming = name.startswith("Receive")
+                if streaming:
+                    call = channel.unary_stream(
+                        f"/{SERVICE}/{name}",
+                        request_serializer=identity,
+                        response_deserializer=identity,
+                        _registered_method=False,
+                    )
+                else:
+                    call = channel.unary_unary(
+                        f"/{SERVICE}/{name}",
+                        request_serializer=identity,
+                        response_deserializer=identity,
+                        _registered_method=False,
+                    )
+                try:
+                    result = call(payload, timeout=10)
+                    if streaming:
+                        list(result)
+                    # A handler MAY tolerate a schema-valid payload (e.g.
+                    # int request for a no-arg RPC); what it must never do
+                    # is crash the server — checked below.
+                except grpc.RpcError:
+                    pass  # expected: decode or handler rejection
+                except Exception as e:  # noqa: BLE001
+                    failures.append((name, kind, repr(e)))
+        assert not failures, failures
+
+        # The server is still alive and serving correct requests.
+        stub = MapBuilderStub(f"127.0.0.1:{server.port}")
+        tid = stub.add_trajectory_builder()
+        assert isinstance(tid, int)
+
+    def test_wire_caps(self):
+        import pickle
+
+        import pytest as _pytest
+
+        from hectorgrapher_tpu.cloud import wire
+
+        with _pytest.raises(wire.WirePayloadError):
+            wire.loads(b"x" * (wire.MAX_WIRE_BYTES + 1))
+        deep = [1]
+        cursor = deep
+        for _ in range(wire.MAX_DEPTH + 10):
+            nxt = [1]
+            cursor.append(nxt)
+            cursor = nxt
+        with _pytest.raises(wire.WirePayloadError):
+            wire.loads(pickle.dumps(deep))
+        # Well-formed payloads still pass.
+        out = wire.loads(wire.dumps({"a": np.arange(10)}))
+        np.testing.assert_array_equal(out["a"], np.arange(10))
