@@ -87,14 +87,22 @@ def _sharded_scores_2d(
             return score, pose.translation, pose.angle
 
         sc, pt, pa = jax.vmap(one)(clp, clm, it, ia, cs)
-        return jnp.where(cv, sc, -jnp.inf), pt, pa
+        sc = jnp.where(cv, sc, -jnp.inf)
+        # Replicate the (tiny) outputs: on a multi-HOST mesh a sharded
+        # output spans non-addressable devices and no process could fetch
+        # it; the tiled all_gather reconstructs global candidate order.
+        g = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        return g(sc), g(pt), g(pa)
 
     spec_s = P(axis)
+    # check_vma=False: the tiled all_gather makes every output replicated,
+    # which the static varying-mesh-axes check cannot infer.
     return jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(spec_s,) * 8,
-        out_specs=(spec_s, spec_s, spec_s),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
     )(
         levels,
         min_corners,
@@ -332,14 +340,19 @@ def _sharded_scores_3d(
             return score, low_score, pose.translation, pose.rotation
 
         sc, lsc, pt, pq = jax.vmap(one)(hp, hm, lp, lm, it, iq, sh, iy, cs)
-        return jnp.where(cv, sc, -jnp.inf), lsc, pt, pq
+        sc = jnp.where(cv, sc, -jnp.inf)
+        # Replicated outputs for multi-host fetchability (see the 2D
+        # variant).
+        g = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        return g(sc), g(lsc), g(pt), g(pq)
 
     spec = P(axis)
     return jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(spec,) * 15,
-        out_specs=(spec, spec, spec, spec),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,  # see the 2D variant
     )(
         pyramids, hi_min_corners, low_fields, lo_min_corners, histograms,
         batch.hi_positions, batch.hi_mask, batch.lo_positions, batch.lo_mask,

@@ -695,7 +695,42 @@ def cmd_map_builder_server(args) -> int:
             key, _, value = item.partition("=")
             kv[key] = json.loads(value)
         options = cfg.replace_deep(options, kv)
+
+    # Multi-host solver plane (VERDICT r2 #5; SURVEY §2.12 #3): every
+    # participating host joins one jax.distributed mesh. Process 0 runs
+    # the gRPC sensor edge + pose graph and broadcasts each sharded solve;
+    # the other processes run solver-plane followers executing the same
+    # device program so the cross-host collectives complete.
+    mesh = None
+    solver_leader = None
+    if args.multihost_coordinator:
+        from hectorgrapher_tpu.parallel.multihost import global_mesh, initialize_process
+
+        initialize_process(
+            args.multihost_coordinator,
+            args.multihost_num_processes,
+            args.multihost_process_id,
+        )
+        mesh = global_mesh()
+        print(
+            f"multihost mesh: {mesh.devices.size} devices across "
+            f"{args.multihost_num_processes} processes"
+        )
+        if args.multihost_process_id != 0:
+            from hectorgrapher_tpu.cloud.solver_plane import SolverPlaneFollower
+
+            follower = SolverPlaneFollower(args.solver_plane_address).start()
+            print(f"solver-plane follower listening on port {follower.port}")
+            follower.wait_for_shutdown()
+            return 0
+        if args.follower_addresses:
+            from hectorgrapher_tpu.cloud.solver_plane import SolverPlaneLeader
+
+            solver_leader = SolverPlaneLeader(args.follower_addresses.split(","))
+
     server = MapBuilderServer(MapBuilder(options), args.address)
+    if mesh is not None:
+        server.map_builder.pose_graph.set_solver_mesh(mesh, broadcast=solver_leader)
     server.start()
     print(f"map builder server listening on port {server.port}")
     exporter = None
