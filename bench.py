@@ -28,6 +28,15 @@ import time
 import numpy as np
 
 CPP_BASELINE_MATCHES_PER_S = 100.0
+# Measured stand-in baseline (VERDICT r2 #7): the reference's C++ tree
+# cannot be built offline (no Eigen/Ceres/absl/Lua/GMock on this machine —
+# docs/reference_cpp_build_attempt.log records the failed configure), so
+# the prescribed fallback was measured instead: this repo's own online
+# matcher at the identical operating point on CPU-JAX pinned to ONE core
+# (taskset -c 0, 2026-08-19, this machine). vs_baseline stays against the
+# deliberately GENEROUS 100/s C++ estimate; the measured ratio is reported
+# alongside it.
+MEASURED_CPU_1CORE_MATCHES_PER_S = 19.12
 
 # TPU v5e (v5 lite) single-chip peaks for the roofline columns:
 # 819 GB/s HBM bandwidth; 197 TFLOP/s bf16 MXU, ~1/4 of that for the f32
@@ -525,6 +534,9 @@ def main() -> None:
         matches_per_s, sm_extras = bench_scan_matcher()
         _RECORD["value"] = round(matches_per_s, 1)
         _RECORD["vs_baseline"] = round(matches_per_s / CPP_BASELINE_MATCHES_PER_S, 2)
+        _RECORD["vs_measured_cpu_1core"] = round(
+            matches_per_s / MEASURED_CPU_1CORE_MATCHES_PER_S, 1
+        )
         _RECORD.update(sm_extras)
     except Exception as e:
         _RECORD["error"] = f"scan matcher bench failed: {e}"

@@ -388,7 +388,14 @@ def _run_sequence_evaluation(args) -> int:
     from hectorgrapher_tpu.mapping.map_builder import MapBuilder
     from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
 
-    events = read_sequence_dir(args.sequence_dir)
+    if args.sequence_dir.endswith(".bag"):
+        # DRZ sequences ship as ROS bags (ref: /root/reference/README.md:
+        # 31-37); decode PointCloud2/Imu/Odometry into the same stream.
+        from hectorgrapher_tpu.io.rosbag import read_bag_sequence
+
+        events = read_bag_sequence(args.sequence_dir)
+    else:
+        events = read_sequence_dir(args.sequence_dir)
     n_range = sum(1 for e in events if e.kind == "range")
     if n_range == 0:
         print(f"no point-cloud files found in {args.sequence_dir}")
