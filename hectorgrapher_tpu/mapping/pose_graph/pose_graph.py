@@ -978,44 +978,108 @@ class PoseGraph2D(PoseGraphBase):
         self._matcher_cache[pg_submap.submap_id] = (depth, fast, gn)
         return fast, gn
 
-    def _get_pack_2d(self, needed_sids, depth: int, mesh):
-        """Device-resident pack of prepared matchers for the batched
-        constraint search. Rebuilt only when a needed submap is not packed
-        yet (a submap finished since the last round), when a trim removed
-        packed entries' caches, or when the mesh changed — finished grids
-        are immutable, so between rebuilds every round reuses the same
-        sharded device arrays (zero H2B re-upload)."""
-        from hectorgrapher_tpu.parallel.constraint_search import pack_submaps_2d
+    def _get_pack_2d(self, needed, depth: int, mesh):
+        """Device-resident packs for the batched constraint round: the
+        sharded fast-matcher pyramids AND the raw-grid GN pack. Rebuilt
+        only when a needed submap is not packed yet (a submap finished
+        since the last round), when a trim removed packed entries' caches,
+        or when the mesh changed — finished grids are immutable, so
+        between rebuilds every round reuses the same device arrays.
+
+        `needed` maps sid -> PgSubmap for this round's candidates. Host
+        copies of each submap's pyramid/grid are cached per sid, so an
+        incremental rebuild downloads only the newly finished submaps —
+        np.asarray on device arrays costs a full tunnel round-trip each,
+        which dominated production rounds before the cache."""
+        from hectorgrapher_tpu.mapping.grids import ensure_f32_grid
+        from hectorgrapher_tpu.mapping.probability_values import MIN_PROBABILITY
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            pack_submaps_2d_from_arrays,
+        )
 
         state = self._pack2d
         if (
             state is not None
             and state["depth"] == depth
             and state["mesh"] is mesh
-            and all(sid in state["slots"] for sid in needed_sids)
+            and all(sid in state["slots"] for sid in needed)
         ):
-            return state["slots"], state["packed"]
+            return state["slots"], state["packed"], state["gn"]
         prev_order = state["order"] if state is not None else []
         order = [sid for sid in prev_order if sid in self._matcher_cache]
-        order += [sid for sid in needed_sids if sid not in order]
-        prepared = []
+        order += [sid for sid in needed if sid not in order]
+        host = dict(state["host"]) if state is not None and state["depth"] == depth else {}
         keep = []
         for sid in order:
             cached = self._matcher_cache.get(sid)
-            if cached is not None and cached[0] == depth:
-                keep.append(sid)
-                prepared.append(cached[1])
-        if len({tuple(np.asarray(pm.flat_levels).shape) for pm in prepared}) != 1:
+            if cached is None or cached[0] != depth:
+                continue
+            if sid not in host:
+                fast = cached[1]
+                if sid in needed:  # new sids normally come from this round
+                    grid = needed[sid].submap.grid
+                else:  # host cache invalidated (depth change): re-download
+                    grid = self.submaps[self._submap_index_by_id[sid]].submap.grid
+                g32 = ensure_f32_grid(grid)
+                if isinstance(grid, TSDFGrid):
+                    vals = np.asarray(g32.tsd, np.float32)
+                    wts = np.asarray(g32.weight, np.float32)
+                    pad_value = float(grid.truncation_distance)
+                else:
+                    vals = np.asarray(g32.probability(), np.float32)
+                    wts = np.zeros_like(vals)
+                    pad_value = float(MIN_PROBABILITY)
+                host[sid] = {
+                    "levels": np.asarray(fast.flat_levels),
+                    "mc": np.asarray(fast.meta.min_corner, np.float32),
+                    "vals": vals,
+                    "wts": wts,
+                    "pad": pad_value,
+                }
+            keep.append(sid)
+        host = {sid: host[sid] for sid in keep}
+        if len({h["levels"].shape for h in host.values()}) != 1:
             raise NotImplementedError("mixed pyramid shapes")
-        packed = pack_submaps_2d(prepared, mesh)
+        res = None
+        for sid in keep:
+            g = self._matcher_cache[sid][1]
+            res = float(np.asarray(g.meta.resolution))
+            nx, ny = (int(v) for v in np.asarray(g.dims))
+            break
+        packed = pack_submaps_2d_from_arrays(
+            [(host[sid]["levels"], host[sid]["mc"]) for sid in keep],
+            res,
+            (nx, ny),
+            mesh,
+        )
+        s_pad = packed.s_per_dev * mesh.devices.size
+        import jax
+
+        gshape = host[keep[0]]["vals"].shape
+        vals_stack = np.zeros((s_pad,) + gshape, np.float32)
+        wts_stack = np.zeros((s_pad,) + gshape, np.float32)
+        mcs = np.zeros((s_pad, 2), np.float32)
+        for i, sid in enumerate(keep):
+            vals_stack[i] = host[sid]["vals"]
+            wts_stack[i] = host[sid]["wts"]
+            mcs[i] = host[sid]["mc"]
+        gn = {
+            "values": jax.device_put(vals_stack),
+            "weights": jax.device_put(wts_stack),
+            "min_corners": jax.device_put(mcs),
+            "resolution": res,
+            "pad_value": host[keep[0]]["pad"],
+        }
         self._pack2d = {
             "order": keep,
             "slots": {sid: i for i, sid in enumerate(keep)},
             "depth": depth,
             "mesh": mesh,
             "packed": packed,
+            "gn": gn,
+            "host": host,
         }
-        return self._pack2d["slots"], packed
+        return self._pack2d["slots"], packed, gn
 
     def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
@@ -1099,7 +1163,7 @@ class PoseGraph2D(PoseGraphBase):
         routed to their submap's owner, every gate/refinement identical to
         the serial _compute_constraint."""
         from hectorgrapher_tpu.mapping.scan_matching.gn_2d import (
-            match_gn_2d_fields_batched,
+            match_gn_2d_packed_grids,
         )
         from hectorgrapher_tpu.parallel.constraint_search import (
             sharded_fast_matches_2d_packed,
@@ -1108,11 +1172,22 @@ class PoseGraph2D(PoseGraphBase):
         cb = self._options.constraint_builder
         # Stacking requires uniform shapes (production grids are
         # fixed-extent per config; anything else -> serial fallback).
-        resolutions = {
-            float(np.asarray(p.submap.grid.meta.resolution)) for *_, p in gated_local
-        }
-        npts = {np.asarray(n.cloud.positions).shape[0] for _, _, n, _ in gated_local}
-        kinds = {isinstance(p.submap.grid, TSDFGrid) for *_, p in gated_local}
+        # Per-sid info cache: meta.resolution is a DEVICE scalar, so the
+        # uncached set comprehension cost one tunnel readback per
+        # candidate per round.
+        info = getattr(self, "_grid_info", None)
+        if info is None:
+            info = self._grid_info = {}
+        for _, sid, _, p in gated_local:
+            if sid not in info:
+                g = p.submap.grid
+                info[sid] = (
+                    float(np.asarray(g.meta.resolution)),
+                    isinstance(g, TSDFGrid),
+                )
+        resolutions = {info[sid][0] for _, sid, _, _ in gated_local}
+        npts = {n.cloud.mask.shape[0] for _, _, n, _ in gated_local}
+        kinds = {info[sid][1] for _, sid, _, _ in gated_local}
         if len(resolutions) != 1 or len(npts) != 1 or len(kinds) != 1:
             raise NotImplementedError("mixed candidate shapes")
         is_tsdf = kinds.pop()
@@ -1123,26 +1198,27 @@ class PoseGraph2D(PoseGraphBase):
             self._max_scan_range,
             cb.fast_correlative_scan_matcher.branch_and_bound_depth,
         )
-        # Per-submap matcher + GN artifacts come from the persistent cache
+        # Per-submap matcher artifacts come from the persistent cache
         # (built once per finished submap, ref:
-        # DispatchScanMatcherConstruction); the device-resident pack of all
-        # finished submaps is reused across rounds.
-        gn_by_sid: Dict[int, object] = {}
+        # DispatchScanMatcherConstruction); the device-resident packs of
+        # all finished submaps are reused across rounds.
+        needed: Dict[int, PgSubmap] = {}
         for _, sid, _, p in gated_local:
-            if sid not in gn_by_sid:
-                _, gn = self._submap_matcher(p, config.depth)
-                gn_by_sid[sid] = gn
+            if sid not in needed:
+                self._submap_matcher(p, config.depth)
+                needed[sid] = p
         mesh = constraint_search_mesh()
-        slot_by_sid, packed = self._get_pack_2d(gn_by_sid.keys(), config.depth, mesh)
-        gn_fields_by_sid = gn_by_sid
+        slot_by_sid, packed, gn_pack = self._get_pack_2d(needed, config.depth, mesh)
 
+        # Initials stay HOST-side numpy: a per-candidate jnp.asarray costs
+        # a device dispatch each; the packer uploads one stacked batch.
         candidates = []
         for _, sid, node, p in gated_local:
             init = p.global_pose.inverse().compose(node.global_pose)
             node_in_grid = p.submap.local_pose.compose(init)
             initial = Rigid2(
-                translation=jnp.asarray(node_in_grid.t[:2], jnp.float32),
-                angle=jnp.asarray(nq.quat_yaw(node_in_grid.q), jnp.float32),
+                translation=node_in_grid.t[:2].astype(np.float32),
+                angle=np.float32(nq.quat_yaw(node_in_grid.q)),
             )
             candidates.append((slot_by_sid[sid], node.cloud, initial))
         matches = sharded_fast_matches_2d_packed(packed, candidates, config, mesh)
@@ -1156,15 +1232,40 @@ class PoseGraph2D(PoseGraphBase):
         if not survivors:
             return results
 
+        # ONE batched GN launch against the raw-grid pack: slots + poses
+        # upload as single numpy arrays; clouds broadcast device-side when
+        # the round is one node against many submaps (the common case).
         pad = _pow2(len(survivors))
-        stacked_fields = _stack_trees(
-            [gn_fields_by_sid[gated_local[i][1]] for i, _ in survivors], pad
-        )
-        clouds = _stack_trees([gated_local[i][2].cloud for i, _ in survivors], pad)
-        poses = _stack_trees([pose for _, pose in survivors], pad)
+        slot_ids = np.zeros(pad, np.int32)
+        pose_t = np.zeros((pad, 2), np.float32)
+        pose_a = np.zeros(pad, np.float32)
+        for k, (i, pose) in enumerate(survivors):
+            slot_ids[k] = slot_by_sid[gated_local[i][1]]
+            pose_t[k] = np.asarray(pose.translation)
+            pose_a[k] = np.asarray(pose.angle)
+        for k in range(len(survivors), pad):  # pad lanes repeat lane 0
+            slot_ids[k] = slot_ids[0]
+            pose_t[k] = pose_t[0]
+            pose_a[k] = pose_a[0]
+        surv_clouds = [gated_local[i][2].cloud for i, _ in survivors]
+        if len({id(c) for c in surv_clouds}) == 1:
+            import jax
+
+            clouds = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (pad,) + x.shape),
+                surv_clouds[0],
+            )
+        else:
+            clouds = _stack_trees(surv_clouds, pad)
+        poses = Rigid2(translation=pose_t, angle=pose_a)
         cm = cb.ceres_scan_matcher
-        refined, _ = match_gn_2d_fields_batched(
-            stacked_fields,
+        refined, _ = match_gn_2d_packed_grids(
+            gn_pack["values"],
+            gn_pack["weights"],
+            gn_pack["min_corners"],
+            np.float32(gn_pack["resolution"]),
+            np.float32(gn_pack["pad_value"]),
+            slot_ids,
             clouds,
             poses,
             poses.translation,
@@ -1612,7 +1713,12 @@ class PoseGraph3D(PoseGraphBase):
         constraint search, rebuilt only when a new submap finished, a trim
         removed packed submaps, or the mesh changed (see _get_pack_2d —
         the 3D pyramids are far larger, so per-round re-upload would
-        dominate the round)."""
+        dominate the round). Also stacks the matchers' f32-ensured hi/lo
+        grids leaf-wise ("gn" packs) so the round's GN stage gathers its
+        survivors' grids by slot id on device instead of restacking
+        multi-MB grid trees per round."""
+        import jax
+
         from hectorgrapher_tpu.parallel.constraint_search import pack_submaps_3d
 
         state = self._pack3d
@@ -1621,7 +1727,7 @@ class PoseGraph3D(PoseGraphBase):
             and state["mesh"] is mesh
             and all(sid in state["slots"] for sid in needed_matchers)
         ):
-            return state["slots"], state["packed"]
+            return state["slots"], state["packed"], state["gn_hi"], state["gn_lo"]
         with self._lock:
             live = {
                 s.submap_id: s.matcher for s in self.submaps if s.matcher is not None
@@ -1631,16 +1737,20 @@ class PoseGraph3D(PoseGraphBase):
         order = [sid for sid in prev_order if sid in live]
         order += [sid for sid in live if sid not in order]
         matchers = [live[sid] for sid in order]
-        if len({tuple(np.asarray(m._pyramid_flat).shape) for m in matchers}) != 1:
+        if len({tuple(m._pyramid_flat.shape) for m in matchers}) != 1:
             raise NotImplementedError("mixed pyramid shapes")
         packed = pack_submaps_3d(matchers, mesh)
+        gn_hi = jax.tree.map(lambda *xs: jnp.stack(xs), *[m._high_grid for m in matchers])
+        gn_lo = jax.tree.map(lambda *xs: jnp.stack(xs), *[m._low_grid for m in matchers])
         self._pack3d = {
             "order": order,
             "slots": {sid: i for i, sid in enumerate(order)},
             "mesh": mesh,
             "packed": packed,
+            "gn_hi": gn_hi,
+            "gn_lo": gn_lo,
         }
-        return self._pack3d["slots"], packed
+        return self._pack3d["slots"], packed, gn_hi, gn_lo
 
     def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_3d.cc ComputeConstraint:191-296;
@@ -1727,11 +1837,20 @@ class PoseGraph3D(PoseGraphBase):
                     self._on_submap_finished(p)
                 matcher_by_sid[sid] = p.matcher
         matchers = list(matcher_by_sid.values())
-        pyr_shapes = {tuple(np.asarray(m._pyramid_flat).shape) for m in matchers}
-        low_shapes = {tuple(np.asarray(m._low_scores).shape) for m in matchers}
-        res_set = {float(np.asarray(m._high_grid.meta.resolution)) for m in matchers}
-        n_hi = {np.asarray(n.high_cloud.positions).shape[0] for _, _, n, _ in gated_local}
-        n_lo = {np.asarray(n.low_cloud.positions).shape[0] for _, _, n, _ in gated_local}
+        # .shape is array metadata (no transfer); per-sid resolution cache
+        # because meta.resolution is a device scalar (one tunnel readback
+        # per uncached float()).
+        info = getattr(self, "_grid_info", None)
+        if info is None:
+            info = self._grid_info = {}
+        for sid, m in matcher_by_sid.items():
+            if sid not in info:
+                info[sid] = float(np.asarray(m._high_grid.meta.resolution))
+        pyr_shapes = {tuple(m._pyramid_flat.shape) for m in matchers}
+        low_shapes = {tuple(m._low_scores.shape) for m in matchers}
+        res_set = {info[sid] for sid in matcher_by_sid}
+        n_hi = {n.high_cloud.positions.shape[0] for _, _, n, _ in gated_local}
+        n_lo = {n.low_cloud.positions.shape[0] for _, _, n, _ in gated_local}
         n_hist = {np.asarray(n.histogram).shape[0] for _, _, n, _ in gated_local}
         if (
             len(pyr_shapes) != 1
@@ -1747,22 +1866,29 @@ class PoseGraph3D(PoseGraphBase):
             fc, res_set.pop(), self._max_scan_range, False, 256
         )
         mesh = constraint_search_mesh()
-        slot_by_sid, packed = self._get_pack_3d(matcher_by_sid, mesh)
+        slot_by_sid, packed, gn_hi_pack, gn_lo_pack = self._get_pack_3d(
+            matcher_by_sid, mesh
+        )
 
+        hist_np: Dict[int, np.ndarray] = {}
         candidates = []
         for _, sid, node, p in gated_local:
             init = p.global_pose.inverse().compose(node.global_pose)
             node_in_grid = p.submap.local_pose.compose(init)
+            # Host-side numpy initials (one stacked upload in the packer).
             initial = Rigid3(
-                translation=jnp.asarray(node_in_grid.t, jnp.float32),
-                rotation=jnp.asarray(node_in_grid.q, jnp.float32),
+                translation=node_in_grid.t.astype(np.float32),
+                rotation=node_in_grid.q.astype(np.float32),
             )
+            h = hist_np.get(id(node.histogram))
+            if h is None:
+                h = hist_np[id(node.histogram)] = np.asarray(node.histogram)
             candidates.append(
                 (
                     slot_by_sid[sid],
                     node.high_cloud,
                     node.low_cloud,
-                    np.asarray(node.histogram),
+                    h,
                     initial,
                     float(nq.quat_yaw(node_in_grid.q)),
                 )
@@ -1790,16 +1916,37 @@ class PoseGraph3D(PoseGraphBase):
         pad = _pow2(len(survivors))
         # Refine against the matcher's f32-ensured grids (identical values
         # to the submap's own grids — dequantization is deterministic) so
-        # quantized and f32 submaps stack into one launch.
-        hi_grids = _stack_trees(
-            [gated_local[i][3].matcher._high_grid for i, _ in survivors], pad
-        )
-        lo_grids = _stack_trees(
-            [gated_local[i][3].matcher._low_grid for i, _ in survivors], pad
-        )
-        hi_clouds = _stack_trees([gated_local[i][2].high_cloud for i, _ in survivors], pad)
-        lo_clouds = _stack_trees([gated_local[i][2].low_cloud for i, _ in survivors], pad)
-        poses = _stack_trees([pose for _, pose in survivors], pad)
+        # quantized and f32 submaps stack into one launch. Grids come from
+        # the device-resident gn packs by slot gather; clouds broadcast
+        # when the round is one node (the common case); poses upload as
+        # one numpy stack.
+        import jax
+
+        slot_ids = np.zeros(pad, np.int32)
+        pose_t = np.zeros((pad, 3), np.float32)
+        pose_q = np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))
+        for k, (i, pose) in enumerate(survivors):
+            slot_ids[k] = slot_by_sid[gated_local[i][1]]
+            pose_t[k] = np.asarray(pose.translation)
+            pose_q[k] = np.asarray(pose.rotation)
+        for k in range(len(survivors), pad):  # pad lanes repeat lane 0
+            slot_ids[k] = slot_ids[0]
+            pose_t[k] = pose_t[0]
+            pose_q[k] = pose_q[0]
+        idx = jnp.asarray(slot_ids)
+        hi_grids = jax.tree.map(lambda x: x[idx], gn_hi_pack)
+        lo_grids = jax.tree.map(lambda x: x[idx], gn_lo_pack)
+
+        def bcast_or_stack(items):
+            if len({id(c) for c in items}) == 1:
+                return jax.tree.map(
+                    lambda x: jnp.broadcast_to(x[None], (pad,) + x.shape), items[0]
+                )
+            return _stack_trees(items, pad)
+
+        hi_clouds = bcast_or_stack([gated_local[i][2].high_cloud for i, _ in survivors])
+        lo_clouds = bcast_or_stack([gated_local[i][2].low_cloud for i, _ in survivors])
+        poses = Rigid3(translation=pose_t, rotation=pose_q)
         cm = cb.ceres_scan_matcher_3d
         refined, _ = match_gn_3d_batched(
             hi_grids,

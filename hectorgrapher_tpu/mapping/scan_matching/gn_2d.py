@@ -475,3 +475,95 @@ def match_gn_2d_fields_batched(
         ),
         in_axes=(0, 0, 0, 0),
     )(stacked_fields, clouds, initial_poses, target_translations)
+
+
+def _gather_wide_from_values(values, min_corner, resolution, world, pad_value,
+                             slack: int = _GN_SLACK):
+    """Wide (N, (4+2*slack)^2) rows gathered DIRECTLY from a raw (nx, ny)
+    grid — the same rows prepare_field_2d_wide tabulates, without the
+    per-submap 100x table blowup. Used by the loop-closure fan-out, where
+    every candidate refines against a different submap: packing all
+    finished submaps' wide tables device-resident would cost ~26 MB each
+    (vs 0.26 MB raw), and re-stacking tables per round dominated the
+    production constraint round. Element gathers instead of row gathers
+    cost ~w^2 more gather rows, but only for ONE gather per solve (rows
+    are carried across LM iterations)."""
+    nx, ny = values.shape
+    w = 4 + 2 * slack
+    u = (world - min_corner) / resolution - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32) - (1 + slack)  # (N, 2) patch corner
+    lane = jnp.arange(w * w, dtype=jnp.int32)
+    ix = i0[..., 0:1] + (lane // w)[None, :]
+    iy = i0[..., 1:2] + (lane % w)[None, :]
+    ok = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    flat = jnp.where(ok, ix * ny + iy, 0)
+    rows = values.reshape(-1)[flat]
+    return jnp.where(ok, rows.astype(jnp.float32), pad_value)
+
+
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+def match_gn_2d_packed_grids(
+    values_stack,  # (S_pad, nx, ny) probability or tsd values
+    weight_stack,  # (S_pad, nx, ny) tsdf weights (any 1-submap slice if not tsdf)
+    min_corners,  # (S_pad, 2)
+    resolution,  # scalar f32
+    pad_value,  # scalar f32: MIN_PROBABILITY or truncation_distance
+    slots,  # (C,) int32 — submap slot per candidate
+    clouds: PointCloud,  # (C, N, 3)/(C, N)
+    initial_poses: Rigid2,  # (C, ...) batched
+    target_translations,  # (C, 2)
+    occupied_space_weight,
+    translation_weight,
+    rotation_weight,
+    is_tsdf: bool,
+    num_iterations: int = 20,
+):
+    """Batched refinement against a device-resident RAW grid pack.
+
+    The loop-closure round's GN stage (ref: constraint_builder_2d.cc
+    ComputeConstraint's ceres_scan_matcher_.Match, one thread-pool task
+    per candidate): one vmap lane per surviving candidate, each gathering
+    its wide rows from its own submap's slot in the pack. The pack is the
+    GN analog of PackedSubmaps2D — built incrementally as submaps finish,
+    reused by every round, so a round uploads only poses and slot ids."""
+    from hectorgrapher_tpu.mapping.grids import GridMeta
+
+    def one(slot, clp, clm, it, ia, tt):
+        mc = min_corners[slot]
+        vals = values_stack[slot]
+        if is_tsdf:
+            wts = weight_stack[slot]
+            gather = lambda world: (
+                _gather_wide_from_values(vals, mc, resolution, world, pad_value),
+                _gather_wide_from_values(wts, mc, resolution, world, 0.0),
+            )
+            cost = _TsdfCost()
+        else:
+            gather = lambda world: _gather_wide_from_values(
+                vals, mc, resolution, world, pad_value
+            )
+            cost = _ProbabilityCost()
+        n = jnp.maximum(jnp.sum(clm), 1)
+        scale = occupied_space_weight / jnp.sqrt(n.astype(jnp.float32))
+        return _lm_grid_2d(
+            cost,
+            gather,
+            clp[:, :2],
+            clm,
+            scale,
+            Rigid2(translation=it, angle=ia),
+            tt,
+            translation_weight,
+            rotation_weight,
+            GridMeta(resolution=resolution, min_corner=mc),
+            num_iterations,
+        )
+
+    return jax.vmap(one)(
+        slots,
+        clouds.positions,
+        clouds.mask,
+        initial_poses.translation,
+        initial_poses.angle,
+        target_translations,
+    )

@@ -146,20 +146,43 @@ def pack_submaps_2d(
     for pm in prepared_submaps:
         assert np.asarray(pm.flat_levels).shape == (depth, F), "mixed pyramid shapes"
 
-    s_count = len(prepared_submaps)
+    host = [
+        (np.asarray(pm.flat_levels), np.asarray(pm.meta.min_corner))
+        for pm in prepared_submaps
+    ]
+    return pack_submaps_2d_from_arrays(host, res, (nx, ny), mesh, axis)
+
+
+def pack_submaps_2d_from_arrays(
+    host_arrays: Sequence[Tuple[np.ndarray, np.ndarray]],
+    resolution: float,
+    dims: Tuple[int, int],
+    mesh: Mesh,
+    axis: str = "graph",
+) -> PackedSubmaps2D:
+    """Pack from HOST copies of (flat_levels, min_corner) per submap.
+
+    The hot caller (PoseGraph2D._get_pack_2d) keeps these host copies in a
+    per-submap cache so an incremental repack (one submap finished since
+    the last round) downloads nothing: pack_submaps_2d's np.asarray on
+    device-resident pyramids costs one ~26 ms tunnel round-trip per submap
+    per rebuild, which dominated production constraint rounds."""
+    n_dev = mesh.devices.size
+    depth, F = host_arrays[0][0].shape
+    s_count = len(host_arrays)
     s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
     s_pad = s_per_dev * n_dev
     levels = np.zeros((s_pad, depth, F), np.float32)
     mcs = np.zeros((s_pad, 2), np.float32)
-    for i, pm in enumerate(prepared_submaps):
-        levels[i] = np.asarray(pm.flat_levels)
-        mcs[i] = np.asarray(pm.meta.min_corner)
+    for i, (lv, mc) in enumerate(host_arrays):
+        levels[i] = lv
+        mcs[i] = mc
     sharding = NamedSharding(mesh, P(axis))
     return PackedSubmaps2D(
         levels=jax.device_put(levels, sharding),
         min_corners=jax.device_put(mcs, sharding),
-        resolution=jnp.asarray(res, jnp.float32),
-        dims=(nx, ny),
+        resolution=jnp.asarray(resolution, jnp.float32),
+        dims=dims,
         s_per_dev=s_per_dev,
         count=s_count,
     )
@@ -195,7 +218,21 @@ def sharded_fast_matches_2d_packed(
     n_dev = mesh.devices.size
     if not candidates:
         return []
-    npts = np.asarray(candidates[0][1].positions).shape[0]
+    # Distinct-object host caches: a production round is one node against
+    # many submaps, so all its candidates share ONE cloud object — without
+    # the cache each np.asarray on a device-resident cloud costs a ~26 ms
+    # tunnel round-trip PER CANDIDATE (profiled at ~90% of the 9 s round).
+    _np_cache: dict = {}
+
+    def to_np(x, dtype=None):
+        key = id(x)
+        got = _np_cache.get(key)
+        if got is None:
+            got = np.asarray(x, dtype=dtype)
+            _np_cache[key] = got
+        return got
+
+    npts = to_np(candidates[0][1].positions).shape[0]
     s_per_dev = packed.s_per_dev
     nx, ny = packed.dims
 
@@ -217,10 +254,10 @@ def sharded_fast_matches_2d_packed(
         for k, ci in enumerate(lst):
             row = d * c_max + k
             si, cloud, init = candidates[ci]
-            clp[row] = np.asarray(cloud.positions)
-            clm[row] = np.asarray(cloud.mask)
-            it[row] = np.asarray(init.translation)
-            ia[row] = float(init.angle)
+            clp[row] = to_np(cloud.positions)
+            clm[row] = to_np(cloud.mask)
+            it[row] = to_np(init.translation)
+            ia[row] = to_np(init.angle)
             cs[row] = si - d * s_per_dev  # local slot on the owner
             cv[row] = True
             slot_of_candidate[ci] = row
@@ -251,14 +288,10 @@ def sharded_fast_matches_2d_packed(
     out: List[Tuple[float, Rigid2]] = []
     for ci in range(len(candidates)):
         row = slot_of_candidate[ci]
+        # Numpy-backed poses: per-candidate jnp.asarray would enqueue two
+        # device uploads each; callers stack survivors into ONE upload.
         out.append(
-            (
-                float(scores[row]),
-                Rigid2(
-                    translation=jnp.asarray(pose_t[row]),
-                    angle=jnp.asarray(pose_a[row]),
-                ),
-            )
+            (float(scores[row]), Rigid2(translation=pose_t[row], angle=pose_a[row]))
         )
     return out
 
@@ -460,13 +493,26 @@ def sharded_fast_matches_3d_packed(
     s_per_dev = packed.s_per_dev
     H = int(packed.histograms.shape[-1])
 
+    # Distinct-object host cache — see sharded_fast_matches_2d_packed: a
+    # round's candidates share one node's clouds, and each uncached
+    # np.asarray on a device array costs a tunnel round-trip.
+    _np_cache: dict = {}
+
+    def to_np(x):
+        key = id(x)
+        got = _np_cache.get(key)
+        if got is None:
+            got = np.asarray(x)
+            _np_cache[key] = got
+        return got
+
     per_dev: List[List[int]] = [[] for _ in range(n_dev)]
     for ci, cand in enumerate(candidates):
         per_dev[cand[0] // s_per_dev].append(ci)
     c_max = _pow2_pad(max(1, max(len(lst) for lst in per_dev)))
     c_pad = n_dev * c_max
-    n_hi = np.asarray(candidates[0][1].positions).shape[0]
-    n_lo = np.asarray(candidates[0][2].positions).shape[0]
+    n_hi = candidates[0][1].positions.shape[0]
+    n_lo = candidates[0][2].positions.shape[0]
 
     hp = np.zeros((c_pad, n_hi, 3), np.float32)
     hm = np.zeros((c_pad, n_hi), bool)
@@ -483,13 +529,13 @@ def sharded_fast_matches_3d_packed(
         for k, ci in enumerate(lst):
             row = d * c_max + k
             si, hi_cloud, lo_cloud, scan_hist, init, init_yaw = candidates[ci]
-            hp[row] = np.asarray(hi_cloud.positions)
-            hm[row] = np.asarray(hi_cloud.mask)
-            lp[row] = np.asarray(lo_cloud.positions)
-            lm[row] = np.asarray(lo_cloud.mask)
-            it[row] = np.asarray(init.translation)
-            iq[row] = np.asarray(init.rotation)
-            sh[row] = np.asarray(scan_hist)
+            hp[row] = to_np(hi_cloud.positions)
+            hm[row] = to_np(hi_cloud.mask)
+            lp[row] = to_np(lo_cloud.positions)
+            lm[row] = to_np(lo_cloud.mask)
+            it[row] = to_np(init.translation)
+            iq[row] = to_np(init.rotation)
+            sh[row] = to_np(scan_hist)
             iy[row] = float(init_yaw)
             cs[row] = si - d * s_per_dev
             cv[row] = True
@@ -531,14 +577,13 @@ def sharded_fast_matches_3d_packed(
     out = []
     for ci in range(len(candidates)):
         row = slot_of_candidate[ci]
+        # Numpy-backed poses (see the 2D packed matcher): callers stack
+        # survivors into one upload instead of two dispatches per pose.
         out.append(
             (
                 float(scores[row]),
                 float(low_scores[row]),
-                Rigid3(
-                    translation=jnp.asarray(pose_t[row]),
-                    rotation=jnp.asarray(pose_q[row]),
-                ),
+                Rigid3(translation=pose_t[row], rotation=pose_q[row]),
             )
         )
     return out
