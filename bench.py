@@ -288,7 +288,18 @@ def bench_scan_matcher():
         cf, cb = _cost_analysis(corr_jit, clouds, initials)
         gf, gb = _cost_analysis(gn_jit, clouds, coarse, initials.translation)
         extras["roofline_correlative_b1024"] = _roofline(cf, cb, corr_med)
-        extras["roofline_gn_b1024"] = _roofline(gf, gb, gn_med)
+        gn_roof = _roofline(gf, gb, gn_med)
+        # Achieved gather rows/s vs the measured per-chip gather ceiling
+        # (440-675M rows/s, round 1): the GN stage gathers ONE wide
+        # (4+2*slack)^2-lane row per (candidate, point), carried across
+        # all LM iterations (gn_2d.py _lm_grid_2d docstring).
+        gn_rows = batch * int(cloud.mask.shape[0])
+        gn_roof["gather_rows"] = gn_rows
+        gn_roof["rows_per_s_m"] = round(gn_rows / gn_med / 1e6, 1)
+        gn_roof["pct_gather_ceiling_440m"] = round(
+            100.0 * gn_rows / gn_med / 440e6, 1
+        )
+        extras["roofline_gn_b1024"] = gn_roof
     except Exception as e:
         extras["roofline_error"] = str(e)
     return matches_per_s, extras
@@ -423,7 +434,50 @@ def bench_constraint_round(num_submaps: int = 32):
         t0 = time.perf_counter()
         pg.add_node(mknode(2.0 + k), [active])
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), num_submaps
+    # Per-stage breakdown of one more round (VERDICT r3 #2): device stages
+    # closed by forced readbacks inside the production path itself.
+    import hectorgrapher_tpu.mapping.pose_graph.pose_graph as pg_mod
+
+    pg_mod.ROUND_PROFILING = True
+    try:
+        pg.add_node(mknode(9.0), [active])  # warms the sync probes' compiles
+        pg.add_node(mknode(9.5), [active])
+        breakdown = {k2: round(v * 1e3, 1) for k2, v in pg_mod.LAST_ROUND_BREAKDOWN.items()}
+    finally:
+        pg_mod.ROUND_PROFILING = False
+    return float(np.median(times)), num_submaps, breakdown
+
+
+def bench_ct_perpoint():
+    """Per-point unwarping mode of the CT window solve (the accuracy
+    flagship, ref: optimizing_local_trajectory_builder.cc:513-926
+    use_per_point_unwarping) — measured with the same chained-dispatch
+    slope methodology as every other stage (the round-2 number used the
+    enqueue-contaminated timing round 3 disproved). Returns
+    (solves_per_s, ratio vs the per-scan solve)."""
+    import functools
+
+    import jax
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window
+
+    hi, lo, problem, state, weights = _build_ct_example()
+    step_pp = jax.jit(
+        functools.partial(
+            solve_ct_window, is_tsdf=True, num_iterations=8, per_point=True
+        )
+    )
+    step_ps = jax.jit(
+        functools.partial(
+            solve_ct_window, is_tsdf=True, num_iterations=8, per_point=False
+        )
+    )
+    _sync(step_pp(hi, lo, problem, state, weights))
+    _sync(step_ps(hi, lo, problem, state, weights))
+    pp_med, _ = _chain_time(lambda: step_pp(hi, lo, problem, state, weights), iters=16, repeats=3)
+    ps_med, _ = _chain_time(lambda: step_ps(hi, lo, problem, state, weights), iters=16, repeats=3)
+    return 1.0 / pp_med, pp_med / ps_med, pp_med, ps_med
 
 
 def bench_spa():
@@ -521,6 +575,7 @@ def _warm_up_backend(attempts: int = 5, backoff_s: float = 30.0, probe_timeout_s
     """
     last = ""
     for attempt in range(attempts):
+        _RECORD["backend_probes_attempted"] = attempt + 1
         ok, err = _probe_backend(probe_timeout_s)
         if ok:
             import jax.numpy as jnp
@@ -530,6 +585,7 @@ def _warm_up_backend(attempts: int = 5, backoff_s: float = 30.0, probe_timeout_s
             float(jnp.zeros(()) + 0.0)
             return
         last = err
+        _RECORD["backend_probes_failed"] = _RECORD.get("backend_probes_failed", 0) + 1
         print(f"backend probe {attempt + 1}/{attempts} failed: {err}", file=sys.stderr)
         if attempt + 1 < attempts:
             time.sleep(backoff_s)
@@ -581,11 +637,19 @@ def main() -> None:
     except Exception as e:
         _RECORD["ct_batched_error"] = str(e)
     try:
-        round_s, n_cands = bench_constraint_round()
+        round_s, n_cands, breakdown = bench_constraint_round()
         _RECORD["constraint_round_s"] = round(round_s, 4)
         _RECORD["constraint_round_candidates"] = n_cands
+        _RECORD["constraint_round_breakdown_ms"] = breakdown
     except Exception as e:
         _RECORD["constraint_round_error"] = str(e)
+    try:
+        pp_rate, pp_ratio, pp_med, ps_med = bench_ct_perpoint()
+        _RECORD["ct_perpoint_window_solves_per_s"] = round(pp_rate, 1)
+        _RECORD["ct_perpoint_solve_ms"] = round(pp_med * 1e3, 3)
+        _RECORD["ct_perpoint_vs_perscan_ratio"] = round(pp_ratio, 2)
+    except Exception as e:
+        _RECORD["ct_perpoint_error"] = str(e)
     try:
         spa_s, spa_extras = bench_spa()
         _RECORD["spa_solve_s"] = round(spa_s, 3)

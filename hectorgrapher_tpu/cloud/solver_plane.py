@@ -1,6 +1,6 @@
 """Multi-host solver plane: leader/follower execution of sharded solves.
 
-Topology (SURVEY §2.12 #3; VERDICT r2 #5): every host joins one
+Topology (SURVEY §2.12 #3; VERDICT r2 #5, r3 #1): every host joins one
 jax.distributed coordination service (parallel/multihost.py) and
 contributes its devices to the global mesh. The gRPC sensor edge and the
 pose-graph HOST state live on the LEADER process — the reference's
@@ -13,21 +13,37 @@ up across all hosts' devices.
 Why leader-driven instead of fully-replicated SPMD serving: sensor
 ingestion and loop-closure bookkeeping are irregular host work with no
 collective structure; replicating them in lockstep across hosts buys
-nothing. The solver plane ships ONE problem-sized payload per solve
-(numpy pytrees over the restricted wire codec) and gets every host's
-chips for the O(C) constraint assembly — the part that scales.
+nothing. The solver plane ships problem-sized payloads (numpy pytrees
+over the restricted wire codec) and gets every host's chips for the O(C)
+work — the parts that scale.
+
+Ops (every collective program the production pose graph launches):
+  spa2d / spa3d      — sharded SPA solves (payload: problem pytree, iters)
+  cs2d_pack/cs3d_pack — extend the follower's device-resident pack of
+                        finished-submap matcher state (payload: full slot
+                        order + host arrays for newly finished submaps;
+                        finished grids are immutable so each ships once)
+  cs2d / cs3d        — one batched loop-closure round (payload: the
+                        exact candidate arrays the leader launches with)
 
 The payloads are passed as NUMPY pytrees on every process: in
 multi-controller JAX, identical host-local numpy inputs to a jitted
 program over the global mesh are treated as replicated global values;
-process-local device arrays would be rejected.
+process-local device arrays would be rejected. (Pack payloads could be
+trimmed per follower to the slots its devices own — device_put only
+materializes addressable shards — but the broadcast keeps one payload.)
+
+Ordering: ops carry a leader-assigned sequence number and the follower
+executes strictly in sequence — two gRPC handler threads must never
+enqueue collective programs in an order different from the leader's
+launch order, or the meshes' program queues diverge and deadlock.
 """
 
 from __future__ import annotations
 
 import threading
 from concurrent import futures
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -35,23 +51,105 @@ from hectorgrapher_tpu.cloud import wire
 
 SERVICE = "hectorgrapher.SolverPlane"
 
+import os as _os
 
-def _solve(op: str, payload) -> None:
+_DEBUG = _os.environ.get("HG_SOLVER_PLANE_DEBUG") == "1"
+
+
+class _PackState:
+    """Follower-side mirror of the leader's device-resident constraint-
+    search packs (PoseGraph2D._pack2d / PoseGraph3D._pack3d)."""
+
+    def __init__(self):
+        self.host = {}  # sid -> host arrays
+        self.order: List[int] = []
+        self.packed = None
+        self.meta = {}
+
+
+class SolverState:
+    def __init__(self):
+        self.pack2d = _PackState()
+        self.pack3d = _PackState()
+
+
+def execute_op(op: str, payload, state: SolverState) -> None:
+    """Run one solver-plane op. The leader runs the same collective
+    programs through its pose graph; followers run them here."""
     import jax
 
     from hectorgrapher_tpu.parallel.multihost import global_mesh
-    from hectorgrapher_tpu.parallel.sharded import (
-        solve_spa_2d_sharded,
-        solve_spa_3d_sharded,
-    )
 
     mesh = global_mesh()
     if op == "spa2d":
+        from hectorgrapher_tpu.parallel.sharded import solve_spa_2d_sharded
+
         problem, iters = payload
         jax.block_until_ready(solve_spa_2d_sharded(problem, mesh, num_iterations=iters))
     elif op == "spa3d":
+        from hectorgrapher_tpu.parallel.sharded import solve_spa_3d_sharded
+
         problem, iters = payload
         jax.block_until_ready(solve_spa_3d_sharded(problem, mesh, num_iterations=iters))
+    elif op == "cs2d_pack":
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            pack_submaps_2d_from_arrays,
+        )
+
+        st = state.pack2d
+        st.host.update(payload["new"])
+        st.order = list(payload["order"])
+        st.host = {sid: st.host[sid] for sid in st.order}
+        st.meta = {"res": payload["res"], "dims": tuple(payload["dims"])}
+        st.packed = pack_submaps_2d_from_arrays(
+            [(st.host[sid]["levels"], st.host[sid]["mc"]) for sid in st.order],
+            st.meta["res"],
+            st.meta["dims"],
+            mesh,
+        )
+    elif op == "cs2d":
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+            FastSearchConfig,
+        )
+        from hectorgrapher_tpu.parallel.constraint_search import launch_fast_matches_2d
+
+        if state.pack2d.packed is None:
+            raise RuntimeError("cs2d before any cs2d_pack")
+        out = launch_fast_matches_2d(
+            state.pack2d.packed,
+            payload["arrays"],
+            FastSearchConfig(*payload["config"]),
+            mesh,
+        )
+        jax.block_until_ready(out)
+    elif op == "cs3d_pack":
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            pack_submaps_3d_from_arrays,
+        )
+
+        st = state.pack3d
+        st.host.update(payload["new"])
+        st.order = list(payload["order"])
+        st.host = {sid: st.host[sid] for sid in st.order}
+        st.packed = pack_submaps_3d_from_arrays(
+            [st.host[sid] for sid in st.order], mesh
+        )
+    elif op == "cs3d":
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+            FastSearch3DConfig,
+        )
+        from hectorgrapher_tpu.parallel.constraint_search import launch_fast_matches_3d
+
+        if state.pack3d.packed is None:
+            raise RuntimeError("cs3d before any cs3d_pack")
+        out = launch_fast_matches_3d(
+            state.pack3d.packed,
+            payload["arrays"],
+            FastSearch3DConfig(*payload["config"]),
+            mesh,
+            use_rotational=bool(payload["use_rotational"]),
+        )
+        jax.block_until_ready(out)
     else:
         raise ValueError(f"unknown solver-plane op {op!r}")
 
@@ -65,13 +163,39 @@ class SolverPlaneFollower:
 
         self._shutdown = threading.Event()
         self._server = grpc.server(futures.ThreadPoolExecutor(max_workers=4))
+        self._state = SolverState()
+        # Strict sequence execution (see module docstring): handler threads
+        # wait their turn so device programs enqueue in the leader's order.
+        self._seq_lock = threading.Lock()
+        self._seq_cv = threading.Condition(self._seq_lock)
+        self._next_seq = 0
 
         def execute(request, context):
-            op, payload = request
+            op, seq, payload = request
+            if _DEBUG:
+                print(f"solver-plane recv op={op} seq={seq}", flush=True)
             if op == "shutdown":
                 self._shutdown.set()
                 return True
-            _solve(op, payload)
+            with self._seq_cv:
+                while seq != self._next_seq:
+                    if not self._seq_cv.wait(timeout=300.0):
+                        raise RuntimeError(
+                            f"solver-plane seq stall: waiting for {self._next_seq}, got {seq}"
+                        )
+                try:
+                    execute_op(op, payload, self._state)
+                except Exception:
+                    # Surface in the follower's log too: the leader only
+                    # sees the error on its NEXT broadcast, and a silent
+                    # handler failure reads as a mesh hang.
+                    import traceback
+
+                    traceback.print_exc()
+                    raise
+                finally:
+                    self._next_seq = seq + 1
+                    self._seq_cv.notify_all()
             return True
 
         handler = grpc.unary_unary_rpc_method_handler(
@@ -103,6 +227,7 @@ class SolverPlaneLeader:
 
         self._calls = []
         self._channels = []
+        self._seq = 0
         for addr in follower_addresses:
             channel = grpc.insecure_channel(addr)
             self._channels.append(channel)
@@ -119,13 +244,24 @@ class SolverPlaneLeader:
     def __call__(self, op: str, payload) -> None:
         """Fire-and-proceed: the leader enters its own solve immediately;
         the follower joins the collective when the RPC lands. Errors from
-        the previous round surface here (a dead follower would otherwise
-        hang the mesh silently)."""
+        earlier ops surface here (a dead follower would otherwise hang the
+        mesh silently). In-flight futures are RETAINED until completion:
+        grpc cancels an RPC whose call object is garbage-collected, so
+        dropping a pending future would cancel the op mid-flight (the
+        round-4 bug: the pack op vanished when the round op replaced it,
+        and the follower stalled waiting for the missing sequence number)."""
+        still = []
         for f in self._pending:
-            exc = f.exception(timeout=0) if f.done() else None
-            if exc is not None:
-                raise RuntimeError(f"solver-plane follower failed: {exc}")
-        self._pending = [call.future((op, payload)) for call in self._calls]
+            if f.done():
+                exc = f.exception(timeout=0)
+                if exc is not None:
+                    raise RuntimeError(f"solver-plane follower failed: {exc}")
+            else:
+                still.append(f)
+        seq = self._seq
+        self._seq += 1
+        still.extend(call.future((op, seq, payload)) for call in self._calls)
+        self._pending = still
 
     def shutdown(self) -> None:
         for f in self._pending:
@@ -135,7 +271,7 @@ class SolverPlaneLeader:
                 pass
         for call in self._calls:
             try:
-                call(("shutdown", None), timeout=10)
+                call(("shutdown", 0, None), timeout=10)
             except Exception:
                 pass
         for channel in self._channels:

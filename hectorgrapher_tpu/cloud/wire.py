@@ -63,7 +63,7 @@ _ALLOWED = {
 
 # numpy 2 dtype classes (numpy.dtypes.Float64DType, ...) appear in pickles
 # of structured dtypes; they are data-only descriptors.
-_ALLOWED_MODULES = ("numpy.dtypes",)
+_ALLOWED_MODULES = ("numpy.dtypes", "ml_dtypes")
 
 
 class _RestrictedUnpickler(pickle.Unpickler):

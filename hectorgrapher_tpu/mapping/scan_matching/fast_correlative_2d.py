@@ -74,9 +74,18 @@ class PreparedFastMatcher2D(NamedTuple):
     """Per-submap precomputation (the reference's SubmapScanMatcher /
     PrecomputationGridStack2D, constraint_builder_2d.cc
     DispatchScanMatcherConstruction): build ONCE per finished submap and
-    reuse across every constraint candidate scored against it."""
+    reuse across every constraint candidate scored against it.
 
-    flat_levels: jax.Array  # (depth, nx*ny + 1) pyramid levels + OOB slot
+    Layout is tuned for the row-gather scoring kernel: each level stores
+    probability MINUS the 0.1 unknown score (so out-of-bounds lookups
+    contribute exactly 0 and the score adds 0.1 back analytically), with
+    one extra all-zero x-row at index nx that out-of-bounds x indices are
+    routed to. Scoring then gathers whole 256-lane y-rows and picks the
+    needed y cells with one-hot contractions on the MXU — the scalar-
+    gather formulation this replaces ran ~25x below the chip's gather
+    ceiling (measured round 4, 7.1 s per 32-candidate production round)."""
+
+    flat_levels: jax.Array  # (depth, nx + 1, ny): prob - 0.1; row nx = 0
     meta: object  # GridMeta
     dims: jax.Array  # (2,) int32
 
@@ -88,9 +97,13 @@ def prepare_fast_matcher_2d(grid: ProbabilityGrid, depth: int) -> PreparedFastMa
     grid = ensure_f32_grid(grid)  # finished submaps may be uint16-quantized
     prob = grid.probability()
     pyramid = precompute_pyramid_2d(prob, depth)
-    # Pad each level with a slot row for out-of-bounds (score 0.1).
-    flat_levels = jnp.stack(
-        [jnp.concatenate([p.reshape(-1), jnp.array([0.1], p.dtype)]) for p in pyramid]
+    # bf16 storage (TPU): the scores are means of [0, 0.8] values
+    # accumulated in f32, so bf16's ~3 significant digits cost ~1e-3
+    # absolute on a score gated at 0.45-0.66 — and the gathered-row
+    # traffic (the kernel's bound) halves. CPU keeps f32 (_level_dtype).
+    stack = (jnp.stack(pyramid) - 0.1).astype(_level_dtype())  # (depth, nx, ny)
+    flat_levels = jnp.concatenate(
+        [stack, jnp.zeros((depth, 1, prob.shape[1]), stack.dtype)], axis=1
     )
     return PreparedFastMatcher2D(
         flat_levels=flat_levels,
@@ -115,6 +128,31 @@ def match_fast_2d(
     )
 
 
+import os as _os
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _point_chunk() -> int:
+    """Point-chunk size: bounds the materialized (rows, ny) tensor per
+    scan step. On TPU the whole 512-point cloud in one step wins (fewer
+    sequential steps; 4 GB transient bf16 rows fit HBM); on CPU small
+    chunks keep the working set cache-sized."""
+    env = _os.environ.get("HG_FM_CHUNK")
+    if env:
+        return int(env)
+    return 512 if _on_tpu() else 32
+
+
+def _level_dtype():
+    """bf16 halves the gathered-row traffic on TPU (the kernel's bound);
+    CPU XLA emulates bf16 in software, so CPU (the test/CI backend) keeps
+    f32."""
+    return jnp.bfloat16 if _on_tpu() else jnp.float32
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def match_fast_2d_prepared(
     prepared: PreparedFastMatcher2D,
@@ -122,9 +160,60 @@ def match_fast_2d_prepared(
     initial_pose: Rigid2,
     config: FastSearchConfig,
 ) -> Tuple[jax.Array, Rigid2]:
-    flat_levels = prepared.flat_levels
-    nx, ny = prepared.dims[0], prepared.dims[1]
-    res = prepared.meta.resolution
+    levels = prepared.flat_levels  # (depth, nx+1, ny)
+    nx = levels.shape[1] - 1
+    ny = levels.shape[2]
+    return _match_fast_2d_core(
+        levels.reshape(-1, ny),
+        jnp.asarray(0, jnp.int32),
+        prepared.meta.resolution,
+        prepared.meta.min_corner,
+        nx,
+        ny,
+        cloud,
+        initial_pose,
+        config,
+    )
+
+
+def _match_fast_2d_core(
+    flat_table: jax.Array,  # (R, ny): stacked (submap, level, x) rows
+    row_base,  # int32 scalar: first row of this candidate's submap block
+    resolution,
+    min_corner,
+    nx: int,
+    ny: int,
+    cloud: PointCloud,
+    initial_pose: Rigid2,
+    config: FastSearchConfig,
+) -> Tuple[jax.Array, Rigid2]:
+    """Row-gather + one-hot-contraction scoring.
+
+    Score of candidate (t, ox, oy) at pyramid level L =
+    mean over valid points of [inside ? level[clamp(idx)] : 0.1], with
+    inside = idx in (-2^L, n) per axis — identical semantics to the
+    reference's PrecomputationGrid2D bound (negative block starts clamp to
+    0 because level[0] pools a superset; fully-outside blocks score the
+    0.1 unknown value; at level 0 the 2^0 span degenerates to idx >= 0).
+
+    Schedule: levels store (prob - 0.1) with a zero OOB x-row, so the
+    score is 0.1 + sum(contributions)/n_valid and every lookup gathers a
+    FULL 256-lane y-row once per (candidate-group, point, x-offset),
+    picking all needed y-offsets from it with a one-hot contraction that
+    XLA maps onto the MXU. The per-cell scalar-gather formulation this
+    replaces ran at ~27M lookups/s (7.1 s per 32-candidate production
+    round, round-4 profile); rows are shared across the dense offset grid
+    of the coarse stage (7 y-picks/row) and across the 2x2 children of
+    each branch-and-bound expansion (2 y-picks/row).
+
+    The table is passed FLAT with the candidate's submap selected by
+    `row_base` folded into the row index rather than by indexing a
+    batched operand: under vmap a per-candidate table operand lowers to a
+    batched gather that serializes over the batch (measured 4x slower
+    than the shared-operand form at the production operating point), while
+    a shared flat operand keeps the whole batch in one gather."""
+    depth_rows = nx + 1  # rows per level block
+    res = resolution
 
     n_th = 2 * config.num_angles + 1
     thetas = (jnp.arange(n_th, dtype=jnp.float32) - config.num_angles) * config.angle_step
@@ -135,45 +224,100 @@ def match_fast_2d_prepared(
     n_valid = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
 
     rotated = rot2(angles[:, None], pts[None, :, :]) + initial_pose.translation[None, None, :]
-    base_idx = cell_index(prepared.meta, rotated)  # (T, N, 2)
+    from hectorgrapher_tpu.mapping.grids import GridMeta
 
-    def score_candidates(level: int, cand_t, cand_ox, cand_oy):
-        """Mean pooled probability for candidates (K,) at pyramid level.
+    base_idx = cell_index(
+        GridMeta(resolution=resolution, min_corner=min_corner), rotated
+    )  # (T, N, 2)
 
-        At levels > 0 negative block starts clamp to 0: level[0] pools
-        [0, 2^level) which is a SUPERSET of the in-grid part of a block
-        starting below 0, so the bound stays admissible (the reference
-        extends the pooled grids by width-1 for the same reason,
-        PrecomputationGrid2D offset_). Fully-outside blocks and level-0
-        cells keep the exact 0.1 unknown score."""
-        idx = base_idx[cand_t]  # (K, N, 2)
-        ix = idx[..., 0] + cand_ox[:, None]
-        iy = idx[..., 1] + cand_oy[:, None]
-        if level > 0:
-            span = 2 ** level
-            inside = (ix > -span) & (ix < nx) & (iy > -span) & (iy < ny)
-            ix = jnp.maximum(ix, 0)
-            iy = jnp.maximum(iy, 0)
-        else:
-            inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
-        ok = inside & valid[None, :]
-        flat = jnp.where(ok, ix * ny + iy, nx * ny)
-        v = flat_levels[level][flat]
-        v = jnp.where(valid[None, :], v, 0.0)
-        return jnp.sum(v, axis=1) / n_valid
+    CH = _point_chunk()
+    n_pts = pts.shape[0]
+    pad = (-n_pts) % CH
+    nch = (n_pts + pad) // CH
+
+    def pad_pts(a, fill):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1
+            )
+        return a
+
+    bx = pad_pts(base_idx[..., 0], nx + 1)  # (T, P); pad lands OOB
+    by = pad_pts(base_idx[..., 1], ny + 1)
+    validp = pad_pts(valid, False)  # (P,)
+
+    def score_sum(level: int, ix, iy, bvalid):
+        """Summed (prob - 0.1) contributions.
+
+        ix: (..., P, X) candidate x-indices; iy: (..., P, Y); bvalid: (P,).
+        Returns (..., X, Y). Chunked over P so the gathered row tensor
+        stays bounded."""
+        base_row = row_base + level * depth_rows
+        span = 2 ** level
+
+        on_tpu = _on_tpu()
+
+        def body(acc, args):
+            ixc, iyc, bvc = args  # (..., CH, X), (..., CH, Y), (CH,)
+            x_in = (ixc > -span) & (ixc < nx)
+            ixg = jnp.where(x_in, jnp.maximum(ixc, 0), nx)
+            y_in = (iyc > -span) & (iyc < ny)
+            # Clamp (negative starts read row/lane 0, same as ix) then
+            # route masked-out picks to -1 so no lane matches.
+            iyg = jnp.where(y_in & bvc[:, None], jnp.clip(iyc, 0, ny - 1), -1)
+            if on_tpu:
+                rows = flat_table[base_row + ixg]  # (..., CH, X, ny)
+                # Virtual one-hot: the compare fuses into the reduce, so
+                # only the gathered rows are read — a materialized one-hot
+                # operand (einsum form) doubled the stage's HBM traffic
+                # (measured: 92 -> 76 ms per expansion level at the
+                # production shape).
+                lanes = jnp.arange(ny, dtype=iyg.dtype)
+                eq = iyg[..., None] == lanes  # (..., CH, Y, ny) — virtual
+                prod = jnp.where(
+                    eq[..., None, :, :], rows[..., :, None, :], flat_table.dtype.type(0)
+                )
+                contrib = jnp.sum(prod, axis=(-1, -4), dtype=jnp.float32)
+            else:
+                # CPU (test/CI backend): plain scalar picks — the one-hot
+                # contraction is a lanes-width FLOP blowup that only pays
+                # on the MXU, and CPU gathers are cheap.
+                flat1d = flat_table.reshape(-1)
+                pick = iyg >= 0  # (..., CH, Y)
+                idx = ((base_row + ixg)[..., :, None] * ny
+                       + jnp.maximum(iyg, 0)[..., None, :])  # (..., CH, X, Y)
+                v = flat1d[idx].astype(jnp.float32)
+                v = jnp.where(pick[..., :, None, :], v, 0.0)  # (..., CH, X, Y)
+                contrib = jnp.sum(v, axis=-3)
+            return acc + contrib, None
+
+        chunk = lambda a: jnp.moveaxis(
+            a.reshape(a.shape[:-2] + (nch, CH, a.shape[-1])), -3, 0
+        )
+        init = jnp.zeros(ix.shape[:-2] + (ix.shape[-1], iy.shape[-1]), jnp.float32)
+        acc, _ = jax.lax.scan(
+            body, init, (chunk(ix), chunk(iy), validp.reshape(nch, CH))
+        )
+        return acc
 
     k = config.top_k
     lc = config.linear_cells
     stride = 2 ** (config.depth - 1)
 
-    # Initial candidates: all angles x coarse blocks.
+    # Coarse stage: all angles x the dense stride-2^(depth-1) offset grid,
+    # one row gather per (angle, point, x-offset) serving every y-offset.
     n_blocks = 2 * ((lc + stride - 1) // stride) + 1
-    block_off = (jnp.arange(n_blocks) - n_blocks // 2) * stride - stride // 2
-    tt, bx, by = jnp.meshgrid(jnp.arange(n_th), block_off, block_off, indexing="ij")
+    block_off = (jnp.arange(n_blocks, dtype=jnp.int32) - n_blocks // 2) * stride - stride // 2
+    ix0 = bx[:, :, None] + block_off[None, None, :]  # (T, P, J)
+    iy0 = by[:, :, None] + block_off[None, None, :]
+    s0 = score_sum(config.depth - 1, ix0, iy0, validp)  # (T, J, J)
+    scores = 0.1 + s0.reshape(-1) / n_valid
+    tt, bxg, byg = jnp.meshgrid(
+        jnp.arange(n_th, dtype=jnp.int32), block_off, block_off, indexing="ij"
+    )
     cand_t = tt.reshape(-1)
-    cand_ox = bx.reshape(-1)
-    cand_oy = by.reshape(-1)
-    scores = score_candidates(config.depth - 1, cand_t, cand_ox, cand_oy)
+    cand_ox = bxg.reshape(-1)
+    cand_oy = byg.reshape(-1)
 
     def top(cands, scores, k):
         kk = min(k, scores.shape[0])
@@ -182,19 +326,25 @@ def match_fast_2d_prepared(
 
     (cand_t, cand_ox, cand_oy), scores = top((cand_t, cand_ox, cand_oy), scores, k)
 
-    # Coarse-to-fine: expand each survivor into 4 children at half stride.
+    # Coarse-to-fine: expand each survivor into its 2x2 children at half
+    # stride — 2 x-rows per (parent, point), 2 y-picks per row.
     for level in range(config.depth - 2, -1, -1):
-        half = 2**level
-        child_dx = jnp.array([0, 0, half, half], jnp.int32)
-        child_dy = jnp.array([0, half, 0, half], jnp.int32)
+        half = 2 ** level
+        dxy = jnp.array([0, half], jnp.int32)
+        cxs = jnp.clip(cand_ox[:, None] + dxy, -lc, lc)  # (K, 2)
+        cys = jnp.clip(cand_oy[:, None] + dxy, -lc, lc)  # (K, 2)
+        bxk = bx[cand_t]  # (K, P)
+        byk = by[cand_t]
+        ix = bxk[:, :, None] + cxs[:, None, :]  # (K, P, 2)
+        iy = byk[:, :, None] + cys[:, None, :]
+        s = score_sum(level, ix, iy, validp)  # (K, 2, 2): [x0y0 x0y1; x1y0 x1y1]
+        kk = cand_t.shape[0]
         ct = jnp.repeat(cand_t, 4)
-        cx = jnp.repeat(cand_ox, 4) + jnp.tile(child_dx, cand_ox.shape[0])
-        cy = jnp.repeat(cand_oy, 4) + jnp.tile(child_dy, cand_oy.shape[0])
-        # Clamp children to the search window.
-        cx = jnp.clip(cx, -lc, lc)
-        cy = jnp.clip(cy, -lc, lc)
-        s = score_candidates(level, ct, cx, cy)
-        (cand_t, cand_ox, cand_oy), scores = top((ct, cx, cy), s, k)
+        cx = jnp.broadcast_to(cxs[:, :, None], (kk, 2, 2)).reshape(-1)
+        cy = jnp.broadcast_to(cys[:, None, :], (kk, 2, 2)).reshape(-1)
+        (cand_t, cand_ox, cand_oy), scores = top(
+            (ct, cx, cy), 0.1 + s.reshape(-1) / n_valid, k
+        )
 
     best = jnp.argmax(scores)
     dx = cand_ox[best].astype(jnp.float32) * res

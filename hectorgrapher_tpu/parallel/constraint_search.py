@@ -20,6 +20,7 @@ placed.
 from __future__ import annotations
 
 import functools
+import time as _time
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -31,7 +32,7 @@ from hectorgrapher_tpu.mapping.grids import GridMeta
 from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
     FastSearchConfig,
     PreparedFastMatcher2D,
-    match_fast_2d_prepared,
+    _match_fast_2d_core,
 )
 from hectorgrapher_tpu.sensor.types import PointCloud
 from hectorgrapher_tpu.transform.rigid import Rigid2
@@ -46,6 +47,16 @@ def _pow2_pad(n: int) -> int:
         p *= 2
     return p
 
+
+
+def _put_sharded(arr: np.ndarray, sharding) -> jax.Array:
+    """Place a full host array as a global sharded array. Unlike
+    jax.device_put, this works on a MULTI-PROCESS mesh: each process
+    materializes only the shards its own devices address (the callback is
+    invoked per addressable shard with that shard's global index), so the
+    leader and every follower can build the same global array from the
+    same host copy without cross-process transfers."""
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 class CandidateBatch2D(NamedTuple):
     """Device-ready candidate arrays (C_pad = n_devices * per_device)."""
@@ -72,17 +83,26 @@ def _sharded_scores_2d(
     ny: int,
     axis: str = "graph",
 ):
-    dims = jnp.asarray([nx, ny], jnp.int32)
-
     def device_fn(levels_loc, mc_loc, clp, clm, it, ia, cs, cv):
+        # ONE shared flat table for the whole device: the candidate's
+        # submap is selected by folding a row offset into the gather index
+        # (see _match_fast_2d_core — a per-candidate table operand under
+        # vmap lowers to a batch-serialized gather, measured 4x slower).
+        s_loc, depth = levels_loc.shape[0], levels_loc.shape[1]
+        rows_per_submap = depth * (nx + 1)
+        flat_table = levels_loc.reshape(-1, ny)
+
         def one(clp1, clm1, it1, ia1, s1):
-            prepared = PreparedFastMatcher2D(
-                flat_levels=levels_loc[s1],
-                meta=GridMeta(resolution=resolution, min_corner=mc_loc[s1]),
-                dims=dims,
-            )
-            score, pose = match_fast_2d_prepared(
-                prepared, PointCloud(clp1, clm1), Rigid2(it1, ia1), config
+            score, pose = _match_fast_2d_core(
+                flat_table,
+                s1 * rows_per_submap,
+                resolution,
+                mc_loc[s1],
+                nx,
+                ny,
+                PointCloud(clp1, clm1),
+                Rigid2(it1, ia1),
+                config,
             )
             return score, pose.translation, pose.angle
 
@@ -139,12 +159,11 @@ def pack_submaps_2d(
     """Stack + shard prepared matchers over the mesh (submap i owned by
     device i // s_per_dev, contiguous blocks; s_per_dev pow2-padded so the
     pack grows through O(log S) shapes)."""
-    n_dev = mesh.devices.size
-    depth, F = np.asarray(prepared_submaps[0].flat_levels).shape
+    lshape = tuple(np.asarray(prepared_submaps[0].flat_levels).shape)
     res = float(np.asarray(prepared_submaps[0].meta.resolution))
     nx, ny = (int(v) for v in np.asarray(prepared_submaps[0].dims))
     for pm in prepared_submaps:
-        assert np.asarray(pm.flat_levels).shape == (depth, F), "mixed pyramid shapes"
+        assert tuple(np.asarray(pm.flat_levels).shape) == lshape, "mixed pyramid shapes"
 
     host = [
         (np.asarray(pm.flat_levels), np.asarray(pm.meta.min_corner))
@@ -168,19 +187,19 @@ def pack_submaps_2d_from_arrays(
     device-resident pyramids costs one ~26 ms tunnel round-trip per submap
     per rebuild, which dominated production constraint rounds."""
     n_dev = mesh.devices.size
-    depth, F = host_arrays[0][0].shape
+    lshape = host_arrays[0][0].shape  # (depth, nx+1, ny)
     s_count = len(host_arrays)
     s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
     s_pad = s_per_dev * n_dev
-    levels = np.zeros((s_pad, depth, F), np.float32)
+    levels = np.zeros((s_pad,) + lshape, host_arrays[0][0].dtype)  # bf16 pyramid storage
     mcs = np.zeros((s_pad, 2), np.float32)
     for i, (lv, mc) in enumerate(host_arrays):
         levels[i] = lv
         mcs[i] = mc
     sharding = NamedSharding(mesh, P(axis))
     return PackedSubmaps2D(
-        levels=jax.device_put(levels, sharding),
-        min_corners=jax.device_put(mcs, sharding),
+        levels=_put_sharded(levels, sharding),
+        min_corners=_put_sharded(mcs, sharding),
         resolution=jnp.asarray(resolution, jnp.float32),
         dims=dims,
         s_per_dev=s_per_dev,
@@ -205,19 +224,16 @@ def sharded_fast_matches_2d(
     return sharded_fast_matches_2d_packed(packed, candidates, config, mesh, axis)
 
 
-def sharded_fast_matches_2d_packed(
-    packed: PackedSubmaps2D,
+def build_candidate_arrays_2d(
     candidates: Sequence[Tuple[int, PointCloud, Rigid2]],
-    config: FastSearchConfig,
-    mesh: Mesh,
-    axis: str = "graph",
-) -> List[Tuple[float, Rigid2]]:
-    """One launch per round replaces the reference's one-task-per-candidate
-    thread-pool dispatch (constraint_builder_2d.cc:112-160). Candidates are
-    routed to the device owning their submap's pack slot."""
-    n_dev = mesh.devices.size
-    if not candidates:
-        return []
+    s_per_dev: int,
+    n_dev: int,
+) -> Tuple[dict, np.ndarray]:
+    """HOST-side candidate arrays for one 2D constraint round, routed to
+    each submap's owning device. Split out of the launch so a multi-host
+    leader can ship the exact arrays to followers (cloud/solver_plane.py):
+    every process device_puts the same global numpy arrays, then enters the
+    same collective launch. Returns (arrays dict, slot_of_candidate)."""
     # Distinct-object host caches: a production round is one node against
     # many submaps, so all its candidates share ONE cloud object — without
     # the cache each np.asarray on a device-resident cloud costs a ~26 ms
@@ -233,8 +249,6 @@ def sharded_fast_matches_2d_packed(
         return got
 
     npts = to_np(candidates[0][1].positions).shape[0]
-    s_per_dev = packed.s_per_dev
-    nx, ny = packed.dims
 
     # Route candidates to their submap's owning device.
     per_dev: List[List[int]] = [[] for _ in range(n_dev)]
@@ -261,17 +275,40 @@ def sharded_fast_matches_2d_packed(
             cs[row] = si - d * s_per_dev  # local slot on the owner
             cv[row] = True
             slot_of_candidate[ci] = row
+    arrays = {
+        "cloud_positions": clp,
+        "cloud_mask": clm,
+        "init_translation": it,
+        "init_angle": ia,
+        "submap_slot": cs,
+        "valid": cv,
+    }
+    return arrays, slot_of_candidate
 
+
+def launch_fast_matches_2d(
+    packed: PackedSubmaps2D,
+    arrays: dict,
+    config: FastSearchConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+):
+    """Upload one round's candidate arrays and run the collective matcher
+    launch. Called with IDENTICAL `arrays` by the leader and (via the
+    solver plane) every follower of a multi-host mesh so all processes
+    enter the same collective program. Returns device (scores, pose_t,
+    pose_a) in padded-row order."""
     sharding = NamedSharding(mesh, P(axis))
     batch = CandidateBatch2D(
-        cloud_positions=jax.device_put(clp, sharding),
-        cloud_mask=jax.device_put(clm, sharding),
-        init_translation=jax.device_put(it, sharding),
-        init_angle=jax.device_put(ia, sharding),
-        submap_slot=jax.device_put(cs, sharding),
-        valid=jax.device_put(cv, sharding),
+        cloud_positions=_put_sharded(arrays["cloud_positions"], sharding),
+        cloud_mask=_put_sharded(arrays["cloud_mask"], sharding),
+        init_translation=_put_sharded(arrays["init_translation"], sharding),
+        init_angle=_put_sharded(arrays["init_angle"], sharding),
+        submap_slot=_put_sharded(arrays["submap_slot"], sharding),
+        valid=_put_sharded(arrays["valid"], sharding),
     )
-    scores, pose_t, pose_a = _sharded_scores_2d(
+    nx, ny = packed.dims
+    return _sharded_scores_2d(
         packed.levels,
         packed.min_corners,
         packed.resolution,
@@ -282,9 +319,49 @@ def sharded_fast_matches_2d_packed(
         ny,
         axis,
     )
+
+
+def sharded_fast_matches_2d_packed(
+    packed: PackedSubmaps2D,
+    candidates: Sequence[Tuple[int, PointCloud, Rigid2]],
+    config: FastSearchConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+    broadcast=None,
+    profile: dict = None,
+) -> List[Tuple[float, Rigid2]]:
+    """One launch per round replaces the reference's one-task-per-candidate
+    thread-pool dispatch (constraint_builder_2d.cc:112-160). Candidates are
+    routed to the device owning their submap's pack slot. `broadcast`, if
+    given, is called with the round's host arrays BEFORE the collective
+    launch so multi-host followers can join it (the leader's pose graph
+    wires cloud/solver_plane.py here). `profile`, if given, receives
+    per-stage wall times with forced device syncs between stages (bench's
+    constraint_round_breakdown)."""
+    if not candidates:
+        return []
+    t0 = _time.perf_counter()
+    arrays, slot_of_candidate = build_candidate_arrays_2d(
+        candidates, packed.s_per_dev, mesh.devices.size
+    )
+    if profile is not None:
+        profile["cand_build"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+    if broadcast is not None:
+        broadcast(arrays)
+        if profile is not None:
+            profile["broadcast"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+    scores, pose_t, pose_a = launch_fast_matches_2d(packed, arrays, config, mesh, axis)
+    if profile is not None:
+        jax.device_get(scores.ravel()[:1])  # real completion, not enqueue
+        profile["fm_launch"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
     scores = np.asarray(scores)
     pose_t = np.asarray(pose_t)
     pose_a = np.asarray(pose_a)
+    if profile is not None:
+        profile["fm_readback"] = _time.perf_counter() - t0
     out: List[Tuple[float, Rigid2]] = []
     for ci in range(len(candidates)):
         row = slot_of_candidate[ci]
@@ -412,18 +489,39 @@ class PackedSubmaps3D(NamedTuple):
     count: int
 
 
-def pack_submaps_3d(matchers, mesh: Mesh, axis: str = "graph") -> PackedSubmaps3D:
-    """Stack + shard FastCorrelativeScanMatcher3D state over the mesh."""
-    n_dev = mesh.devices.size
-    depth, F = np.asarray(matchers[0]._pyramid_flat).shape
-    lshape = tuple(np.asarray(matchers[0]._low_scores).shape)
-    hgrid = matchers[0]._high_grid
-    gshape = tuple(hgrid.tsd.shape if hasattr(hgrid, "tsd") else hgrid.log_odds.shape)
-    H = np.asarray(matchers[0]._histogram).shape[0]
-    hi_res = float(np.asarray(hgrid.meta.resolution))
-    lo_res = float(np.asarray(matchers[0]._low_grid.meta.resolution))
+def matcher_host_arrays_3d(matcher) -> dict:
+    """HOST copies of one FastCorrelativeScanMatcher3D's pack state —
+    downloaded once per finished submap by the pose graph's pack cache and
+    shipped to multi-host followers (finished grids are immutable)."""
+    hgrid = matcher._high_grid
+    return {
+        "pyr": np.asarray(matcher._pyramid_flat),
+        "hmc": np.asarray(hgrid.meta.min_corner, np.float32),
+        "low": np.asarray(matcher._low_scores),
+        "lmc": np.asarray(matcher._low_grid.meta.min_corner, np.float32),
+        "hist": np.asarray(matcher._histogram),
+        "hi_res": float(np.asarray(hgrid.meta.resolution)),
+        "lo_res": float(np.asarray(matcher._low_grid.meta.resolution)),
+        "grid_shape": tuple(
+            hgrid.tsd.shape if hasattr(hgrid, "tsd") else hgrid.log_odds.shape
+        ),
+    }
 
-    s_count = len(matchers)
+
+def pack_submaps_3d_from_arrays(
+    host_arrays: Sequence[dict], mesh: Mesh, axis: str = "graph"
+) -> PackedSubmaps3D:
+    """Pack from matcher_host_arrays_3d dicts: every process of a
+    multi-host mesh builds the identical globally-sharded pack from the
+    same host arrays (each device_put materializes only that process's
+    addressable shards)."""
+    n_dev = mesh.devices.size
+    a0 = host_arrays[0]
+    depth, F = a0["pyr"].shape
+    lshape = tuple(a0["low"].shape)
+    H = a0["hist"].shape[0]
+
+    s_count = len(host_arrays)
     s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
     s_pad = s_per_dev * n_dev
     pyr = np.zeros((s_pad, depth, F), np.float32)
@@ -431,26 +529,33 @@ def pack_submaps_3d(matchers, mesh: Mesh, axis: str = "graph") -> PackedSubmaps3
     low = np.zeros((s_pad,) + lshape, np.float32)
     lmc = np.zeros((s_pad, 3), np.float32)
     hist = np.zeros((s_pad, H), np.float32)
-    for i, m in enumerate(matchers):
-        assert np.asarray(m._pyramid_flat).shape == (depth, F), "mixed pyramid shapes"
-        pyr[i] = np.asarray(m._pyramid_flat)
-        hmc[i] = np.asarray(m._high_grid.meta.min_corner)
-        low[i] = np.asarray(m._low_scores)
-        lmc[i] = np.asarray(m._low_grid.meta.min_corner)
-        hist[i] = np.asarray(m._histogram)
+    for i, a in enumerate(host_arrays):
+        assert a["pyr"].shape == (depth, F), "mixed pyramid shapes"
+        pyr[i] = a["pyr"]
+        hmc[i] = a["hmc"]
+        low[i] = a["low"]
+        lmc[i] = a["lmc"]
+        hist[i] = a["hist"]
     sharding = NamedSharding(mesh, P(axis))
     return PackedSubmaps3D(
-        pyramids=jax.device_put(pyr, sharding),
-        hi_min_corners=jax.device_put(hmc, sharding),
-        low_fields=jax.device_put(low, sharding),
-        lo_min_corners=jax.device_put(lmc, sharding),
-        histograms=jax.device_put(hist, sharding),
-        hi_resolution=jnp.asarray(hi_res, jnp.float32),
-        lo_resolution=jnp.asarray(lo_res, jnp.float32),
-        grid_shape=gshape,
+        pyramids=_put_sharded(pyr, sharding),
+        hi_min_corners=_put_sharded(hmc, sharding),
+        low_fields=_put_sharded(low, sharding),
+        lo_min_corners=_put_sharded(lmc, sharding),
+        histograms=_put_sharded(hist, sharding),
+        hi_resolution=jnp.asarray(a0["hi_res"], jnp.float32),
+        lo_resolution=jnp.asarray(a0["lo_res"], jnp.float32),
+        grid_shape=tuple(a0["grid_shape"]),
         low_shape=lshape,
         s_per_dev=s_per_dev,
         count=s_count,
+    )
+
+
+def pack_submaps_3d(matchers, mesh: Mesh, axis: str = "graph") -> PackedSubmaps3D:
+    """Stack + shard FastCorrelativeScanMatcher3D state over the mesh."""
+    return pack_submaps_3d_from_arrays(
+        [matcher_host_arrays_3d(m) for m in matchers], mesh, axis
     )
 
 
@@ -474,28 +579,15 @@ def sharded_fast_matches_3d(
     )
 
 
-def sharded_fast_matches_3d_packed(
-    packed: PackedSubmaps3D,
-    candidates,
-    config: FastSearch3DConfig,
-    mesh: Mesh,
-    use_rotational: bool = True,
-    axis: str = "graph",
-):
-    """One sharded launch for a round's 3D candidates (submaps partitioned
-    by pack slot; candidates routed to their submap's owner). Returns
-    [(score, low_score, Rigid3 pose)] in candidate order — the caller
-    applies the min_score / low-resolution gates and GN refinement exactly
-    as the single-device path does."""
-    n_dev = mesh.devices.size
-    if not candidates:
-        return []
-    s_per_dev = packed.s_per_dev
-    H = int(packed.histograms.shape[-1])
-
-    # Distinct-object host cache — see sharded_fast_matches_2d_packed: a
-    # round's candidates share one node's clouds, and each uncached
-    # np.asarray on a device array costs a tunnel round-trip.
+def build_candidate_arrays_3d(
+    candidates, s_per_dev: int, n_dev: int, H: int
+) -> Tuple[dict, np.ndarray]:
+    """HOST-side candidate arrays for one 3D constraint round (see
+    build_candidate_arrays_2d — same split so a multi-host leader can ship
+    the exact arrays to followers)."""
+    # Distinct-object host cache — a round's candidates share one node's
+    # clouds, and each uncached np.asarray on a device array costs a
+    # tunnel round-trip.
     _np_cache: dict = {}
 
     def to_np(x):
@@ -540,21 +632,46 @@ def sharded_fast_matches_3d_packed(
             cs[row] = si - d * s_per_dev
             cv[row] = True
             slot_of_candidate[ci] = row
+    arrays = {
+        "hi_positions": hp,
+        "hi_mask": hm,
+        "lo_positions": lp,
+        "lo_mask": lm,
+        "init_translation": it,
+        "init_rotation": iq,
+        "scan_histogram": sh,
+        "initial_yaw": iy,
+        "submap_slot": cs,
+        "valid": cv,
+    }
+    return arrays, slot_of_candidate
 
+
+def launch_fast_matches_3d(
+    packed: PackedSubmaps3D,
+    arrays: dict,
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+):
+    """Upload one round's candidate arrays and enter the collective 3D
+    matcher launch (leader and every follower run this with identical
+    arrays). Returns device (scores, low_scores, pose_t, pose_q)."""
     sharding = NamedSharding(mesh, P(axis))
     batch = CandidateBatch3D(
-        hi_positions=jax.device_put(hp, sharding),
-        hi_mask=jax.device_put(hm, sharding),
-        lo_positions=jax.device_put(lp, sharding),
-        lo_mask=jax.device_put(lm, sharding),
-        init_translation=jax.device_put(it, sharding),
-        init_rotation=jax.device_put(iq, sharding),
-        scan_histogram=jax.device_put(sh, sharding),
-        initial_yaw=jax.device_put(iy, sharding),
-        submap_slot=jax.device_put(cs, sharding),
-        valid=jax.device_put(cv, sharding),
+        hi_positions=_put_sharded(arrays["hi_positions"], sharding),
+        hi_mask=_put_sharded(arrays["hi_mask"], sharding),
+        lo_positions=_put_sharded(arrays["lo_positions"], sharding),
+        lo_mask=_put_sharded(arrays["lo_mask"], sharding),
+        init_translation=_put_sharded(arrays["init_translation"], sharding),
+        init_rotation=_put_sharded(arrays["init_rotation"], sharding),
+        scan_histogram=_put_sharded(arrays["scan_histogram"], sharding),
+        initial_yaw=_put_sharded(arrays["initial_yaw"], sharding),
+        submap_slot=_put_sharded(arrays["submap_slot"], sharding),
+        valid=_put_sharded(arrays["valid"], sharding),
     )
-    scores, low_scores, pose_t, pose_q = _sharded_scores_3d(
+    return _sharded_scores_3d(
         packed.pyramids,
         packed.hi_min_corners,
         packed.low_fields,
@@ -569,6 +686,33 @@ def sharded_fast_matches_3d_packed(
         packed.low_shape,
         use_rotational,
         axis,
+    )
+
+
+def sharded_fast_matches_3d_packed(
+    packed: PackedSubmaps3D,
+    candidates,
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+    broadcast=None,
+):
+    """One sharded launch for a round's 3D candidates (submaps partitioned
+    by pack slot; candidates routed to their submap's owner). Returns
+    [(score, low_score, Rigid3 pose)] in candidate order — the caller
+    applies the min_score / low-resolution gates and GN refinement exactly
+    as the single-device path does. `broadcast`, if given, receives the
+    round's host arrays before the collective launch (multi-host)."""
+    if not candidates:
+        return []
+    arrays, slot_of_candidate = build_candidate_arrays_3d(
+        candidates, packed.s_per_dev, mesh.devices.size, int(packed.histograms.shape[-1])
+    )
+    if broadcast is not None:
+        broadcast(arrays)
+    scores, low_scores, pose_t, pose_q = launch_fast_matches_3d(
+        packed, arrays, config, mesh, use_rotational, axis
     )
     scores = np.asarray(scores)
     low_scores = np.asarray(low_scores)

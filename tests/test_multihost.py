@@ -145,11 +145,17 @@ for (sg, lg, pg_), (sl, ll, pl) in zip(res_global, res_local):
 assert res_global[0][0] > 0.3, res_global[0][0]
 print(f"proc {proc_id} FM3D OK score={res_global[0][0]:.2f}")
 
-# ---- 3. PoseGraph3D optimization through the solver plane ------------------
+# ---- 3-5. Production pose graph through the solver plane -------------------
+# 3: sharded SPA through the leader/follower plane.
+# 4: PRODUCTION PoseGraph2D.add_node -> batched loop-closure round on the
+#    2-process global mesh (the round-3 deadlock path), constraints
+#    asserted identical to a local-mesh run of the same sequence.
+# 5: the 3D variant of 4.
 from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
 from hectorgrapher_tpu.mapping.pose_graph.pose_graph import (
-    Constraint, PgNode, PgSubmap, PoseGraph3D,
+    Constraint, PgNode, PgSubmap, PoseGraph2D, PoseGraph3D,
 )
+from hectorgrapher_tpu.mapping.submap_2d import Submap2D
 from hectorgrapher_tpu.mapping.submap_3d import Submap3D
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
 
@@ -157,7 +163,7 @@ if proc_id == 1:
     from hectorgrapher_tpu.cloud.solver_plane import SolverPlaneFollower
 
     follower = SolverPlaneFollower(f"127.0.0.1:{follower_port}").start()
-    assert follower.wait_for_shutdown(timeout=300), "no shutdown from leader"
+    assert follower.wait_for_shutdown(timeout=1500), "no shutdown from leader"
     print("proc 1 FOLLOWER OK")
 else:
     import time as _time
@@ -200,11 +206,129 @@ else:
     pg.run_final_optimization(25)
     errs = [np.linalg.norm(pg.nodes[k].global_pose.t - truth[k]) for k in range(4)]
     assert max(errs) < 1e-3, errs
-    leader.shutdown()
     print(f"proc 0 SOLVERPLANE OK err={max(errs):.2e}")
+
+    # ---- 4. production 2D batched rounds on the global mesh ----------------
+    import jax.numpy as jnp2
+    from hectorgrapher_tpu.common.config import ProbabilityGridRangeDataInserterOptions2D
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
+    from hectorgrapher_tpu.mapping.grids import make_probability_grid
+    from hectorgrapher_tpu.mapping.inserters_2d import make_probability_inserter_2d
+    from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+
+    opts2 = replace_deep(
+        MapBuilderOptions(),
+        {
+            "pose_graph.async_work_queue": False,
+            "pose_graph.optimize_every_n_nodes": 3,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 100.0,
+            "pose_graph.constraint_builder.min_score": 0.3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.linear_search_window": 0.4,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.branch_and_bound_depth": 3,
+        },
+    ).pose_graph
+    grid2 = make_probability_grid(0.1, (64, 64))
+    ins2 = make_probability_inserter_2d(
+        ProbabilityGridRangeDataInserterOptions2D(), max_range=6.0, resolution=0.1
+    )
+    pts2 = raycast_rect_room_2d(np.zeros(2), 0.0, half_width=2.5, half_height=2.1, num_rays=240)
+    pts2 = pts2[~np.isnan(pts2[:, 0])].astype(np.float32)
+    cloud2 = pad_cloud(pts2, 256)
+    grid2 = ins2(
+        grid2,
+        RangeData(origin=jnp2.zeros(3, jnp2.float32), returns=cloud2,
+                  misses=pad_cloud(np.zeros((0, 3), np.float32), 8)),
+    )
+
+    def run_graph_2d(use_global_mesh):
+        g = PoseGraph2D(opts2, max_scan_range=6.0)
+        if use_global_mesh:
+            g.set_solver_mesh(mesh, broadcast=leader)
+        for i in range(4):
+            sm = Submap2D(local_pose=NpRigid3(np.zeros(3)), grid=grid2,
+                          insertion_finished=True)
+            node = PgNode(time=0.1 * i, local_pose=NpRigid3(np.zeros(3)),
+                          global_pose=NpRigid3.identity(), cloud=cloud2)
+            g.add_node(node, [sm])
+        return [
+            (c.submap_index, c.node_index, tuple(np.round(c.zbar.t, 5)))
+            for c in g.constraints if c.tag == "INTER"
+        ]
+
+    import hectorgrapher_tpu.mapping.pose_graph.pose_graph as pg_mod
+
+    pg_mod.set_constraint_search_mesh(None)  # local default for the reference run
+    ref2 = run_graph_2d(False)
+    got2 = run_graph_2d(True)
+    assert ref2, "reference 2D run found no INTER constraints"
+    assert got2 == ref2, (got2, ref2)
+    print(f"proc 0 PROD2D OK inter={len(got2)}")
+
+    # ---- 5. production 3D batched rounds on the global mesh ----------------
+    from hectorgrapher_tpu.common.config import TSDFRangeDataInserterOptions3D as _T3
+    from hectorgrapher_tpu.mapping.inserters_3d import make_tsdf_inserter_3d as _mk3
+
+    opts3 = replace_deep(
+        MapBuilderOptions(),
+        {
+            "pose_graph.async_work_queue": False,
+            "pose_graph.optimize_every_n_nodes": 0,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 100.0,
+            "pose_graph.constraint_builder.min_score": 0.2,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.linear_xy_search_window": 0.6,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.linear_z_search_window": 0.3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.angular_search_window": np.radians(10.0),
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.branch_and_bound_depth": 3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_rotational_score": 0.1,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_low_resolution_score": 0.1,
+        },
+    ).pose_graph
+    ins_hi3 = _mk3(_T3(normal_computation_method="NONE", min_range=0.4, max_range=30.0), 0.2)
+    ins_lo3 = _mk3(_T3(normal_computation_method="NONE", min_range=0.4, max_range=30.0), 0.6)
+    hi3 = make_tsdf_grid(0.2, (32, 32, 16), truncation_distance=0.6, max_weight=1000.0)
+    lo3 = make_tsdf_grid(0.6, (12, 12, 8), truncation_distance=1.2, max_weight=1000.0)
+    pts3 = raycast_box_room_3d(np.zeros(3), nq.quat_identity(),
+                               half_extents=(2.0, 1.8, 1.0), num_azimuth=64, num_elevation=12)
+    pts3 = pts3[~np.isnan(pts3[:, 0])].astype(np.float32)
+    rd3 = RangeData(origin=jnp2.zeros(3, jnp2.float32), returns=pad_cloud(pts3, 1024),
+                    misses=pad_cloud(np.zeros((0, 3), np.float32), 4))
+    hi3, lo3 = ins_hi3(hi3, rd3), ins_lo3(lo3, rd3)
+    full3 = pad_cloud(pts3, 1024)
+    hist3 = np.asarray(compute_histogram(full3.positions, full3.mask, HIST))
+    hcloud3 = compact_cloud(voxel_filter(full3, 0.3), 128)
+    lcloud3 = compact_cloud(voxel_filter(full3, 0.6), 64)
+
+    def run_graph_3d(use_global_mesh):
+        g = PoseGraph3D(opts3, histogram_size=HIST, max_scan_range=6.0)
+        if use_global_mesh:
+            g.set_solver_mesh(mesh, broadcast=leader)
+        for i in range(3):
+            sm = Submap3D(local_pose=NpRigid3(np.zeros(3)),
+                          high_resolution_grid=hi3, low_resolution_grid=lo3,
+                          rotational_histogram=hist3, num_range_data=1,
+                          insertion_finished=True)
+            node = PgNode(time=0.1 * i, local_pose=NpRigid3(np.zeros(3)),
+                          global_pose=NpRigid3.identity(),
+                          high_cloud=hcloud3, low_cloud=lcloud3, histogram=hist3)
+            g.add_node(node, [sm])
+        return [
+            (c.submap_index, c.node_index, tuple(np.round(c.zbar.t, 5)))
+            for c in g.constraints if c.tag == "INTER"
+        ]
+
+    pg_mod.set_constraint_search_mesh(None)
+    ref3 = run_graph_3d(False)
+    got3 = run_graph_3d(True)
+    assert ref3, "reference 3D run found no INTER constraints"
+    assert got3 == ref3, (got3, ref3)
+    leader.shutdown()
+    print(f"proc 0 PROD3D OK inter={len(got3)}")
 """
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("HG_SKIP_MULTIPROCESS") == "1",
     reason="multi-process test disabled",
@@ -238,7 +362,7 @@ def test_two_process_global_mesh(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -248,4 +372,6 @@ def test_two_process_global_mesh(tmp_path):
     assert "SPA2D OK" in outs[0][1] and "SPA2D OK" in outs[1][1]
     assert "FM3D OK" in outs[0][1] and "FM3D OK" in outs[1][1]
     assert "SOLVERPLANE OK" in outs[0][1]
+    assert "PROD2D OK" in outs[0][1]
+    assert "PROD3D OK" in outs[0][1]
     assert "FOLLOWER OK" in outs[1][1]
