@@ -153,6 +153,11 @@ class SensorEvent:
     # range: (N,3) points in sensor frame; imu: (accel(3), gyro(3));
     # odometry: NpRigid3
     payload: object
+    # range only: (N,) per-point RELATIVE times (seconds from `time`),
+    # None when the source has no per-point timing (then the CT builder
+    # treats the scan as instantaneous). DRZ lidar bags carry these in
+    # the PointCloud2 `time` field.
+    times: object = None
 
 
 def read_imu_csv(path: str) -> List[SensorEvent]:

@@ -157,12 +157,16 @@ def _read_ros_header(buf: bytes, pos: int) -> Tuple[float, int]:
     return secs + nsecs * 1e-9, pos
 
 
-def decode_point_cloud2(raw: bytes) -> Tuple[float, np.ndarray, int]:
-    """sensor_msgs/PointCloud2 -> (stamp, (N,3) float32 xyz, width).
+def decode_point_cloud2(raw: bytes):
+    """sensor_msgs/PointCloud2 -> (stamp, (N,3) float32 xyz, width,
+    per-point times or None).
 
     Rows with non-finite coordinates are kept (the SLAM range filter
     drops them); the organized width is preserved for CLOUD_STRUCTURE
-    normals (ref: the reference's `width` addition, SURVEY §2.3)."""
+    normals (ref: the reference's `width` addition, SURVEY §2.3). A
+    float `time`/`t`/`time_offset` field (Velodyne/Ouster convention, the
+    DRZ sensors) is decoded as per-point relative times for the CT
+    builder's unwarping."""
     stamp, pos = _read_ros_header(raw, 0)
     height, width = struct.unpack_from("<II", raw, pos)
     pos += 8
@@ -195,25 +199,65 @@ def decode_point_cloud2(raw: bytes) -> Tuple[float, np.ndarray, int]:
         dt = np.dtype(_PC2_DTYPES[datatype]).newbyteorder("<")
         vals = arr[:, offset : offset + dt.itemsize].copy().view(dt)[:, 0]
         out[:, k] = vals.astype(np.float32)
-    return stamp, out, int(width)
+    times = None
+    for tname in ("time", "t", "time_offset"):
+        if tname in by_name:
+            _, offset, datatype, _ = by_name[tname]
+            dt = np.dtype(_PC2_DTYPES[datatype]).newbyteorder("<")
+            tv = arr[:, offset : offset + dt.itemsize].copy().view(dt)[:, 0]
+            times = tv.astype(np.float32)
+            break
+    return stamp, out, int(width), times
 
 
-def encode_point_cloud2(stamp: float, points: np.ndarray, width: int = 0) -> bytes:
+def encode_point_cloud2(
+    stamp: float,
+    points: np.ndarray,
+    width: int = 0,
+    times: np.ndarray = None,
+    rings: np.ndarray = None,
+    intensities: np.ndarray = None,
+) -> bytes:
+    """With times/rings/intensities this emits the DRZ-sensor layout
+    (xyz f32 + intensity f32 + ring u16 + time f32, 20-byte point_step,
+    the Velodyne/Ouster driver convention) so synthesized dress-rehearsal
+    bags exercise the exact field-offset decoding the real sequences
+    need; bare xyz otherwise."""
     points = np.asarray(points, np.float32)
     n = len(points)
     width = width or n
     height = max(1, n // max(width, 1))
     secs = int(stamp)
     nsecs = int(round((stamp - secs) * 1e9))
+    rich = times is not None or rings is not None or intensities is not None
     out = struct.pack("<III", 0, secs, nsecs) + struct.pack("<I", 0)  # header, frame_id ""
     out += struct.pack("<II", height, width)
-    out += struct.pack("<I", 3)
-    for k, axis in enumerate(("x", "y", "z")):
-        out += struct.pack("<I", 1) + axis.encode()
-        out += struct.pack("<IBI", 4 * k, 7, 1)
+    fields = [(axis, 4 * k, 7, 1) for k, axis in enumerate(("x", "y", "z"))]
+    point_step = 12
+    if rich:
+        fields += [("intensity", 12, 7, 1), ("ring", 16, 4, 1), ("time", 18, 7, 1)]
+        point_step = 22
+    out += struct.pack("<I", len(fields))
+    for name, offset, datatype, count in fields:
+        out += struct.pack("<I", len(name)) + name.encode()
+        out += struct.pack("<IBI", offset, datatype, count)
     out += b"\x00"  # little endian
-    out += struct.pack("<II", 12, 12 * width)
-    payload = points[: height * width].tobytes()
+    out += struct.pack("<II", point_step, point_step * width)
+    m = height * width
+    if rich:
+        rows = np.zeros((m, point_step), np.uint8)
+        rows[:, 0:12] = points[:m].view(np.uint8).reshape(n, 12)[:m]
+        inten = np.asarray(
+            intensities if intensities is not None else np.zeros(n), np.float32
+        )[:m]
+        rows[:, 12:16] = inten.view(np.uint8).reshape(m, 4)
+        ring = np.asarray(rings if rings is not None else np.zeros(n), np.uint16)[:m]
+        rows[:, 16:18] = ring.view(np.uint8).reshape(m, 2)
+        tms = np.asarray(times if times is not None else np.zeros(n), np.float32)[:m]
+        rows[:, 18:22] = tms.view(np.uint8).reshape(m, 4)
+        payload = rows.tobytes()
+    else:
+        payload = points[:m].tobytes()
     out += struct.pack("<I", len(payload)) + payload
     out += b"\x01"  # is_dense
     return out
@@ -296,8 +340,10 @@ def read_bag_sequence(
         if msg.topic != chosen[kind]:
             continue
         if kind == "range":
-            stamp, points, width = decode_point_cloud2(msg.raw)
-            events.append(SensorEvent(time=stamp, kind="range", payload=points))
+            stamp, points, width, times = decode_point_cloud2(msg.raw)
+            events.append(
+                SensorEvent(time=stamp, kind="range", payload=points, times=times)
+            )
         elif kind == "imu":
             stamp, accel, gyro = decode_imu(msg.raw)
             events.append(SensorEvent(time=stamp, kind="imu", payload=(accel, gyro)))

@@ -117,6 +117,24 @@ class InsertionResult:
 
 
 @dataclass
+class PendingWindowSolve:
+    """One trajectory's ready CT window solve, split from its writeback so
+    a server can batch solves across trajectories (cloud/ct_batcher.py)."""
+
+    high_grid: object
+    low_grid: object
+    problem: object  # CtProblem
+    state0: object  # CtState
+    weights: object  # CtWeights
+    is_tsdf: bool
+    num_iterations: int
+    per_point: bool
+    direct: object  # Optional[DirectImuData]
+    cps: list
+    k: int
+
+
+@dataclass
 class MatchingResult:
     time: float
     local_pose: NpRigid3
@@ -132,6 +150,10 @@ class OptimizingLocalTrajectoryBuilder:
         self._active_submaps = ActiveSubmaps3D(options.submaps, options.rotational_histogram_size)
         self._motion_filter = MotionFilter(options.motion_filter)
         self._extrapolator: Optional[PoseExtrapolator] = None
+        # Optional hook: pending -> solved CtState. The multi-robot server
+        # installs cloud/ct_batcher.py here so window solves batch across
+        # trajectories; None = solve inline (_solve_window_direct).
+        self.window_solve_fn = None
         from hectorgrapher_tpu.mapping.frontend_metrics import FrontEndMetrics
 
         self._frontend_metrics = FrontEndMetrics("ct_3d")
@@ -377,7 +399,20 @@ class OptimizingLocalTrajectoryBuilder:
         return added
 
     def _solve_window(self) -> None:
-        """Build the static-shape problem and run the jitted solve."""
+        """Build the static-shape problem, solve, write the solution back.
+
+        The solve routes through `self.window_solve_fn` when set — the
+        multi-robot server installs cloud/ct_batcher.py's hook there so
+        windows from MANY trajectories solve as ONE batched launch
+        (solve_ct_window_batched), instead of one serial launch per
+        trajectory on the SLAM thread (the reference's shape,
+        map_builder_server.cc:157-176)."""
+        pending = self._build_window_solve()
+        solve_fn = self.window_solve_fn or self._solve_window_direct
+        solved = solve_fn(pending)
+        self._apply_window_solution(pending, solved)
+
+    def _build_window_solve(self) -> "PendingWindowSolve":
         K, C, P = self._K, self._C, self._P
         cps = list(self._control_points)
         k = min(len(cps), K)
@@ -539,23 +574,40 @@ class OptimizingLocalTrajectoryBuilder:
         )
         submap = self._active_submaps.matching_submap
         is_tsdf = self._active_submaps._is_tsdf
-        solved, final_cost, initial_cost = solve_ct_window(
-            submap.high_resolution_grid,
-            submap.low_resolution_grid,
-            problem,
-            state0,
-            weights,
+        return PendingWindowSolve(
+            high_grid=submap.high_resolution_grid,
+            low_grid=submap.low_resolution_grid,
+            problem=problem,
+            state0=state0,
+            weights=weights,
             is_tsdf=is_tsdf,
-            num_iterations=self._opt.max_num_iterations,
+            num_iterations=int(self._opt.max_num_iterations),
             per_point=bool(self._opt.use_per_point_unwarping),
             direct=direct,
+            cps=cps,
+            k=k,
         )
-        self.num_optimizations += 1
 
+    def _solve_window_direct(self, pending: "PendingWindowSolve"):
+        solved, final_cost, initial_cost = solve_ct_window(
+            pending.high_grid,
+            pending.low_grid,
+            pending.problem,
+            pending.state0,
+            pending.weights,
+            is_tsdf=pending.is_tsdf,
+            num_iterations=pending.num_iterations,
+            per_point=pending.per_point,
+            direct=pending.direct,
+        )
+        return solved
+
+    def _apply_window_solution(self, pending: "PendingWindowSolve", solved) -> None:
+        self.num_optimizations += 1
         new_trans = np.asarray(solved.translation)
         new_rot = np.asarray(solved.rotation)
         new_vel = np.asarray(solved.velocity)
-        for i, cp in enumerate(cps[:k]):
+        for i, cp in enumerate(pending.cps[: pending.k]):
             cp.state = CpState(
                 new_trans[i].astype(np.float64),
                 new_rot[i].astype(np.float64),

@@ -135,11 +135,44 @@ def match_fast_3d(
     yaw_scores,  # (2*num_yaw+1,) rotational-histogram scores per candidate
     config: FastSearch3DConfig,
 ):
+    return _match_fast_3d_core(
+        high_scores_pyramid_flat.reshape(-1),
+        jnp.asarray(0, jnp.int32),
+        grid_shape_meta,
+        grid_shape,
+        low_scores,
+        low_meta,
+        high_cloud,
+        low_cloud,
+        initial_pose,
+        yaw_scores,
+        config,
+    )
+
+
+def _match_fast_3d_core(
+    pyramid_flat1d,  # (depth * (nx*ny*nz+1),) — possibly MANY submaps' stacks
+    row_base,  # int32 scalar: start of this candidate's submap block
+    grid_shape_meta: GridMeta,
+    grid_shape: Tuple[int, int, int],
+    low_scores,  # (lx, ly, lz) low-res score field
+    low_meta: GridMeta,
+    high_cloud: PointCloud,
+    low_cloud: PointCloud,
+    initial_pose: Rigid3,
+    yaw_scores,  # (2*num_yaw+1,) rotational-histogram scores per candidate
+    config: FastSearch3DConfig,
+):
     """Core search. Returns (score, low_res_score, rotational_score, pose).
 
     initial_pose maps the scan's tracking frame into the grid (local)
     frame. Yaw candidates rotate about the z axis of the local frame.
-    """
+
+    The pyramid is addressed through ONE shared flat table with the
+    candidate's submap selected by `row_base` folded into the index: a
+    per-candidate table operand under vmap lowers to a batch-serialized
+    gather (the 2D matcher measured that pathology at 4x; see
+    fast_correlative_2d._match_fast_2d_core)."""
     nx, ny, nz = grid_shape
     res = grid_shape_meta.resolution
 
@@ -182,7 +215,8 @@ def match_fast_3d(
             )
         ok = inside & valid[None, :]
         flat = jnp.where(ok, (ix * ny + iy) * nz + iz, nx * ny * nz)
-        v = high_scores_pyramid_flat[level][flat]
+        level_base = row_base + level * (nx * ny * nz + 1)
+        v = pyramid_flat1d[level_base + flat]
         v = jnp.where(valid[None, :], v, 0.0)
         s = jnp.sum(v, axis=1) / n_valid
         # Gate yaw candidates failing the rotational-score threshold.

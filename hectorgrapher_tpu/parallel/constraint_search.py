@@ -427,6 +427,17 @@ def _sharded_scores_3d(
     yaws = (jnp.arange(n_yaw, dtype=jnp.float32) - config.num_yaw) * config.yaw_step
 
     def device_fn(pyr, hmc, low, lmc, hist, hp, hm, lp, lm, it, iq, sh, iy, cs, cv):
+        # One shared flat pyramid table per device; the candidate's submap
+        # is selected by a row offset folded into the gather index (a
+        # per-candidate operand under vmap batch-serializes the gather —
+        # see _match_fast_3d_core).
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+            _match_fast_3d_core,
+        )
+
+        rows_per_submap = pyr.shape[1] * pyr.shape[2]
+        flat_table = pyr.reshape(-1)
+
         def one(hp1, hm1, lp1, lm1, it1, iq1, sh1, iy1, s1):
             yaw_scores = match_histograms(hist[s1], sh1, yaws + iy1)
             if not use_rotational:
@@ -435,8 +446,9 @@ def _sharded_scores_3d(
                 # Beam-search yaw restriction (see FastCorrelativeScanMatcher3D._run).
                 kth = jnp.sort(yaw_scores)[-16]
                 yaw_scores = jnp.where(yaw_scores >= kth, yaw_scores, -1.0)
-            score, low_score, rot_score, pose = match_fast_3d(
-                pyr[s1],
+            score, low_score, rot_score, pose = _match_fast_3d_core(
+                flat_table,
+                s1 * rows_per_submap,
                 GridMeta(resolution=hi_resolution, min_corner=hmc[s1]),
                 grid_shape,
                 low[s1],

@@ -427,7 +427,12 @@ def _run_sequence_evaluation(args) -> int:
             tb.add_odometry_data(e.time, e.payload)
         else:
             pts = e.payload
-            cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), capacity)
+            # Per-point relative times (DRZ lidar bags) drive the CT
+            # builder's unwarping; sources without them are instantaneous.
+            times = getattr(e, "times", None)
+            if times is None:
+                times = np.zeros(len(pts), np.float32)
+            cloud = pad_timed_cloud(pts, np.asarray(times, np.float32), capacity)
             tb.add_range_data(
                 TimedPointCloudData(
                     time=jnp.asarray(e.time), origin=jnp.zeros(3, jnp.float32), ranges=cloud
@@ -441,7 +446,15 @@ def _run_sequence_evaluation(args) -> int:
     print(f"nodes: {len(pg.nodes)}  submaps: {len(pg.submaps)}  constraints: {len(pg.constraints)}")
     if not est_poses:
         return 1
-    mocap = os.path.join(args.sequence_dir, "mocap.csv")
+    if args.sequence_dir.endswith(".bag"):
+        # DRZ layout: ground truth sits next to the bag
+        # (<seq>.bag + <seq>.mocap.csv, or mocap.csv in the directory).
+        sidecar = args.sequence_dir[: -len(".bag")] + ".mocap.csv"
+        mocap = sidecar if os.path.exists(sidecar) else os.path.join(
+            os.path.dirname(args.sequence_dir) or ".", "mocap.csv"
+        )
+    else:
+        mocap = os.path.join(args.sequence_dir, "mocap.csv")
     if os.path.exists(mocap):
         gt = read_mocap_csv(mocap)
         gt_times = [t for t, _ in gt]

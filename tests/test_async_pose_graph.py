@@ -9,6 +9,7 @@ import time
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
 from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
@@ -73,6 +74,7 @@ def drive(mb: MapBuilder, n_steps=36):
 
 
 class TestAsyncPoseGraph:
+    @pytest.mark.slow
     def test_async_matches_sync(self):
         mb_sync = MapBuilder(make_options(False))
         poses, _ = drive(mb_sync)

@@ -101,6 +101,7 @@ class TestMapBuilder2D:
         assert max_err < 0.1 * travel, f"max global pose error {max_err}"
         assert float(np.mean(errs)) < 0.25, f"mean global pose error {np.mean(errs)}"
 
+    @pytest.mark.slow
     def test_loop_closure_found(self):
         """Drive two laps so that revisits create INTER constraints."""
         options = make_options()

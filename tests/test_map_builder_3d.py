@@ -4,6 +4,7 @@ graph on synthetic scans with IMU + odometry)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
 from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
@@ -52,6 +53,7 @@ def gt_pose(t, speed=0.25, rest=0.6):
     return np.array([x, 0.0, 0.0]), nq.quat_identity()
 
 
+@pytest.mark.slow
 def test_full_3d_slam_straight_drive():
     mb = MapBuilder(make_options())
     tb = mb.get_trajectory_builder(mb.add_trajectory_builder())
@@ -117,6 +119,7 @@ def loop_options():
     )
 
 
+@pytest.mark.slow
 def test_full_3d_slam_closed_loop_corrects_drift(tmp_path):
     """Out-and-back 3D drive through CT local SLAM + ASYNC pose graph.
     Odometry carries a growing x bias while the x walls are out of range;

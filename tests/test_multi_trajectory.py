@@ -4,6 +4,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
 from hectorgrapher_tpu.evaluation.scan_generator import raycast_rect_room_2d
@@ -49,6 +50,7 @@ def drive(tb, xs, t0, rng):
         )
 
 
+@pytest.mark.slow
 def test_second_trajectory_globally_localizes():
     mb = MapBuilder(make_options())
     rng = np.random.default_rng(0)

@@ -30,7 +30,7 @@ def make_messages():
 class TestCodecs:
     def test_point_cloud2_round_trip(self):
         pts = np.random.default_rng(1).uniform(-3, 3, (24, 3)).astype(np.float32)
-        stamp, out, width = rosbag.decode_point_cloud2(
+        stamp, out, width, _times = rosbag.decode_point_cloud2(
             rosbag.encode_point_cloud2(12.75, pts, width=6)
         )
         assert abs(stamp - 12.75) < 1e-6

@@ -35,12 +35,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _child(n_devices: int) -> None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_devices}"
-    )
+    # Platform + device count arrive via the parent's env (see main);
+    # re-assert through jax.config for safety against pre-imported jax.
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh
@@ -153,7 +152,16 @@ def main() -> None:
     rows = []
     for n in [int(x) for x in args.sizes.split(",")]:
         env = dict(os.environ)
-        env.pop("JAX_PLATFORMS", None)  # the child pins cpu itself
+        # Pin the CPU platform IN THE ENVIRONMENT: the ambient axon site
+        # hook imports jax during interpreter startup, so the child's own
+        # os.environ writes come too late and it would silently run (and
+        # OOM) on the tunneled TPU chip.
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n}"
+        )
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hg_tpu_jax_cache")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(n)],
             capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
