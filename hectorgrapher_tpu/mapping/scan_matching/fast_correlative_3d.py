@@ -136,7 +136,7 @@ def match_fast_3d(
     config: FastSearch3DConfig,
 ):
     return _match_fast_3d_core(
-        high_scores_pyramid_flat.reshape(-1),
+        high_scores_pyramid_flat.reshape(-1, high_scores_pyramid_flat.shape[-1]),
         jnp.asarray(0, jnp.int32),
         grid_shape_meta,
         grid_shape,
@@ -151,8 +151,8 @@ def match_fast_3d(
 
 
 def _match_fast_3d_core(
-    pyramid_flat1d,  # (depth * (nx*ny*nz+1),) — possibly MANY submaps' stacks
-    row_base,  # int32 scalar: start of this candidate's submap block
+    flat_table,  # (R, ny): stacked (submap, level, z, x) y-rows, value-0.1
+    row_base,  # int32 scalar: start row of this candidate's submap block
     grid_shape_meta: GridMeta,
     grid_shape: Tuple[int, int, int],
     low_scores,  # (lx, ly, lz) low-res score field
@@ -168,12 +168,24 @@ def _match_fast_3d_core(
     initial_pose maps the scan's tracking frame into the grid (local)
     frame. Yaw candidates rotate about the z axis of the local frame.
 
-    The pyramid is addressed through ONE shared flat table with the
-    candidate's submap selected by `row_base` folded into the index: a
-    per-candidate table operand under vmap lowers to a batch-serialized
-    gather (the 2D matcher measured that pathology at 4x; see
-    fast_correlative_2d._match_fast_2d_core)."""
+    Same schedule as the 2D matcher (fast_correlative_2d.
+    _match_fast_2d_core): pyramid levels store (score - 0.1) as y-minor
+    rows in a (z, x) row grid with one zero OOB row per level, addressed
+    through ONE shared flat table (row_base folds the submap in — a
+    per-candidate operand under vmap batch-serializes the gather). Each
+    gathered y-row serves EVERY y-offset of the coarse stage and both
+    y-children of an expansion, picked by a virtual one-hot that fuses
+    into the reduce; scoring is 0.1 + sum(contributions)/n_valid with
+    out-of-bounds contributing exactly 0. The low-edge clamp semantics
+    (span = 2^level; negative starts read index 0) match the reference's
+    PrecomputationGrid3D admissible bound."""
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+        _on_tpu,
+        _point_chunk,
+    )
+
     nx, ny, nz = grid_shape
+    rows_per_level = nz * nx + 1
     res = grid_shape_meta.resolution
 
     n_yaw = 2 * config.num_yaw + 1
@@ -193,34 +205,80 @@ def _match_fast_3d_core(
     rot = quat_rotate(yaw_q[:, None, :], rel[None, :, :]) + initial_pose.translation[None, None, :]
     base_idx = cell_index(grid_shape_meta, rot)  # (T, N, 3)
 
-    def score_candidates(level, cand_t, cand_ox, cand_oy, cand_oz):
-        # Low-edge admissibility: see fast_correlative_2d.score_candidates.
-        idx = base_idx[cand_t]
-        ix = idx[..., 0] + cand_ox[:, None]
-        iy = idx[..., 1] + cand_oy[:, None]
-        iz = idx[..., 2] + cand_oz[:, None]
-        if level > 0:
-            span = 2 ** level
-            inside = (
-                (ix > -span) & (ix < nx)
-                & (iy > -span) & (iy < ny)
-                & (iz > -span) & (iz < nz)
+    CH = _point_chunk()
+    n_pts = pts.shape[0]
+    pad = (-n_pts) % CH
+    nch = (n_pts + pad) // CH
+
+    def pad_pts(a, fill):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full(a.shape[:-1] + (pad,), fill, a.dtype)], axis=-1
             )
-            ix = jnp.maximum(ix, 0)
-            iy = jnp.maximum(iy, 0)
-            iz = jnp.maximum(iz, 0)
-        else:
-            inside = (
-                (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
-            )
-        ok = inside & valid[None, :]
-        flat = jnp.where(ok, (ix * ny + iy) * nz + iz, nx * ny * nz)
-        level_base = row_base + level * (nx * ny * nz + 1)
-        v = pyramid_flat1d[level_base + flat]
-        v = jnp.where(valid[None, :], v, 0.0)
-        s = jnp.sum(v, axis=1) / n_valid
-        # Gate yaw candidates failing the rotational-score threshold.
-        return jnp.where(yaw_ok[cand_t], s, -1.0)
+        return a
+
+    bx = pad_pts(base_idx[..., 0], nx + 1)  # (T, P); pads land OOB
+    by = pad_pts(base_idx[..., 1], ny + 1)
+    bz = pad_pts(base_idx[..., 2], nz + 1)
+    validp = pad_pts(valid, False)
+    on_tpu = _on_tpu()
+
+    def score_sum(level, ix, iy, iz, bvalid):
+        """Summed (score - 0.1) contributions.
+
+        ix: (..., P, X); iy: (..., P, Y); iz: (..., P, Z); bvalid: (P,).
+        Returns (..., X, Y, Z), chunked over P."""
+        base_row = row_base + level * rows_per_level
+        span = 2 ** level
+
+        def body(acc, args):
+            ixc, iyc, izc, bvc = args  # (..., CH, X/Y/Z), (CH,)
+            x_in = (ixc > -span) & (ixc < nx)
+            ixg = jnp.maximum(ixc, 0)
+            z_in = (izc > -span) & (izc < nz)
+            izg = jnp.maximum(izc, 0)
+            # One row per (point, x, z): OOB on either axis routes to the
+            # level's zero row.
+            rowidx = jnp.where(
+                x_in[..., :, None] & z_in[..., None, :],
+                izg[..., None, :] * nx + ixg[..., :, None],
+                nz * nx,
+            )  # (..., CH, X, Z)
+            y_in = (iyc > -span) & (iyc < ny)
+            iyg = jnp.where(y_in & bvc[:, None], jnp.clip(iyc, 0, ny - 1), -1)
+            if on_tpu:
+                rows = flat_table[base_row + rowidx]  # (..., CH, X, Z, ny)
+                lanes = jnp.arange(ny, dtype=iyg.dtype)
+                eq = iyg[..., None] == lanes  # (..., CH, Y, ny) — virtual
+                prod = jnp.where(
+                    eq[..., None, None, :, :],
+                    rows[..., :, :, None, :],
+                    flat_table.dtype.type(0),
+                )  # (..., CH, X, Z, Y, ny) — virtual
+                c = jnp.sum(prod, axis=(-1, -5), dtype=jnp.float32)  # (..., X, Z, Y)
+            else:
+                # CPU: plain scalar picks (see the 2D core).
+                flat1d = flat_table.reshape(-1)
+                pick = iyg >= 0  # (..., CH, Y)
+                idx = (
+                    (base_row + rowidx)[..., :, None, :] * ny
+                    + jnp.maximum(iyg, 0)[..., None, :, None]
+                )  # (..., CH, X, Y, Z)
+                v = flat1d[idx].astype(jnp.float32)
+                v = jnp.where(pick[..., None, :, None], v, 0.0)
+                c = jnp.moveaxis(jnp.sum(v, axis=-4), -2, -1)  # (..., X, Z, Y)
+            return acc + c, None
+
+        chunk = lambda a: jnp.moveaxis(
+            a.reshape(a.shape[:-2] + (nch, CH, a.shape[-1])), -3, 0
+        )
+        init = jnp.zeros(
+            ix.shape[:-2] + (ix.shape[-1], iz.shape[-1], iy.shape[-1]), jnp.float32
+        )
+        acc, _ = jax.lax.scan(
+            body, init, (chunk(ix), chunk(iy), chunk(iz), validp.reshape(nch, CH))
+        )
+        return jnp.moveaxis(acc, -1, -2)  # (..., X, Y, Z)
 
     k = config.top_k
     lxy = config.linear_xy_cells
@@ -229,11 +287,19 @@ def _match_fast_3d_core(
 
     nbx = 2 * ((lxy + stride - 1) // stride) + 1
     nbz = 2 * ((lz + stride - 1) // stride) + 1
-    off_xy = (jnp.arange(nbx) - nbx // 2) * stride - stride // 2
-    off_z = (jnp.arange(nbz) - nbz // 2) * stride - stride // 2
-    tt, bx, by, bz = jnp.meshgrid(jnp.arange(n_yaw), off_xy, off_xy, off_z, indexing="ij")
-    cand = (tt.reshape(-1), bx.reshape(-1), by.reshape(-1), bz.reshape(-1))
-    scores = score_candidates(config.depth - 1, *cand)
+    off_xy = (jnp.arange(nbx, dtype=jnp.int32) - nbx // 2) * stride - stride // 2
+    off_z = (jnp.arange(nbz, dtype=jnp.int32) - nbz // 2) * stride - stride // 2
+    ix0 = bx[:, :, None] + off_xy[None, None, :]  # (T, P, JX)
+    iy0 = by[:, :, None] + off_xy[None, None, :]
+    iz0 = bz[:, :, None] + off_z[None, None, :]
+    s0 = score_sum(config.depth - 1, ix0, iy0, iz0, validp)  # (T, JX, JY, JZ)
+    s0 = 0.1 + s0 / n_valid
+    s0 = jnp.where(yaw_ok[:, None, None, None], s0, -1.0)
+    tt, bxg, byg, bzg = jnp.meshgrid(
+        jnp.arange(n_yaw, dtype=jnp.int32), off_xy, off_xy, off_z, indexing="ij"
+    )
+    cand = (tt.reshape(-1), bxg.reshape(-1), byg.reshape(-1), bzg.reshape(-1))
+    scores = s0.reshape(-1)
 
     def top(cands, scores, k):
         kk = min(k, scores.shape[0])
@@ -243,17 +309,30 @@ def _match_fast_3d_core(
     cand, scores = top(cand, scores, k)
 
     for level in range(config.depth - 2, -1, -1):
-        half = 2**level
-        dx = jnp.array([0, 0, 0, 0, half, half, half, half], jnp.int32)
-        dy = jnp.array([0, 0, half, half, 0, 0, half, half], jnp.int32)
-        dz = jnp.array([0, half, 0, half, 0, half, 0, half], jnp.int32)
-        reps = cand[0].shape[0]
-        ct = jnp.repeat(cand[0], 8)
-        cx = jnp.clip(jnp.repeat(cand[1], 8) + jnp.tile(dx, reps), -lxy, lxy)
-        cy = jnp.clip(jnp.repeat(cand[2], 8) + jnp.tile(dy, reps), -lxy, lxy)
-        cz = jnp.clip(jnp.repeat(cand[3], 8) + jnp.tile(dz, reps), -lz, lz)
-        s = score_candidates(level, ct, cx, cy, cz)
-        cand, scores = top((ct, cx, cy, cz), s, k)
+        half = 2 ** level
+        dxy = jnp.array([0, half], jnp.int32)
+        ct, cox, coy, coz = cand
+        cxs = jnp.clip(cox[:, None] + dxy, -lxy, lxy)  # (K, 2)
+        cys = jnp.clip(coy[:, None] + dxy, -lxy, lxy)
+        czs = jnp.clip(coz[:, None] + dxy, -lz, lz)
+        bxk = bx[ct]  # (K, P)
+        byk = by[ct]
+        bzk = bz[ct]
+        s = score_sum(
+            level,
+            bxk[:, :, None] + cxs[:, None, :],
+            byk[:, :, None] + cys[:, None, :],
+            bzk[:, :, None] + czs[:, None, :],
+            validp,
+        )  # (K, 2, 2, 2) in (x, y, z) child order
+        kk = ct.shape[0]
+        s = 0.1 + s / n_valid
+        s = jnp.where(yaw_ok[ct][:, None, None, None], s, -1.0)
+        ctf = jnp.repeat(ct, 8)
+        cxf = jnp.broadcast_to(cxs[:, :, None, None], (kk, 2, 2, 2)).reshape(-1)
+        cyf = jnp.broadcast_to(cys[:, None, :, None], (kk, 2, 2, 2)).reshape(-1)
+        czf = jnp.broadcast_to(czs[:, None, None, :], (kk, 2, 2, 2)).reshape(-1)
+        cand, scores = top((ctf, cxf, cyf, czf), s.reshape(-1), k)
 
     best = jnp.argmax(scores)
     t_best, ox, oy, oz = (c[best] for c in cand)
@@ -304,9 +383,21 @@ class FastCorrelativeScanMatcher3D:
         xy_cells = int(math.ceil(options.linear_xy_search_window / float(high_grid.meta.resolution)))
         depth = max(1, min(depth, int(math.log2(max(2 * xy_cells, 2)))))
         pyr = precompute_pyramid_3d(scores, depth)
-        self._pyramid_flat = jnp.stack(
-            [jnp.concatenate([p.reshape(-1), jnp.array([0.1], p.dtype)]) for p in pyr]
+        # Row-gather layout (see _match_fast_3d_core): per level a
+        # (nz*nx, ny) grid of y-minor rows storing score-0.1, plus one
+        # zero OOB row; bf16 on TPU (f32 on the CPU test backend).
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+            _level_dtype,
         )
+
+        dt = _level_dtype()
+        levels = []
+        for pl in pyr:
+            rows = jnp.transpose(pl - 0.1, (2, 0, 1)).reshape(-1, pl.shape[1])
+            levels.append(
+                jnp.concatenate([rows, jnp.zeros((1, pl.shape[1]), rows.dtype)])
+            )
+        self._pyramid_flat = jnp.stack(levels).astype(dt)  # (depth, nz*nx+1, ny)
         self._low_scores = grid_match_scores(low_grid)
 
     def _run(self, high_cloud, low_cloud, initial_pose, config, scan_histogram, initial_yaw):

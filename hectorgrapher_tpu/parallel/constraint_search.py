@@ -435,8 +435,8 @@ def _sharded_scores_3d(
             _match_fast_3d_core,
         )
 
-        rows_per_submap = pyr.shape[1] * pyr.shape[2]
-        flat_table = pyr.reshape(-1)
+        rows_per_submap = pyr.shape[1] * pyr.shape[2]  # depth * (nz*nx+1)
+        flat_table = pyr.reshape(-1, pyr.shape[-1])  # (.., ny) y-minor rows
 
         def one(hp1, hm1, lp1, lm1, it1, iq1, sh1, iy1, s1):
             yaw_scores = match_histograms(hist[s1], sh1, yaws + iy1)
@@ -529,20 +529,20 @@ def pack_submaps_3d_from_arrays(
     addressable shards)."""
     n_dev = mesh.devices.size
     a0 = host_arrays[0]
-    depth, F = a0["pyr"].shape
+    pshape = tuple(a0["pyr"].shape)  # (depth, nz*nx+1, ny) y-minor rows
     lshape = tuple(a0["low"].shape)
     H = a0["hist"].shape[0]
 
     s_count = len(host_arrays)
     s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
     s_pad = s_per_dev * n_dev
-    pyr = np.zeros((s_pad, depth, F), np.float32)
+    pyr = np.zeros((s_pad,) + pshape, a0["pyr"].dtype)  # bf16 on TPU
     hmc = np.zeros((s_pad, 3), np.float32)
     low = np.zeros((s_pad,) + lshape, np.float32)
     lmc = np.zeros((s_pad, 3), np.float32)
     hist = np.zeros((s_pad, H), np.float32)
     for i, a in enumerate(host_arrays):
-        assert a["pyr"].shape == (depth, F), "mixed pyramid shapes"
+        assert tuple(a["pyr"].shape) == pshape, "mixed pyramid shapes"
         pyr[i] = a["pyr"]
         hmc[i] = a["hmc"]
         low[i] = a["low"]
