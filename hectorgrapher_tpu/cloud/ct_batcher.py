@@ -167,16 +167,36 @@ class CtWindowBatcher:
 
         from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window_batched
 
-        stack = lambda trees: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
         ps = [e["pending"] for e in entries]
+        n = len(ps)
+        pad_n = n
+        if self._mesh is not None:
+            # Sharded serving (parallel/ct_windows.py): pad the batch to a
+            # mesh-divisible size (repeating lane 0 — window solves are
+            # independent, pad lanes are discarded) so each device solves
+            # its share of trajectories.
+            d = self._mesh.devices.size
+            pad_n = ((n + d - 1) // d) * d
+        idx = list(range(n)) + [0] * (pad_n - n)
+        stack = lambda trees: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([xs[i] for i in idx]), *trees
+        )
         his = stack([p.high_grid for p in ps])
         los = stack([p.low_grid for p in ps])
         problems = stack([p.problem for p in ps])
         states = stack([p.state0 for p in ps])
-        solved, _, _ = solve_ct_window_batched(
-            his, los, problems, states, ps[0].weights,
-            is_tsdf=ps[0].is_tsdf, num_iterations=ps[0].num_iterations,
-        )
+        if self._mesh is not None:
+            from hectorgrapher_tpu.parallel.ct_windows import solve_ct_windows_sharded
+
+            solved, _, _ = solve_ct_windows_sharded(
+                self._mesh, his, los, problems, states, ps[0].weights,
+                is_tsdf=ps[0].is_tsdf, num_iterations=ps[0].num_iterations,
+            )
+        else:
+            solved, _, _ = solve_ct_window_batched(
+                his, los, problems, states, ps[0].weights,
+                is_tsdf=ps[0].is_tsdf, num_iterations=ps[0].num_iterations,
+            )
         self.batched_launches += 1
         self.batch_sizes.append(len(entries))
         trans = np.asarray(solved.translation)

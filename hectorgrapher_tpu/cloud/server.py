@@ -44,6 +44,7 @@ class MapBuilderServer:
         num_workers: int = 4,
         uplink_address: str = None,
         batch_ct_windows: bool = False,
+        ct_mesh=None,
     ):
         self.map_builder = map_builder
         # Cross-trajectory batched CT window serving (cloud/ct_batcher.py):
@@ -56,7 +57,12 @@ class MapBuilderServer:
         if batch_ct_windows:
             from hectorgrapher_tpu.cloud.ct_batcher import CtWindowBatcher
 
-            self.ct_batcher = CtWindowBatcher()
+            # ct_mesh (optional, LOCAL devices): shard the batched window
+            # solves over a single-host multi-chip mesh
+            # (parallel/ct_windows.py) — the one-host-many-chips serving
+            # topology. Multi-host meshes would need a solver-plane op
+            # like the constraint rounds; not wired.
+            self.ct_batcher = CtWindowBatcher(mesh=ct_mesh)
         self.uploader = None
         if uplink_address:
             from hectorgrapher_tpu.cloud.uploader import LocalTrajectoryUploader

@@ -73,9 +73,9 @@ def sensor_items(trajectory_id: int, duration: float = 1.1):
     return items
 
 
-def run_server(batch: bool, n_traj: int = 3):
+def run_server(batch: bool, n_traj: int = 3, mesh=None):
     srv = MapBuilderServer(MapBuilder(make_options()), "127.0.0.1:0",
-                           batch_ct_windows=batch)
+                           batch_ct_windows=batch, ct_mesh=mesh)
     tids = [srv._handle_add_trajectory({})["trajectory_id"] for _ in range(n_traj)]
     streams = [sensor_items(tid) for tid in tids]
     # Interleave across trajectories (round-robin) so windows become ready
@@ -108,4 +108,23 @@ def test_batched_server_matches_serial_and_batches():
             assert tb == ts
             # vmapped vs single solve: identical math, fp association may
             # differ per lane.
+            np.testing.assert_allclose(pb.t, ps.t, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_mesh_sharded_batcher_matches_serial():
+    """Sharded CT serving on the production server path: the batcher
+    solves each drained batch via solve_ct_windows_sharded over the
+    8-virtual-device mesh (the one-host-many-chips topology)."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()), ("graph",))
+    srv_m, res_m = run_server(batch=True, mesh=mesh)
+    assert srv_m.ct_batcher.batched_launches > 0
+    srv_s, res_s = run_server(batch=False)
+    for tid in res_m:
+        assert len(res_m[tid]) == len(res_s[tid]) > 0
+        for (tb, pb), (ts, ps) in zip(res_m[tid], res_s[tid]):
+            assert tb == ts
             np.testing.assert_allclose(pb.t, ps.t, atol=1e-4)
