@@ -61,6 +61,7 @@ class CtWindowBatcher:
         self._active_workers = 0
         self._blocked = 0
         self._mesh = mesh
+        self._dead = None  # set by fail_pending: subsequent solves fail fast
         # Observability (also the test's proof of batching).
         self.batched_launches = 0
         self.serial_solves = 0
@@ -88,6 +89,8 @@ class CtWindowBatcher:
         block until the coordinator solves it."""
         entry = {"pending": pending, "event": threading.Event(), "solved": None, "error": None}
         with self._cv:
+            if self._dead is not None:
+                raise self._dead
             self._requests.append(entry)
             self._blocked += 1
             self._cv.notify_all()
@@ -98,28 +101,51 @@ class CtWindowBatcher:
             raise entry["error"]
         return entry["solved"]
 
+    def fail_pending(self, error: Exception) -> None:
+        """Abort every queued/blocked solve with `error` (the server's
+        recovery path when serve() dies: blocked workers must wake and
+        finish their items or every RPC joining the sensor queue hangs)."""
+        with self._cv:
+            self._dead = error
+            pending = self._requests
+            self._requests = []
+        for entry in pending:
+            entry["error"] = error
+            entry["event"].set()
+
     # -- coordinator side ----------------------------------------------------
 
     def serve(self, timeout: float = 300.0) -> None:
         """Run on the coordinating (SLAM) thread until every worker has
         exited: whenever all live workers are blocked on solves, flush
-        the pending batch."""
+        the pending batch. `timeout` bounds time WITHOUT PROGRESS (a
+        flush, a new request, or a worker exiting all reset it) — a
+        fixed overall deadline would fire on long but healthy drains."""
         import time
 
-        deadline = time.monotonic() + timeout
+        last_progress = time.monotonic()
+        progress_marker = (0, 0, 0)
         with self._cv:
             while self._active_workers > 0:
+                marker = (self._active_workers, self._blocked, len(self._requests))
+                if marker != progress_marker:
+                    progress_marker = marker
+                    last_progress = time.monotonic()
                 ready = (
                     self._blocked > 0
                     and len(self._requests) >= self._blocked
                     and self._blocked >= self._active_workers
                 )
                 if not ready:
-                    if not self._cv.wait(timeout=1.0) and time.monotonic() > deadline:
+                    if (
+                        not self._cv.wait(timeout=1.0)
+                        and time.monotonic() - last_progress > timeout
+                    ):
                         raise RuntimeError("ct batcher stalled")
                     continue
                 batch = self._requests
                 self._requests = []
+                last_progress = time.monotonic()
                 self._cv.release()
                 try:
                     self._flush(batch)

@@ -216,7 +216,16 @@ class MapBuilderServer:
             ]
             for t in threads:
                 t.start()
-            self.ct_batcher.serve()
+            try:
+                self.ct_batcher.serve()
+            except Exception:
+                # The SLAM thread must survive (a dead thread deadlocks
+                # every RPC waiting on _sensor_queue.join()); fail the
+                # blocked solves so the workers can finish their items.
+                import traceback
+
+                traceback.print_exc()
+                self.ct_batcher.fail_pending(RuntimeError("ct batcher aborted"))
             for t in threads:
                 t.join()
 

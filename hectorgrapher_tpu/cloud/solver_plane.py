@@ -69,7 +69,7 @@ class _PackState:
 
 class SolverState:
     def __init__(self):
-        self.pack2d = _PackState()
+        self.pack2d: dict = {}  # depth -> _PackState (local vs full-submap rounds)
         self.pack3d = _PackState()
 
 
@@ -96,7 +96,7 @@ def execute_op(op: str, payload, state: SolverState) -> None:
             pack_submaps_2d_from_arrays,
         )
 
-        st = state.pack2d
+        st = state.pack2d.setdefault(payload["depth"], _PackState())
         st.host.update(payload["new"])
         st.order = list(payload["order"])
         st.host = {sid: st.host[sid] for sid in st.order}
@@ -113,10 +113,11 @@ def execute_op(op: str, payload, state: SolverState) -> None:
         )
         from hectorgrapher_tpu.parallel.constraint_search import launch_fast_matches_2d
 
-        if state.pack2d.packed is None:
-            raise RuntimeError("cs2d before any cs2d_pack")
+        st = state.pack2d.get(payload["depth"])
+        if st is None or st.packed is None:
+            raise RuntimeError("cs2d before any cs2d_pack at this depth")
         out = launch_fast_matches_2d(
-            state.pack2d.packed,
+            st.packed,
             payload["arrays"],
             FastSearchConfig(*payload["config"]),
             mesh,
@@ -241,7 +242,7 @@ class SolverPlaneLeader:
             )
         self._pending: List[object] = []
 
-    def __call__(self, op: str, payload) -> None:
+    def __call__(self, op: str, payload, wait: bool = False) -> None:
         """Fire-and-proceed: the leader enters its own solve immediately;
         the follower joins the collective when the RPC lands. Errors from
         earlier ops surface here (a dead follower would otherwise hang the
@@ -249,7 +250,12 @@ class SolverPlaneLeader:
         grpc cancels an RPC whose call object is garbage-collected, so
         dropping a pending future would cancel the op mid-flight (the
         round-4 bug: the pack op vanished when the round op replaced it,
-        and the follower stalled waiting for the missing sequence number)."""
+        and the follower stalled waiting for the missing sequence number).
+
+        wait=True blocks until every follower completed the op — used for
+        PACK ops: a pack failure on a follower (wire cap, shape drift)
+        must surface HERE, because the subsequent round op's collective
+        would hang the leader's readback with no error path."""
         still = []
         for f in self._pending:
             if f.done():
@@ -260,7 +266,17 @@ class SolverPlaneLeader:
                 still.append(f)
         seq = self._seq
         self._seq += 1
-        still.extend(call.future((op, seq, payload)) for call in self._calls)
+        futures_now = [call.future((op, seq, payload)) for call in self._calls]
+        if wait:
+            for f in futures_now:
+                try:
+                    f.result(timeout=300)
+                except Exception as exc:
+                    raise RuntimeError(
+                        f"solver-plane follower failed on {op}: {exc}"
+                    ) from exc
+        else:
+            still.extend(futures_now)
         self._pending = still
 
     def shutdown(self) -> None:

@@ -205,7 +205,12 @@ def decode_point_cloud2(raw: bytes):
             _, offset, datatype, _ = by_name[tname]
             dt = np.dtype(_PC2_DTYPES[datatype]).newbyteorder("<")
             tv = arr[:, offset : offset + dt.itemsize].copy().view(dt)[:, 0]
-            times = tv.astype(np.float32)
+            if np.issubdtype(dt, np.integer):
+                # Ouster's 't' is uint32 NANOSECONDS since scan start;
+                # float fields (Velodyne 'time') are seconds.
+                times = (tv.astype(np.float64) * 1e-9).astype(np.float32)
+            else:
+                times = tv.astype(np.float32)
             break
     return stamp, out, int(width), times
 
@@ -226,7 +231,23 @@ def encode_point_cloud2(
     points = np.asarray(points, np.float32)
     n = len(points)
     width = width or n
-    height = max(1, n // max(width, 1))
+    # Organized clouds require height*width == point count: pad the last
+    # row with NaN points (standard driver behavior for dropped returns).
+    height = max(1, (n + width - 1) // max(width, 1))
+    m = height * width
+
+    def padded(a, fill, dtype):
+        a = np.asarray(a if a is not None else np.full(n, fill), dtype)
+        if len(a) < m:
+            a = np.concatenate([a, np.full(m - len(a), fill, dtype)])
+        return np.ascontiguousarray(a[:m])
+
+    points = padded(points.reshape(-1, 3) if points.size else points, np.nan, np.float32)         if False else points  # (3-col handled below)
+    if n < m:
+        points = np.concatenate(
+            [points, np.full((m - n, 3), np.nan, np.float32)]
+        )
+    points = np.ascontiguousarray(points[:m])
     secs = int(stamp)
     nsecs = int(round((stamp - secs) * 1e9))
     rich = times is not None or rings is not None or intensities is not None
@@ -243,21 +264,15 @@ def encode_point_cloud2(
         out += struct.pack("<IBI", offset, datatype, count)
     out += b"\x00"  # little endian
     out += struct.pack("<II", point_step, point_step * width)
-    m = height * width
     if rich:
         rows = np.zeros((m, point_step), np.uint8)
-        rows[:, 0:12] = points[:m].view(np.uint8).reshape(n, 12)[:m]
-        inten = np.asarray(
-            intensities if intensities is not None else np.zeros(n), np.float32
-        )[:m]
-        rows[:, 12:16] = inten.view(np.uint8).reshape(m, 4)
-        ring = np.asarray(rings if rings is not None else np.zeros(n), np.uint16)[:m]
-        rows[:, 16:18] = ring.view(np.uint8).reshape(m, 2)
-        tms = np.asarray(times if times is not None else np.zeros(n), np.float32)[:m]
-        rows[:, 18:22] = tms.view(np.uint8).reshape(m, 4)
+        rows[:, 0:12] = points.view(np.uint8).reshape(m, 12)
+        rows[:, 12:16] = padded(intensities, 0.0, np.float32).view(np.uint8).reshape(m, 4)
+        rows[:, 16:18] = padded(rings, 0, np.uint16).view(np.uint8).reshape(m, 2)
+        rows[:, 18:22] = padded(times, 0.0, np.float32).view(np.uint8).reshape(m, 4)
         payload = rows.tobytes()
     else:
-        payload = points[:m].tobytes()
+        payload = points.tobytes()
     out += struct.pack("<I", len(payload)) + payload
     out += b"\x01"  # is_dense
     return out

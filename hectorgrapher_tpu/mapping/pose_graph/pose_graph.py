@@ -255,14 +255,21 @@ class PoseGraphBase:
         # front-end keeps streaming — the reference's exact structure).
         self._lock = threading.RLock()
         self._opt_lock = threading.Lock()
+        # Serializes whole constraint rounds: the batched path mutates
+        # per-round caches (_pack2d/_pack3d, _matcher_cache, samplers) and
+        # — multi-host — must keep broadcast/launch ordering; embeddings
+        # that call add_node from several threads (the batched CT server's
+        # per-trajectory workers) would otherwise race them. RLock: the
+        # round may re-enter run_final_optimization on the same thread.
+        self._constraint_lock = threading.RLock()
         # Multi-host solver plane (SURVEY §2.12 #3): when set, the SPA
         # solve runs sharded over this mesh and `_solver_broadcast` (if
         # any) ships each solve's inputs to follower processes so every
         # participant enters the same collective program.
         self._solver_mesh = None
         self._solver_broadcast = None
-        self._shipped_pack2d: Dict[int, int] = {}  # sid -> depth shipped
-        self._shipped_order2d = None
+        self._shipped_pack2d: set = set()  # {(sid, depth)} shipped
+        self._shipped_order2d: Dict[int, list] = {}  # depth -> order
         self._shipped_pack3d: set = set()
         self._shipped_order3d = None
         self._cloud_range_cache: Dict[int, float] = {}
@@ -442,8 +449,8 @@ class PoseGraphBase:
         self._solver_mesh = mesh
         self._solver_broadcast = broadcast
         # Per-mesh broadcast bookkeeping: which pack entries followers hold.
-        self._shipped_pack2d = {}
-        self._shipped_order2d = None
+        self._shipped_pack2d = set()
+        self._shipped_order2d = {}
         self._shipped_pack3d = set()
         self._shipped_order3d = None
         set_constraint_search_mesh(mesh)
@@ -570,7 +577,7 @@ class PoseGraphBase:
                 (nid, sid) for nid in old_node_ids if sid not in intra.get(nid, ())
             )
 
-        with profiling.section("constraint_search"):
+        with profiling.section("constraint_search"), self._constraint_lock:
             gated_local: List[tuple] = []
             gated_global: List[tuple] = []
             for nid, sid in pairs:
@@ -610,8 +617,14 @@ class PoseGraphBase:
                         if constraint is not None:
                             self._append_constraint(nid, sid, node, pg_submap, constraint)
 
-        self._num_nodes_since_last_optimization += 1
-        if self._num_nodes_since_last_optimization >= self._options.optimize_every_n_nodes > 0:
+        with self._constraint_lock:
+            self._num_nodes_since_last_optimization += 1
+            run_opt = (
+                self._num_nodes_since_last_optimization
+                >= self._options.optimize_every_n_nodes
+                > 0
+            )
+        if run_opt:
             self.run_final_optimization(self._options.optimization_problem.ceres_solver_options.max_num_iterations)
 
     def _compute_constraints_batched(self, gated: List[tuple], global_search: bool = False):
@@ -703,7 +716,10 @@ class PoseGraphBase:
         sqrt(2) so the jitted matcher compiles O(log range) configs, not
         one per scan; capped by the construction-time bound."""
         cloud = node.cloud if node.cloud is not None else node.high_cloud
-        key = id(cloud)
+        # Keyed by the STABLE node id: id(cloud) would go stale when
+        # CPython recycles a trimmed node's cloud address. Costs one cloud
+        # download per node lifetime (~once per added node).
+        key = node.node_id
         r = self._cloud_range_cache.get(key)
         if r is None:
             pos = np.asarray(cloud.positions)
@@ -861,12 +877,14 @@ class PoseGraph2D(PoseGraphBase):
     def __init__(self, options, max_scan_range: float = 30.0):
         super().__init__(options)
         self._max_scan_range = max_scan_range
-        # submap_index -> (pyramid depth, PreparedFastMatcher2D, GN fields)
-        self._matcher_cache: Dict[int, tuple] = {}
-        # Device-resident pack of every finished submap's prepared matcher,
-        # sharded over the constraint-search mesh; rebuilt only when new
-        # submaps finish (finished grids never change), NOT per round.
-        self._pack2d: Optional[dict] = None
+        # submap_id -> {depth: (PreparedFastMatcher2D, GN fields)}
+        self._matcher_cache: Dict[int, dict] = {}
+        # Device-resident packs of every finished submap's prepared
+        # matcher, sharded over the constraint-search mesh, ONE PER
+        # SEARCH DEPTH (local-window and full-submap global rounds use
+        # different depths; a single slot would thrash on alternation);
+        # rebuilt only when new submaps finish, NOT per round.
+        self._packs2d: Dict[int, dict] = {}
         self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._landmark_ids: Dict[str, int] = {}
@@ -1030,16 +1048,17 @@ class PoseGraph2D(PoseGraphBase):
         SubmapScanMatcher). Keyed by the stable submap_id — positional
         indices are remapped by trimming. Constraints only target finished
         submaps, so the cached artifacts never go stale."""
-        cached = self._matcher_cache.get(pg_submap.submap_id)
-        if cached is not None and cached[0] == depth:
-            return cached[1], cached[2]
+        per_sid = self._matcher_cache.setdefault(pg_submap.submap_id, {})
+        cached = per_sid.get(depth)
+        if cached is not None:
+            return cached
         grid = pg_submap.submap.grid
         fast = prepare_fast_matcher_2d(grid, depth)
         if isinstance(grid, TSDFGrid):
             gn = prepare_gn_tsdf_fields(grid)
         else:
             gn = prepare_gn_probability_field(grid)
-        self._matcher_cache[pg_submap.submap_id] = (depth, fast, gn)
+        per_sid[depth] = (fast, gn)
         return fast, gn
 
     def _get_pack_2d(self, needed, depth: int, mesh):
@@ -1061,10 +1080,9 @@ class PoseGraph2D(PoseGraphBase):
             pack_submaps_2d_from_arrays,
         )
 
-        state = self._pack2d
+        state = self._packs2d.get(depth)
         if (
             state is not None
-            and state["depth"] == depth
             and state["mesh"] is mesh
             and all(sid in state["slots"] for sid in needed)
         ):
@@ -1072,14 +1090,14 @@ class PoseGraph2D(PoseGraphBase):
         prev_order = state["order"] if state is not None else []
         order = [sid for sid in prev_order if sid in self._matcher_cache]
         order += [sid for sid in needed if sid not in order]
-        host = dict(state["host"]) if state is not None and state["depth"] == depth else {}
+        host = dict(state["host"]) if state is not None else {}
         keep = []
         for sid in order:
-            cached = self._matcher_cache.get(sid)
-            if cached is None or cached[0] != depth:
+            cached = self._matcher_cache.get(sid, {}).get(depth)
+            if cached is None:
                 continue
             if sid not in host:
-                fast = cached[1]
+                fast = cached[0]
                 if sid in needed:  # new sids normally come from this round
                     grid = needed[sid].submap.grid
                 else:  # host cache invalidated (depth change): re-download
@@ -1106,7 +1124,7 @@ class PoseGraph2D(PoseGraphBase):
             raise NotImplementedError("mixed pyramid shapes")
         res = None
         for sid in keep:
-            g = self._matcher_cache[sid][1]
+            g = self._matcher_cache[sid][depth][0]
             res = float(np.asarray(g.meta.resolution))
             nx, ny = (int(v) for v in np.asarray(g.dims))
             break
@@ -1134,10 +1152,9 @@ class PoseGraph2D(PoseGraphBase):
             "resolution": res,
             "pad_value": host[keep[0]]["pad"],
         }
-        self._pack2d = {
+        self._packs2d[depth] = {
             "order": keep,
             "slots": {sid: i for i, sid in enumerate(keep)},
-            "depth": depth,
             "mesh": mesh,
             "packed": packed,
             "gn": gn,
@@ -1145,7 +1162,7 @@ class PoseGraph2D(PoseGraphBase):
             "res": res,
             "dims": (nx, ny),
         }
-        return self._pack2d["slots"], packed, gn
+        return self._packs2d[depth]["slots"], packed, gn
 
     def _compute_constraint(self, node: PgNode, pg_submap: PgSubmap, global_search: bool = False) -> Optional[Constraint]:
         """(ref: constraint_builder_2d.cc ComputeConstraint — FCSM match
@@ -1228,26 +1245,31 @@ class PoseGraph2D(PoseGraphBase):
         bc = self._solver_broadcast
         if bc is None or mesh is not self._solver_mesh:
             return None
-        state = self._pack2d
+        depth = config.depth
+        state = self._packs2d[depth]
         new = {
             sid: {"levels": state["host"][sid]["levels"], "mc": state["host"][sid]["mc"]}
             for sid in state["order"]
-            if self._shipped_pack2d.get(sid) != state["depth"]
+            if (sid, depth) not in self._shipped_pack2d
         }
-        if new or self._shipped_order2d != state["order"]:
+        if new or self._shipped_order2d.get(depth) != state["order"]:
             bc(
                 "cs2d_pack",
                 {
+                    "depth": depth,
                     "order": list(state["order"]),
                     "new": new,
                     "res": state["res"],
                     "dims": tuple(state["dims"]),
                 },
+                wait=True,  # pack state must exist before any round op
             )
             for sid in new:
-                self._shipped_pack2d[sid] = state["depth"]
-            self._shipped_order2d = list(state["order"])
-        return lambda arrays: bc("cs2d", {"arrays": arrays, "config": tuple(config)})
+                self._shipped_pack2d.add((sid, depth))
+            self._shipped_order2d[depth] = list(state["order"])
+        return lambda arrays: bc(
+            "cs2d", {"depth": depth, "arrays": arrays, "config": tuple(config)}
+        )
 
     def _compute_constraints_batched(self, gated, global_search: bool = False):
         """All candidates of a constraint round (local-window, or
@@ -1924,6 +1946,7 @@ class PoseGraph3D(PoseGraphBase):
                         [s for s in state["order"] if s in self._shipped_pack3d or s in new_sids[: j + 1]],
                         "new": {sid: state["host"][sid]} if sid is not None else {},
                     },
+                    wait=True,  # pack failures must surface before a round op
                 )
             self._shipped_pack3d.update(new_sids)
             self._shipped_order3d = list(state["order"])

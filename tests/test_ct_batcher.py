@@ -31,7 +31,6 @@ def make_options():
             "trajectory_builder_3d.submaps.grid_type": "TSDF",
             "trajectory_builder_3d.submaps.high_grid_size": 48,
             "trajectory_builder_3d.submaps.low_grid_size": 24,
-            "trajectory_builder_3d.submaps.num_range_data": 8,
             "trajectory_builder_3d.motion_filter.max_distance_meters": 0.02,
             "trajectory_builder_3d.motion_filter.max_angle_radians": 0.002,
             "trajectory_builder_3d.motion_filter.max_time_seconds": 0.05,
@@ -40,8 +39,21 @@ def make_options():
             "trajectory_builder_3d.optimizing_local_trajectory_builder.max_clouds_in_window": 8,
             "trajectory_builder_3d.optimizing_local_trajectory_builder.points_per_cloud": 128,
             "trajectory_builder_3d.optimizing_local_trajectory_builder.max_num_iterations": 6,
-            "pose_graph.optimize_every_n_nodes": 0,
-            "pose_graph.constraint_builder.sampling_ratio": 0.0,
+            # Real back-end work runs CONCURRENTLY with the per-trajectory
+            # workers (constraint rounds + periodic SPA) — exercising the
+            # pose graph's _constraint_lock serialization, not a quiesced
+            # graph.
+            "trajectory_builder_3d.submaps.num_range_data": 3,
+            "pose_graph.optimize_every_n_nodes": 6,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 100.0,
+            "pose_graph.constraint_builder.min_score": 0.2,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.linear_xy_search_window": 0.6,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.linear_z_search_window": 0.3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.angular_search_window": 0.17,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.branch_and_bound_depth": 3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_rotational_score": 0.1,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_low_resolution_score": 0.1,
         },
     )
 

@@ -138,3 +138,48 @@ class TestBagStream:
             "mapping-evaluation", "--sequence_dir", path, "--duration", "1",
         ])
         assert rc == 0
+
+
+class TestDrzFieldHandling:
+    def test_ouster_uint32_nanosecond_time_field(self):
+        """Ouster bags encode per-point 't' as uint32 NANOSECONDS; the
+        decoder must convert to float seconds."""
+        import struct
+
+        n = 4
+        pts = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+        t_ns = np.array([0, 25_000_000, 50_000_000, 99_000_000], np.uint32)
+        point_step = 16
+        out = struct.pack("<III", 0, 7, 0) + struct.pack("<I", 0)
+        out += struct.pack("<II", 1, n)
+        fields = [("x", 0, 7), ("y", 4, 7), ("z", 8, 7), ("t", 12, 6)]  # 6 = uint32
+        out += struct.pack("<I", len(fields))
+        for name, off, dtc in fields:
+            out += struct.pack("<I", len(name)) + name.encode()
+            out += struct.pack("<IBI", off, dtc, 1)
+        out += b"\x00"
+        out += struct.pack("<II", point_step, point_step * n)
+        rows = np.zeros((n, point_step), np.uint8)
+        rows[:, 0:12] = pts.view(np.uint8).reshape(n, 12)
+        rows[:, 12:16] = t_ns.view(np.uint8).reshape(n, 4)
+        payload = rows.tobytes()
+        out += struct.pack("<I", len(payload)) + payload + b"\x01"
+
+        stamp, decoded, width, times = rosbag.decode_point_cloud2(bytes(out))
+        np.testing.assert_allclose(decoded, pts)
+        np.testing.assert_allclose(times, t_ns.astype(np.float64) * 1e-9, atol=1e-9)
+
+    def test_rich_encode_pads_non_divisible_width(self):
+        """1000 points at width 64 -> 16 rows with NaN padding, not a
+        crash; round-trips through the decoder."""
+        n, width = 1000, 64
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        times = rng.uniform(0, 0.1, n).astype(np.float32)
+        raw = rosbag.encode_point_cloud2(1.5, pts, width=width, times=times)
+        stamp, decoded, w, t = rosbag.decode_point_cloud2(raw)
+        assert w == width
+        assert len(decoded) == 1024  # padded to the organized lattice
+        np.testing.assert_allclose(decoded[:n], pts)
+        assert np.isnan(decoded[n:]).all()
+        np.testing.assert_allclose(t[:n], times, atol=1e-7)
