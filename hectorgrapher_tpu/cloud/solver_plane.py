@@ -58,7 +58,7 @@ _DEBUG = _os.environ.get("HG_SOLVER_PLANE_DEBUG") == "1"
 
 class _PackState:
     """Follower-side mirror of the leader's device-resident constraint-
-    search packs (PoseGraph2D._pack2d / PoseGraph3D._pack3d)."""
+    search packs (PoseGraph2D._packs2d[depth] / PoseGraph3D._pack3d)."""
 
     def __init__(self):
         self.host = {}  # sid -> host arrays

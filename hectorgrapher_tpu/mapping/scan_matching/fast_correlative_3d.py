@@ -147,6 +147,7 @@ def match_fast_3d(
         initial_pose,
         yaw_scores,
         config,
+        n_levels=int(high_scores_pyramid_flat.shape[0]),
     )
 
 
@@ -162,6 +163,7 @@ def _match_fast_3d_core(
     initial_pose: Rigid3,
     yaw_scores,  # (2*num_yaw+1,) rotational-histogram scores per candidate
     config: FastSearch3DConfig,
+    n_levels: int = None,
 ):
     """Core search. Returns (score, low_res_score, rotational_score, pose).
 
@@ -186,6 +188,12 @@ def _match_fast_3d_core(
 
     nx, ny, nz = grid_shape
     rows_per_level = nz * nx + 1
+    # A search may request more levels than the submap's stack holds
+    # (full-submap windows exceed the construction-time depth when the
+    # branch-and-bound depth outruns the grid extent); clamp — a smaller
+    # coarse stride only makes the coarse stage denser, still admissible.
+    # (The pre-clamp behavior indexed rows past the submap's block.)
+    depth = config.depth if n_levels is None else min(config.depth, n_levels)
     res = grid_shape_meta.resolution
 
     n_yaw = 2 * config.num_yaw + 1
@@ -283,7 +291,7 @@ def _match_fast_3d_core(
     k = config.top_k
     lxy = config.linear_xy_cells
     lz = config.linear_z_cells
-    stride = 2 ** (config.depth - 1)
+    stride = 2 ** (depth - 1)
 
     nbx = 2 * ((lxy + stride - 1) // stride) + 1
     nbz = 2 * ((lz + stride - 1) // stride) + 1
@@ -292,7 +300,7 @@ def _match_fast_3d_core(
     ix0 = bx[:, :, None] + off_xy[None, None, :]  # (T, P, JX)
     iy0 = by[:, :, None] + off_xy[None, None, :]
     iz0 = bz[:, :, None] + off_z[None, None, :]
-    s0 = score_sum(config.depth - 1, ix0, iy0, iz0, validp)  # (T, JX, JY, JZ)
+    s0 = score_sum(depth - 1, ix0, iy0, iz0, validp)  # (T, JX, JY, JZ)
     s0 = 0.1 + s0 / n_valid
     s0 = jnp.where(yaw_ok[:, None, None, None], s0, -1.0)
     tt, bxg, byg, bzg = jnp.meshgrid(
@@ -308,7 +316,7 @@ def _match_fast_3d_core(
 
     cand, scores = top(cand, scores, k)
 
-    for level in range(config.depth - 2, -1, -1):
+    for level in range(depth - 2, -1, -1):
         half = 2 ** level
         dxy = jnp.array([0, half], jnp.int32)
         ct, cox, coy, coz = cand
@@ -379,9 +387,12 @@ class FastCorrelativeScanMatcher3D:
         self._histogram = jnp.asarray(submap_histogram)
         self._histogram_size = histogram_size
         scores = grid_match_scores(high_grid)
+        # Build the stack at the FULL branch-and-bound depth (clamped only
+        # by the grid extent) — full-submap searches (MatchFullSubmap)
+        # need deeper levels than the local window implies; the reference
+        # builds PrecomputationGridStack3D at options depth unclamped.
         depth = int(options.branch_and_bound_depth)
-        xy_cells = int(math.ceil(options.linear_xy_search_window / float(high_grid.meta.resolution)))
-        depth = max(1, min(depth, int(math.log2(max(2 * xy_cells, 2)))))
+        depth = max(1, min(depth, int(math.log2(max(min(scores.shape), 2)))))
         pyr = precompute_pyramid_3d(scores, depth)
         # Row-gather layout (see _match_fast_3d_core): per level a
         # (nz*nx, ny) grid of y-minor rows storing score-0.1, plus one

@@ -50,12 +50,16 @@ def _pow2_pad(n: int) -> int:
 
 
 def _put_sharded(arr: np.ndarray, sharding) -> jax.Array:
-    """Place a full host array as a global sharded array. Unlike
-    jax.device_put, this works on a MULTI-PROCESS mesh: each process
-    materializes only the shards its own devices address (the callback is
-    invoked per addressable shard with that shard's global index), so the
-    leader and every follower can build the same global array from the
-    same host copy without cross-process transfers."""
+    """Place a full host array as a global sharded array.
+
+    On a MULTI-PROCESS mesh jax.device_put cannot place non-addressable
+    shards; make_array_from_callback lets each process materialize only
+    the shards its own devices address, so the leader and every follower
+    build the same global array from the same host copy without
+    cross-process transfers. Single-process meshes keep the plain
+    device_put fast path."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(arr, sharding)
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 class CandidateBatch2D(NamedTuple):
@@ -458,6 +462,7 @@ def _sharded_scores_3d(
                 Rigid3(translation=it1, rotation=iq1),
                 yaw_scores,
                 config,
+                n_levels=int(pyr.shape[1]),
             )
             return score, low_score, pose.translation, pose.rotation
 

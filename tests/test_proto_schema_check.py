@@ -24,7 +24,6 @@ transitive imports) into a descriptor set AT TEST TIME, and:
 
 import shutil
 import subprocess
-import sys
 
 import numpy as np
 import pytest
