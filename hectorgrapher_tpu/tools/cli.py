@@ -748,7 +748,25 @@ def cmd_map_builder_server(args) -> int:
 
             solver_leader = SolverPlaneLeader(args.follower_addresses.split(","))
 
-    server = MapBuilderServer(MapBuilder(options), args.address)
+    # Batched CT serving (cloud/ct_batcher.py): ready windows across
+    # trajectories solve as one launch; with --ct_mesh_devices N > 1 the
+    # batch is additionally sharded over the first N LOCAL devices (the
+    # one-host-many-chips topology).
+    ct_mesh = None
+    if args.batch_ct_windows and args.ct_mesh_devices > 1:
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        ct_mesh = _Mesh(
+            _np.array(_jax.local_devices()[: args.ct_mesh_devices]), ("graph",)
+        )
+    server = MapBuilderServer(
+        MapBuilder(options),
+        args.address,
+        batch_ct_windows=args.batch_ct_windows,
+        ct_mesh=ct_mesh,
+    )
     if mesh is not None:
         server.map_builder.pose_graph.set_solver_mesh(mesh, broadcast=solver_leader)
     server.start()
@@ -865,6 +883,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("map-builder-server")
     p.add_argument("--address", default="127.0.0.1:50051")
     p.add_argument("--use_3d", action="store_true")
+    p.add_argument(
+        "--batch_ct_windows",
+        action="store_true",
+        help="solve ready CT windows across trajectories as one batched "
+        "launch (cloud/ct_batcher.py; 3D trajectories only)",
+    )
+    p.add_argument(
+        "--ct_mesh_devices",
+        type=int,
+        default=1,
+        help="shard batched CT window solves over this many LOCAL devices",
+    )
     p.add_argument(
         "--monitoring_port",
         type=int,
