@@ -373,12 +373,10 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
         hi_prv, hi_nxt, hi_f = per_point_brackets(problem, problem.hi_times)
         lo_prv, lo_nxt, lo_f = per_point_brackets(problem, problem.lo_times)
 
-        def _pose_of(tp, qp, vp, tn, qn, vn, f, d18):
-            t0, q0, _ = _retract_one(tp, qp, vp, d18[:9])
-            t1, q1, _ = _retract_one(tn, qn, vn, d18[9:])
-            return jnp.concatenate(
-                [t0 + f * (t1 - t0), quat_normalize(quat_slerp(q0, q1, f))]
-            )
+        def _quat_of(qp, qn, f, d6):
+            q0 = quat_multiply(qp, quat_from_axis_angle(d6[:3]))
+            q1 = quat_multiply(qn, quat_from_axis_angle(d6[3:6]))
+            return quat_normalize(quat_slerp(q0, q1, f))
 
         def point_scan_block(state: CtState):
             def part(points, mask, prv, nxt, f, prepared, scale_per_cloud):
@@ -387,24 +385,35 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
                 m = mask.reshape(-1)
                 prv_, nxt_, f_ = prv.reshape(-1), nxt.reshape(-1), f.reshape(-1)
                 sm = jnp.where(m, jnp.repeat(scale_per_cloud, P), 0.0)
-                args = (
-                    state.translation[prv_], state.rotation[prv_], state.velocity[prv_],
-                    state.translation[nxt_], state.rotation[nxt_], state.velocity[nxt_],
-                    f_,
-                )
-                z = jnp.zeros(18, jnp.float32)
-                pose7 = jax.vmap(_pose_of, in_axes=(0,) * 7 + (None,))(*args, z)
-                dpose7 = jax.vmap(jax.jacfwd(_pose_of, argnums=7), in_axes=(0,) * 7 + (None,))(
-                    *args, z
-                )  # (N, 7, 18)
-                pose_t, pose_q = pose7[:, :3], pose7[:, 3:]
+                tp_, qp_ = state.translation[prv_], state.rotation[prv_]
+                tn_, qn_ = state.translation[nxt_], state.rotation[nxt_]
+                # Pose jacobian wrt the 18-dim pair tangent, with AD only
+                # where it earns its keep: the interpolated translation is
+                # linear in the translation tangents ((1-f) I / f I), the
+                # velocity columns are zero, and only the 6 rotation dims
+                # go through jacfwd (retract -> slerp -> normalize). The
+                # former full-18-dual jacfwd tripled the per-point dual
+                # chain for columns with closed forms.
+                z6 = jnp.zeros(6, jnp.float32)
+                pose_q = jax.vmap(_quat_of, in_axes=(0, 0, 0, None))(qp_, qn_, f_, z6)
+                dq6 = jax.vmap(jax.jacfwd(_quat_of, argnums=3), in_axes=(0, 0, 0, None))(
+                    qp_, qn_, f_, z6
+                )  # (N, 4, 6)
+                pose_t = tp_ + f_[:, None] * (tn_ - tp_)
                 world = quat_rotate(pose_q, pts) + pose_t
                 rows = gather_rows_3d(prepared, world)
                 val, dval_dfrac = value_and_dfrac(prepared, rows, world)
-                dval_dworld = dval_dfrac / prepared.meta.resolution
+                dval_dworld = dval_dfrac / prepared.meta.resolution  # (N, 3)
                 dval_dq = jnp.einsum("ni,nij->nj", dval_dworld, _dquat_rotate_dq(pose_q, pts))
-                dval_dpose7 = jnp.concatenate([dval_dworld, dval_dq], axis=-1)
-                J = jnp.einsum("ni,nik->nk", dval_dpose7, dpose7) * sm[:, None]
+                Jrot = jnp.einsum("nq,nqk->nk", dval_dq, dq6)  # (N, 6)
+                zeros3 = jnp.zeros_like(dval_dworld)
+                J = jnp.concatenate(
+                    [
+                        (1.0 - f_)[:, None] * dval_dworld, Jrot[:, :3], zeros3,
+                        f_[:, None] * dval_dworld, Jrot[:, 3:6], zeros3,
+                    ],
+                    axis=1,
+                ) * sm[:, None]
                 return J, val * sm, prv_
 
             hi_scale = weights.high_resolution_grid_weight / jnp.sqrt(n_hi) * problem.cloud_mask
