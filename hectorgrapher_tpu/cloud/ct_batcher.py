@@ -13,11 +13,12 @@ path: the SLAM loop drains the sensor queue, advances each trajectory on
 its own worker thread (per-trajectory order preserved — the reference's
 TrajectoryCollator makes the same guarantee and no stronger one), and
 when every live worker is blocked inside a window solve, stacks the
-compatible pending solves into ONE batched launch. Results are
-distributed back and the workers continue. Solves that cannot share a
-program (different grid shapes / iteration counts / weights, per-point
-unwarping, DIRECT imu payloads) fall back to the serial solver,
-unchanged.
+compatible pending solves into ONE batched launch — including the
+accuracy-flagship per-point-unwarping mode and DIRECT-IMU payloads
+(grouped by mode + leaf shapes). Results are distributed back and the
+workers continue. Solves that cannot share a program (different grid
+shapes / iteration counts / weights / payload shapes) fall back to the
+serial solver, unchanged.
 """
 
 from __future__ import annotations
@@ -43,6 +44,12 @@ def _batch_key(p) -> tuple:
         p.is_tsdf,
         p.num_iterations,
         weights,
+        bool(p.per_point),
+        # DIRECT-IMU payloads batch when their leaf shapes agree; None and
+        # present payloads never share a program.
+        tuple(tuple(leaf.shape) for leaf in jax.tree_util.tree_leaves(p.direct))
+        if p.direct is not None
+        else None,
     )
 
 
@@ -157,10 +164,7 @@ class CtWindowBatcher:
         serial: List[dict] = []
         for entry in batch:
             p = entry["pending"]
-            if p.per_point or p.direct is not None:
-                serial.append(entry)
-            else:
-                groups.setdefault(_batch_key(p), []).append(entry)
+            groups.setdefault(_batch_key(p), []).append(entry)
         for key, entries in groups.items():
             if len(entries) == 1:
                 serial.extend(entries)
@@ -211,17 +215,23 @@ class CtWindowBatcher:
         los = stack([p.low_grid for p in ps])
         problems = stack([p.problem for p in ps])
         states = stack([p.state0 for p in ps])
+        per_point = bool(ps[0].per_point)
+        directs = (
+            stack([p.direct for p in ps]) if ps[0].direct is not None else None
+        )
         if self._mesh is not None:
             from hectorgrapher_tpu.parallel.ct_windows import solve_ct_windows_sharded
 
             solved, _, _ = solve_ct_windows_sharded(
                 self._mesh, his, los, problems, states, ps[0].weights,
                 is_tsdf=ps[0].is_tsdf, num_iterations=ps[0].num_iterations,
+                per_point=per_point, directs=directs,
             )
         else:
             solved, _, _ = solve_ct_window_batched(
                 his, los, problems, states, ps[0].weights,
                 is_tsdf=ps[0].is_tsdf, num_iterations=ps[0].num_iterations,
+                per_point=per_point, directs=directs,
             )
         self.batched_launches += 1
         self.batch_sizes.append(len(entries))

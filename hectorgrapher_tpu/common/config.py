@@ -368,6 +368,11 @@ class ConstraintBuilderOptions:
     sampling_ratio: float = 0.3
     max_constraint_distance: float = 15.0
     min_score: float = 0.55
+    # TPU-native: HBM byte budget for the device-resident constraint-search
+    # packs (pyramids + low-res fields). This round's candidate submaps are
+    # always resident; other finished submaps stay packed most-recently-used
+    # first until the budget is hit, then evict (and re-ship on demand).
+    pack_hbm_budget_bytes: int = 6 << 30
     global_localization_min_score: float = 0.6
     loop_closure_translation_weight: float = 1.1e4
     loop_closure_rotation_weight: float = 1e5

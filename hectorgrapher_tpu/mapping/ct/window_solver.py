@@ -444,8 +444,12 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
                 # whole reduction on the MXU with no scatter.
                 onehot = (seg[:, None] == jnp.arange(k1)[None, :]).astype(J.dtype)
                 Jk = onehot.T[:, :, None] * J[None, :, :]  # (k1, N, 18)
-                S = S + jnp.einsum("kni,nj->kij", Jk, J)
-                gb = gb + jnp.einsum("kni,n->ki", Jk, r)
+                # HIGHEST precision: the MXU's default bf16 multiplies
+                # drop ~8 mantissa bits from normal-equation entries,
+                # which can shift LM behavior on ill-conditioned windows.
+                hp = jax.lax.Precision.HIGHEST
+                S = S + jnp.einsum("kni,nj->kij", Jk, J, precision=hp)
+                gb = gb + jnp.einsum("kni,n->ki", Jk, r, precision=hp)
                 cost = cost + 0.5 * jnp.sum(r * r)
             pairs = jnp.arange(k1)
             idx = jnp.concatenate(
@@ -575,6 +579,69 @@ def make_ct_block_families(prepared_hi, prepared_lo, problem: CtProblem, weights
     return (point_scan_block if per_point else scan_block), pair_block
 
 
+def _make_ct_assemble(prepared_hi, prepared_lo, problem: CtProblem,
+                      weights: CtWeights, is_tsdf: bool, D: int,
+                      direct: Optional[DirectImuData] = None,
+                      per_point: bool = False):
+    """Closure assembling the window's dense normal equations (JtJ, g, cost)
+    at a state — shared by the LM solver and exposed through
+    ct_normal_equations for Jacobian-parity testing."""
+    scan_block, pair_block = make_ct_block_families(
+        prepared_hi, prepared_lo, problem, weights, is_tsdf, direct=direct,
+        per_point=per_point,
+    )
+
+    def assemble(state):
+        JtJ = jnp.zeros((D, D), jnp.float32)
+        g = jnp.zeros((D,), jnp.float32)
+        cost = 0.0
+        for fam in (scan_block(state), pair_block(state)):
+            # Dense one-hot projection instead of scatter-add: E maps each
+            # block's 18-dim tangent into the D-dim layout; JtJ += E^T S E
+            # runs on the MXU and vmaps cleanly (batched scatters serialize,
+            # which wrecked solve_ct_window_batched at larger batches).
+            # Families come either raw (J, r, idx) or pre-reduced
+            # (S, g_blk, cost_blk, idx) — the per-point family segment-sums
+            # its scalar blocks into K-1 pair blocks first.
+            if len(fam) == 4:
+                S, gb, cb, idx = fam
+            else:
+                J, r, idx = fam
+                hp = jax.lax.Precision.HIGHEST
+                S = jnp.einsum("cri,crj->cij", J, J, precision=hp)
+                gb = jnp.einsum("cri,cr->ci", J, r, precision=hp)
+                cb = 0.5 * jnp.sum(r * r)
+            E = (idx[:, :, None] == jnp.arange(D)[None, None, :]).astype(jnp.float32)
+            JtJ = JtJ + jnp.einsum("cid,cij,cje->de", E, S, E)
+            g = g + jnp.einsum("cid,ci->d", E, gb)
+            cost = cost + cb
+        return JtJ, g, cost
+
+    return assemble
+
+
+@functools.partial(jax.jit, static_argnames=("is_tsdf", "per_point"))
+def ct_normal_equations(
+    high_grid,
+    low_grid,
+    problem: CtProblem,
+    state: CtState,
+    weights: CtWeights,
+    is_tsdf: bool,
+    per_point: bool = False,
+    direct: Optional[DirectImuData] = None,
+):
+    """(JtJ, g, cost) of the window at `state` on the K*9 tangent —
+    the analytic-Jacobian block assembly's output, for parity checks
+    against jacfwd of the dense residual (tests/test_ct_window.py)."""
+    D = 9 * state.translation.shape[0]
+    assemble = _make_ct_assemble(
+        prepare_grid_3d(high_grid), prepare_grid_3d(low_grid),
+        problem, weights, is_tsdf, D, direct=direct, per_point=per_point,
+    )
+    return assemble(state)
+
+
 @functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point"))
 def solve_ct_window_block(
     high_grid,
@@ -599,39 +666,14 @@ def solve_ct_window_block(
     # Materialize the interpolation tables ONCE per solve.
     prepared_hi = prepare_grid_3d(high_grid)
     prepared_lo = prepare_grid_3d(low_grid)
-    scan_block, pair_block = make_ct_block_families(
-        prepared_hi, prepared_lo, problem, weights, is_tsdf, direct=direct,
-        per_point=per_point,
+    assemble = _make_ct_assemble(
+        prepared_hi, prepared_lo, problem, weights, is_tsdf, D,
+        direct=direct, per_point=per_point,
     )
 
     per_cp_fixed = ~problem.cp_mask
     per_cp_fixed = per_cp_fixed.at[0].set(True)
     fixed = jnp.repeat(per_cp_fixed, 9)
-
-    def assemble(state):
-        JtJ = jnp.zeros((D, D), jnp.float32)
-        g = jnp.zeros((D,), jnp.float32)
-        cost = 0.0
-        for fam in (scan_block(state), pair_block(state)):
-            # Dense one-hot projection instead of scatter-add: E maps each
-            # block's 18-dim tangent into the D-dim layout; JtJ += E^T S E
-            # runs on the MXU and vmaps cleanly (batched scatters serialize,
-            # which wrecked solve_ct_window_batched at larger batches).
-            # Families come either raw (J, r, idx) or pre-reduced
-            # (S, g_blk, cost_blk, idx) — the per-point family segment-sums
-            # its scalar blocks into K-1 pair blocks first.
-            if len(fam) == 4:
-                S, gb, cb, idx = fam
-            else:
-                J, r, idx = fam
-                S = jnp.einsum("cri,crj->cij", J, J)
-                gb = jnp.einsum("cri,cr->ci", J, r)
-                cb = 0.5 * jnp.sum(r * r)
-            E = (idx[:, :, None] == jnp.arange(D)[None, None, :]).astype(jnp.float32)
-            JtJ = JtJ + jnp.einsum("cid,cij,cje->de", E, S, E)
-            g = g + jnp.einsum("cid,ci->d", E, gb)
-            cost = cost + cb
-        return JtJ, g, cost
 
     def cost_of(state):
         return assemble(state)[2]
@@ -684,7 +726,9 @@ def solve_ct_window(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("is_tsdf", "num_iterations"))
+@functools.partial(
+    jax.jit, static_argnames=("is_tsdf", "num_iterations", "per_point")
+)
 def solve_ct_window_batched(
     high_grids,
     low_grids,
@@ -693,6 +737,8 @@ def solve_ct_window_batched(
     weights: CtWeights,
     is_tsdf: bool,
     num_iterations: int = 12,
+    per_point: bool = False,
+    directs: Optional[DirectImuData] = None,
 ):
     """vmapped window solve over a leading batch axis — the multi-robot
     server operating point (many trajectories, one chip). Amortizes the
@@ -700,12 +746,22 @@ def solve_ct_window_batched(
     damped solves become one batched LU) exactly like the batched 2D
     matcher; grids must share shapes (bucket by submap configuration).
     All pytree leaves of every argument except `weights` carry a leading
-    batch dim; weights are shared."""
+    batch dim; weights are shared. per_point=True and DIRECT-IMU payloads
+    (`directs`, batched DirectImuData) batch the accuracy-flagship modes
+    (ref: optimizing_local_trajectory_builder.cc:513-926)."""
+    if directs is None:
+        return jax.vmap(
+            lambda h, l, p, s: solve_ct_window_block(
+                h, l, p, s, weights, is_tsdf=is_tsdf,
+                num_iterations=num_iterations, per_point=per_point,
+            )
+        )(high_grids, low_grids, problems, states0)
     return jax.vmap(
-        lambda h, l, p, s: solve_ct_window_block(
-            h, l, p, s, weights, is_tsdf=is_tsdf, num_iterations=num_iterations
+        lambda h, l, p, s, d: solve_ct_window_block(
+            h, l, p, s, weights, is_tsdf=is_tsdf,
+            num_iterations=num_iterations, per_point=per_point, direct=d,
         )
-    )(high_grids, low_grids, problems, states0)
+    )(high_grids, low_grids, problems, states0, directs)
 
 
 @jax.jit

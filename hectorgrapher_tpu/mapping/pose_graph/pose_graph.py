@@ -127,6 +127,22 @@ def _observe_constraint_score(kind: str, score: float) -> None:
 
 _BATCH_METRICS: Dict[str, object] = {}
 _RESIDUAL_HISTOGRAMS: Dict[str, object] = {}
+_PACK_GAUGES: Dict[str, object] = {}
+
+
+def _set_pack_bytes_gauge(kind: str, value: int) -> None:
+    """HBM bytes of the device-resident constraint-search pack (see
+    _get_pack_3d budget/eviction)."""
+    from hectorgrapher_tpu.common.profiling import global_factory
+
+    g = _PACK_GAUGES.get(kind)
+    if g is None:
+        g = global_factory().new_gauge_family(
+            f"pose_graph_constraint_pack_bytes_{kind}",
+            "device-resident constraint-search pack residency in bytes",
+        ).add({})
+        _PACK_GAUGES[kind] = g
+    g.set(float(value))
 
 
 def _observe_batched_round(num_candidates: int) -> None:
@@ -885,6 +901,9 @@ class PoseGraph2D(PoseGraphBase):
         # different depths; a single slot would thrash on alternation);
         # rebuilt only when new submaps finish, NOT per round.
         self._packs2d: Dict[int, dict] = {}
+        # HBM-budgeted membership bookkeeping (see _get_pack_2d/_3d).
+        self._pack2d_round: int = 0
+        self._pack2d_used: Dict[int, int] = {}
         self._odometry: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._fixed_frame: Dict[int, List[Tuple[float, NpRigid3]]] = {}
         self._landmark_ids: Dict[str, int] = {}
@@ -1080,6 +1099,9 @@ class PoseGraph2D(PoseGraphBase):
             pack_submaps_2d_from_arrays,
         )
 
+        self._pack2d_round += 1
+        for sid in needed:
+            self._pack2d_used[sid] = self._pack2d_round
         state = self._packs2d.get(depth)
         if (
             state is not None
@@ -1120,6 +1142,31 @@ class PoseGraph2D(PoseGraphBase):
                 }
             keep.append(sid)
         host = {sid: host[sid] for sid in keep}
+        # HBM budget (per depth pack — see _get_pack_3d for the policy):
+        # needed sids unconditional, others most-recently-used first.
+        budget = int(
+            getattr(self._options.constraint_builder, "pack_hbm_budget_bytes", 6 << 30)
+        )
+        bytes_of = lambda h: int(
+            h["levels"].nbytes + h["vals"].nbytes + h["wts"].nbytes
+        )
+        members = {sid for sid in keep if sid in needed}
+        total = sum(bytes_of(host[sid]) for sid in members)
+        for sid in sorted(
+            (s for s in keep if s not in members),
+            key=lambda s: -self._pack2d_used.get(s, 0),
+        ):
+            b = bytes_of(host[sid])
+            if total + b > budget:
+                break
+            members.add(sid)
+            total += b
+        evicted = [sid for sid in keep if sid not in members]
+        if evicted:
+            self._shipped_pack2d -= {(sid, depth) for sid in evicted}
+        keep = [sid for sid in keep if sid in members]
+        host = {sid: host[sid] for sid in keep}
+        _set_pack_bytes_gauge("2d", total)
         if len({h["levels"].shape for h in host.values()}) != 1:
             raise NotImplementedError("mixed pyramid shapes")
         res = None
@@ -1556,6 +1603,10 @@ class PoseGraph3D(PoseGraphBase):
         # Device-resident pack of finished-submap matcher state for the
         # batched constraint search (see PoseGraph2D._pack2d).
         self._pack3d: Optional[dict] = None
+        # HBM-budgeted membership bookkeeping (see _get_pack_3d): round
+        # counter + per-sid last-candidate round for MRU retention.
+        self._pack3d_round: int = 0
+        self._pack3d_used: Dict[int, int] = {}
         # Auxiliary sensor buffers for the optimization problem
         # (ref: optimization_problem_3d.h odometry_data_/fixed_frame_pose_
         # data_/landmark_nodes_; MapByTime per trajectory).
@@ -1872,22 +1923,36 @@ class PoseGraph3D(PoseGraphBase):
 
     def _get_pack_3d(self, needed_matchers: Dict[int, object], mesh):
         """Device-resident pack of 3D matcher state for the batched
-        constraint search, rebuilt only when a new submap finished, a trim
-        removed packed submaps, or the mesh changed (see _get_pack_2d —
-        the 3D pyramids are far larger, so per-round re-upload would
-        dominate the round). Host copies of each matcher's pack arrays are
-        cached per sid so an incremental rebuild downloads only newly
-        finished submaps (and so the multi-host broadcast can ship each
-        submap's arrays exactly once). Also stacks the matchers'
-        f32-ensured hi/lo grids leaf-wise ("gn" packs) so the round's GN
-        stage gathers its survivors' grids by slot id on device instead of
-        restacking multi-MB grid trees per round."""
-        import jax
+        constraint search, rebuilt only when a needed submap is not
+        packed, a trim removed packed submaps, or the mesh changed (see
+        _get_pack_2d — the 3D pyramids are far larger, so per-round
+        re-upload would dominate the round). Host copies of each matcher's
+        pack arrays are cached per sid so an incremental rebuild uploads
+        only newly admitted submaps (and so the multi-host broadcast can
+        ship each submap's arrays exactly once); once downloaded, the
+        matcher's own device copies demote to host (matcher.to_host()) so
+        the pack is the SOLE device residence of finished-submap search
+        state.
 
+        HBM budget (options.constraint_builder.pack_hbm_budget_bytes):
+        this round's candidate submaps are always resident — they are
+        already distance-gated by max_constraint_distance upstream — and
+        the remaining finished submaps stay packed most-recently-used
+        first until the budget is hit; evicted submaps are dropped from
+        the device pack (and the follower ship-set) and re-admitted from
+        the host cache on demand. A pack-bytes gauge reports residency
+        (ref: the reference's HybridGrid submaps live in robot RAM,
+        submap_3d.cc:505-507; our analog must fit a 16 GB chip at the
+        256^3/128^3 production extents)."""
         from hectorgrapher_tpu.parallel.constraint_search import (
+            host_arrays_3d_nbytes,
             matcher_host_arrays_3d,
             pack_submaps_3d_from_arrays,
         )
+
+        self._pack3d_round += 1
+        for sid in needed_matchers:
+            self._pack3d_used[sid] = self._pack3d_round
 
         state = self._pack3d
         if (
@@ -1895,36 +1960,57 @@ class PoseGraph3D(PoseGraphBase):
             and state["mesh"] is mesh
             and all(sid in state["slots"] for sid in needed_matchers)
         ):
-            return state["slots"], state["packed"], state["gn_hi"], state["gn_lo"]
+            return state["slots"], state["packed"]
         with self._lock:
             live = {
                 s.submap_id: s.matcher for s in self.submaps if s.matcher is not None
             }
         live.update(needed_matchers)
-        prev_order = state["order"] if state is not None else []
-        order = [sid for sid in prev_order if sid in live]
-        order += [sid for sid in live if sid not in order]
         host = dict(state["host"]) if state is not None else {}
-        for sid in order:
+        for sid in live:
             if sid not in host:
                 host[sid] = matcher_host_arrays_3d(live[sid])
-        host = {sid: host[sid] for sid in order}
-        if len({(h["pyr"].shape, h["low"].shape) for h in host.values()}) != 1:
+                demote = getattr(live[sid], "to_host", None)
+                if demote is not None:
+                    demote()
+        host = {sid: h for sid, h in host.items() if sid in live}
+        # Membership: needed first (unconditional), then other finished
+        # submaps most-recently-used first while under budget.
+        budget = int(
+            getattr(self._options.constraint_builder, "pack_hbm_budget_bytes", 6 << 30)
+        )
+        per_bytes = {sid: host_arrays_3d_nbytes(h) for sid, h in host.items()}
+        members = set(needed_matchers)
+        total = sum(per_bytes[sid] for sid in members)
+        for sid in sorted(
+            (s for s in live if s not in members),
+            key=lambda s: -self._pack3d_used.get(s, 0),
+        ):
+            if total + per_bytes[sid] > budget:
+                break
+            members.add(sid)
+            total += per_bytes[sid]
+        prev_order = state["order"] if state is not None else []
+        order = [sid for sid in prev_order if sid in members]
+        order += [sid for sid in members if sid not in order]
+        evicted = set(prev_order) - members
+        if evicted:
+            # Followers drop evicted host arrays with the next pack op's
+            # order; re-admission must re-ship them.
+            self._shipped_pack3d -= evicted
+        if len({(tuple(t.shape for t in host[sid]["pyr"]), host[sid]["low"].shape) for sid in order}) != 1:
             raise NotImplementedError("mixed pyramid shapes")
         packed = pack_submaps_3d_from_arrays([host[sid] for sid in order], mesh)
-        matchers = [live[sid] for sid in order]
-        gn_hi = jax.tree.map(lambda *xs: jnp.stack(xs), *[m._high_grid for m in matchers])
-        gn_lo = jax.tree.map(lambda *xs: jnp.stack(xs), *[m._low_grid for m in matchers])
+        _set_pack_bytes_gauge("3d", total)
         self._pack3d = {
             "order": order,
             "slots": {sid: i for i, sid in enumerate(order)},
             "mesh": mesh,
             "packed": packed,
-            "gn_hi": gn_hi,
-            "gn_lo": gn_lo,
             "host": host,
+            "bytes": total,
         }
-        return self._pack3d["slots"], packed, gn_hi, gn_lo
+        return self._pack3d["slots"], packed
 
     def _cs_broadcast_3d(self, config, mesh, use_rotational: bool):
         """Multi-host hook for a batched 3D round (see _cs_broadcast_2d)."""
@@ -2031,7 +2117,6 @@ class PoseGraph3D(PoseGraphBase):
         from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
             make_fast_search_3d_config,
         )
-        from hectorgrapher_tpu.mapping.scan_matching.gn_3d import match_gn_3d_batched
         from hectorgrapher_tpu.parallel.constraint_search import (
             sharded_fast_matches_3d_packed,
         )
@@ -2054,7 +2139,7 @@ class PoseGraph3D(PoseGraphBase):
         for sid, m in matcher_by_sid.items():
             if sid not in info:
                 info[sid] = float(np.asarray(m._high_grid.meta.resolution))
-        pyr_shapes = {tuple(m._pyramid_flat.shape) for m in matchers}
+        pyr_shapes = {tuple(t.shape for t in m._pyramid_levels) for m in matchers}
         low_shapes = {tuple(m._low_scores.shape) for m in matchers}
         res_set = {info[sid] for sid in matcher_by_sid}
         n_hi = {n.high_cloud.positions.shape[0] for _, _, n, _ in gated}
@@ -2090,12 +2175,17 @@ class PoseGraph3D(PoseGraphBase):
                 fc, res, scan_range, False, 256
             )
             min_score = cb.min_score
+        import time as time_mod
+
+        prof = {} if ROUND_PROFILING else None
+        t0 = time_mod.perf_counter()
         mesh = constraint_search_mesh()
-        slot_by_sid, packed, gn_hi_pack, gn_lo_pack = self._get_pack_3d(
-            matcher_by_sid, mesh
-        )
+        slot_by_sid, packed = self._get_pack_3d(matcher_by_sid, mesh)
         use_rotational = bool(fc.use_rotational_scan_matcher)
         broadcast = self._cs_broadcast_3d(config, mesh, use_rotational)
+        if prof is not None:
+            prof["pack"] = time_mod.perf_counter() - t0
+            t0 = time_mod.perf_counter()
 
         hist_np: Dict[int, np.ndarray] = {}
         candidates = []
@@ -2120,6 +2210,8 @@ class PoseGraph3D(PoseGraphBase):
                     float(nq.quat_yaw(node_in_grid.q)),
                 )
             )
+        if prof is not None:
+            prof["initials"] = time_mod.perf_counter() - t0
         matches = sharded_fast_matches_3d_packed(
             packed,
             candidates,
@@ -2127,6 +2219,7 @@ class PoseGraph3D(PoseGraphBase):
             mesh,
             use_rotational=use_rotational,
             broadcast=broadcast,
+            profile=prof,
         )
 
         survivors = []
@@ -2139,31 +2232,68 @@ class PoseGraph3D(PoseGraphBase):
             survivors.append((i, pose))
         results: List[Optional[Constraint]] = [None] * len(gated)
         if not survivors:
+            if prof is not None:
+                LAST_ROUND_BREAKDOWN.clear()
+                LAST_ROUND_BREAKDOWN.update(prof)
             return results
 
         pad = _pow2(len(survivors))
-        # Refine against the matcher's f32-ensured grids (identical values
-        # to the submap's own grids — dequantization is deterministic) so
-        # quantized and f32 submaps stack into one launch. Grids come from
-        # the device-resident gn packs by slot gather; clouds broadcast
-        # when the round is one node (the common case); poses upload as
-        # one numpy stack.
+        # Refine with the PACKED GN path: each DISTINCT surviving submap's
+        # grids (in their storage form — dequantization is deterministic,
+        # so quantized and f32 submaps give values identical to the serial
+        # path) are stacked and prepared ONCE, and every lane row-gathers
+        # from the shared flat interpolation tables by submap-folded row
+        # index. At the production 256^3 extent a per-lane prepared table
+        # is ~168 MB, so per-lane duplication (the old vmap-of-prepare)
+        # cannot fit the chip; per-distinct transients can (ref:
+        # constraint_builder_3d.cc ComputeConstraint:258-269).
         import jax
 
-        slot_ids = np.zeros(pad, np.int32)
+        from hectorgrapher_tpu.mapping.scan_matching.gn_3d import (
+            match_gn_3d_packed,
+            prepare_gn_pack_3d,
+        )
+
+        if prof is not None:
+            t0 = time_mod.perf_counter()
+        distinct_sids: List[int] = []
+        for i, _ in survivors:
+            sid = gated[i][1]
+            if sid not in distinct_sids:
+                distinct_sids.append(sid)
+        d_pad = _pow2(len(distinct_sids))
+        d_list = (distinct_sids + [distinct_sids[0]] * d_pad)[:d_pad]
+        with self._lock:
+            submap_by_sid = {
+                s.submap_id: s.submap for s in self.submaps
+            }
+        hi_d = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[submap_by_sid[sid].high_resolution_grid for sid in d_list],
+        )
+        lo_d = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[submap_by_sid[sid].low_resolution_grid for sid in d_list],
+        )
+        flat_hi, tmpl_hi, mc_hi, r_hi = prepare_gn_pack_3d(hi_d)
+        flat_lo, tmpl_lo, mc_lo, r_lo = prepare_gn_pack_3d(lo_d)
+
+        if prof is not None:
+            import jax as jax_mod
+
+            jax_mod.device_get(flat_hi.ravel()[:1])
+            prof["gn_prepare"] = time_mod.perf_counter() - t0
+        lane_d = np.zeros(pad, np.int32)
         pose_t = np.zeros((pad, 3), np.float32)
         pose_q = np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))
         for k, (i, pose) in enumerate(survivors):
-            slot_ids[k] = slot_by_sid[gated[i][1]]
+            lane_d[k] = distinct_sids.index(gated[i][1])
             pose_t[k] = np.asarray(pose.translation)
             pose_q[k] = np.asarray(pose.rotation)
         for k in range(len(survivors), pad):  # pad lanes repeat lane 0
-            slot_ids[k] = slot_ids[0]
+            lane_d[k] = lane_d[0]
             pose_t[k] = pose_t[0]
             pose_q[k] = pose_q[0]
-        idx = jnp.asarray(slot_ids)
-        hi_grids = jax.tree.map(lambda x: x[idx], gn_hi_pack)
-        lo_grids = jax.tree.map(lambda x: x[idx], gn_lo_pack)
 
         def bcast_or_stack(items):
             if len({id(c) for c in items}) == 1:
@@ -2175,10 +2305,16 @@ class PoseGraph3D(PoseGraphBase):
         hi_clouds = bcast_or_stack([gated[i][2].high_cloud for i, _ in survivors])
         lo_clouds = bcast_or_stack([gated[i][2].low_cloud for i, _ in survivors])
         poses = Rigid3(translation=pose_t, rotation=pose_q)
+        t_gn = time_mod.perf_counter() if prof is not None else 0.0
         cm = cb.ceres_scan_matcher_3d
-        refined, _ = match_gn_3d_batched(
-            hi_grids,
-            lo_grids,
+        refined, _ = match_gn_3d_packed(
+            flat_hi,
+            flat_lo,
+            tmpl_hi,
+            tmpl_lo,
+            mc_hi,
+            mc_lo,
+            jnp.asarray(lane_d),
             hi_clouds,
             lo_clouds,
             poses,
@@ -2187,10 +2323,22 @@ class PoseGraph3D(PoseGraphBase):
             cm.occupied_space_weight_1,
             cm.translation_weight,
             cm.rotation_weight,
+            r_hi=r_hi,
+            r_lo=r_lo,
             num_iterations=cm.ceres_solver_options.max_num_iterations,
         )
+        if prof is not None:
+            import jax as jax_mod
+
+            jax_mod.device_get(refined.translation.ravel()[:1])
+            prof["gn_launch"] = time_mod.perf_counter() - t_gn
+            t0 = time_mod.perf_counter()
         rt = np.asarray(refined.translation)
         rq = np.asarray(refined.rotation)
+        if prof is not None:
+            prof["gn_readback"] = time_mod.perf_counter() - t0
+            LAST_ROUND_BREAKDOWN.clear()
+            LAST_ROUND_BREAKDOWN.update(prof)
         for k, (i, _) in enumerate(survivors):
             _, sid, node, p = gated[i]
             refined_np = NpRigid3(rt[k].astype(np.float64), rq[k].astype(np.float64))

@@ -53,6 +53,37 @@ def trim_submaps(pose_graph, submap_indices: Set[int]) -> None:
     if cache is not None:
         for s in removed_submaps:
             cache.pop(s.submap_id, None)
+    # Device-resident constraint-search packs: a pack whose order contains
+    # a trimmed submap is dropped so the next round rebuilds without it
+    # (trimmed state must not count against the HBM budget); surviving
+    # submaps' host arrays stay cached, so the rebuild is upload-only.
+    removed_sids = {s.submap_id for s in removed_submaps}
+    pack3d = getattr(pose_graph, "_pack3d", None)
+    if pack3d is not None and removed_sids & set(pack3d["slots"]):
+        for sid in removed_sids:
+            pack3d["host"].pop(sid, None)
+        pose_graph._pack3d = None
+    shipped3d = getattr(pose_graph, "_shipped_pack3d", None)
+    if shipped3d:
+        shipped3d -= removed_sids
+    used3d = getattr(pose_graph, "_pack3d_used", None)
+    if used3d:
+        for sid in removed_sids:
+            used3d.pop(sid, None)
+    packs2d = getattr(pose_graph, "_packs2d", None)
+    if packs2d is not None:
+        for depth in list(packs2d):
+            if removed_sids & set(packs2d[depth]["slots"]):
+                del packs2d[depth]
+    shipped2d = getattr(pose_graph, "_shipped_pack2d", None)
+    if shipped2d:
+        shipped2d -= {
+            (sid, depth) for (sid, depth) in shipped2d if sid in removed_sids
+        }
+    used2d = getattr(pose_graph, "_pack2d_used", None)
+    if used2d:
+        for sid in removed_sids:
+            used2d.pop(sid, None)
 
 
 class PureLocalizationTrimmer:

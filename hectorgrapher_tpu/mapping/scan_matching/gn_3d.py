@@ -40,9 +40,22 @@ from hectorgrapher_tpu.transform.rigid import (
 )
 
 
-def _gather(prepared, world):
-    """(N, 4, 128) z-segment stencil rows for one grid at world positions."""
-    return gather_rows_3d(prepared, world)
+def _gather(prepared, world, base=0):
+    """(N, 4, 128) z-segment stencil rows for one grid at world positions.
+
+    `base` offsets the row indices into a shared flat table of stacked
+    per-submap blocks (the packed batched path — a per-lane table operand
+    under vmap batch-serializes the gather, so the table is shared and the
+    submap is folded into the index, like the fast-matcher pyramids)."""
+    from hectorgrapher_tpu.mapping.scan_matching.interpolated_grid import (
+        _PROB_SEG,
+        _TSDF_SEG,
+        _stencil_3d,
+    )
+
+    seg = _TSDF_SEG if isinstance(prepared, PreparedTsdf3D) else _PROB_SEG
+    rows, _, _, _ = _stencil_3d(prepared, world, seg)
+    return prepared.table[base + rows]
 
 
 def _value_and_dfrac(prepared, rows, world):
@@ -87,6 +100,31 @@ def match_gn_3d(
     only_optimize_yaw: bool = False,
 ) -> Tuple[Rigid3, jax.Array]:
     """Refine pose against the high/low-resolution grid pair."""
+    return _match_gn_3d_core(
+        prepare_grid_3d(high_grid), prepare_grid_3d(low_grid), 0, 0,
+        high_cloud, low_cloud, initial_pose, target_translation,
+        occupied_space_weight_0, occupied_space_weight_1,
+        translation_weight, rotation_weight,
+        num_iterations=num_iterations, only_optimize_yaw=only_optimize_yaw,
+    )
+
+
+def _match_gn_3d_core(
+    prepared_hi,
+    prepared_lo,
+    base_hi,  # int32: row offset of this lane's submap block in the table
+    base_lo,
+    high_cloud: PointCloud,
+    low_cloud: PointCloud,
+    initial_pose: Rigid3,
+    target_translation,
+    occupied_space_weight_0,
+    occupied_space_weight_1,
+    translation_weight,
+    rotation_weight,
+    num_iterations: int = 10,
+    only_optimize_yaw: bool = False,
+) -> Tuple[Rigid3, jax.Array]:
     n_hi = jnp.maximum(jnp.sum(high_cloud.mask), 1).astype(jnp.float32)
     n_lo = jnp.maximum(jnp.sum(low_cloud.mask), 1).astype(jnp.float32)
     q0 = initial_pose.rotation
@@ -95,9 +133,6 @@ def match_gn_3d(
     target_translation = jnp.asarray(target_translation, jnp.float32)
     s_hi = jnp.asarray(occupied_space_weight_0, jnp.float32) / jnp.sqrt(n_hi)
     s_lo = jnp.asarray(occupied_space_weight_1, jnp.float32) / jnp.sqrt(n_lo)
-
-    prepared_hi = prepare_grid_3d(high_grid)
-    prepared_lo = prepare_grid_3d(low_grid)
 
     if only_optimize_yaw:
         # (ref: ceres_scan_matcher_3d yaw-only parameterization)
@@ -110,8 +145,8 @@ def match_gn_3d(
 
     def gather_all(pose):
         return (
-            _gather(prepared_hi, world_of(pose, high_cloud.positions)),
-            _gather(prepared_lo, world_of(pose, low_cloud.positions)),
+            _gather(prepared_hi, world_of(pose, high_cloud.positions), base_hi),
+            _gather(prepared_lo, world_of(pose, low_cloud.positions), base_lo),
         )
 
     def penalty_residual(pose):
@@ -230,7 +265,13 @@ def match_gn_3d_batched(
     per lane — grids stacked leaf-wise with a leading batch axis so every
     lane refines against its OWN submap pair (ref: constraint_builder_3d.cc
     ComputeConstraint:258-269, one thread-pool task per candidate).
-    Converged lanes freeze, so per-lane results equal the serial solve."""
+    Converged lanes freeze, so per-lane results equal the serial solve.
+
+    NOTE: each lane materializes its own prepared interpolation table —
+    fine at test extents, prohibitive at the production 256^3 grids where
+    one table is ~168 MB. Production callers use the packed path
+    (prepare_gn_pack_3d + match_gn_3d_packed), which prepares each
+    DISTINCT submap once and row-gathers from a shared flat table."""
     return jax.vmap(
         lambda hg, lg, hc, lc, ip, tt: match_gn_3d(
             hg, lg, hc, lc, ip, tt,
@@ -240,3 +281,79 @@ def match_gn_3d_batched(
         ),
         in_axes=(0, 0, 0, 0, 0, 0),
     )(high_grids, low_grids, high_clouds, low_clouds, initial_poses, target_translations)
+
+
+@jax.jit
+def _prepare_pack_3d_jit(grids_d):
+    """vmap-prepare D stacked grids -> batched prepared pytree."""
+    return jax.vmap(prepare_grid_3d)(grids_d)
+
+
+def prepare_gn_pack_3d(grids_d):
+    """Prepare D DISTINCT submap grids (stacked leaf-wise, possibly in
+    their uint16 finished form) for the packed batched GN refine.
+
+    Returns (flat_table, template, min_corners, rows_per_submap):
+    flat_table (D*R, 128) f32 stacked per-submap prepared blocks (each
+    block ends in its own pad row, so local OOB indices stay in-block);
+    template is a prepared NamedTuple carrying the shared scalar fields
+    (resolution, dims, truncation) with a dummy table; min_corners (D, 3).
+    The f32 tables are round transients — steady-state HBM keeps only the
+    compact raw pack (ref: constraint_builder_3d.cc keeps per-submap
+    scan-matcher state; we additionally dedup per distinct submap)."""
+    prepared = _prepare_pack_3d_jit(grids_d)
+    table = prepared.table  # (D, R, 128)
+    r = int(table.shape[1])
+    flat = table.reshape(-1, table.shape[-1])
+    tmpl = jax.tree.map(lambda x: x[0], prepared)
+    tmpl = tmpl._replace(table=jnp.zeros((1, table.shape[-1]), jnp.float32))
+    mc = prepared.meta.min_corner  # (D, 3)
+    return flat, tmpl, mc, r
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_hi", "r_lo", "num_iterations")
+)
+def match_gn_3d_packed(
+    flat_hi,  # (D*R_hi, 128) shared prepared hi tables
+    flat_lo,  # (D*R_lo, 128)
+    tmpl_hi,  # prepared template (shared resolution/dims/truncation)
+    tmpl_lo,
+    mc_hi,  # (D, 3) per-distinct-submap min corners
+    mc_lo,
+    lane_d,  # (B,) int32: distinct-submap index of each candidate lane
+    high_clouds: PointCloud,  # (B, N, 3)
+    low_clouds: PointCloud,
+    initial_poses: Rigid3,
+    target_translations,
+    occupied_space_weight_0,
+    occupied_space_weight_1,
+    translation_weight,
+    rotation_weight,
+    r_hi: int = 0,
+    r_lo: int = 0,
+    num_iterations: int = 10,
+):
+    """Packed batched refine: every lane row-gathers from ONE shared flat
+    table pair (submap folded into the row index), so HBM holds each
+    distinct submap's prepared table once regardless of the lane count —
+    the production-extent replacement for match_gn_3d_batched."""
+
+    def one(mch, mcl, bh, bl, hc, lc, ip, tt):
+        ph = tmpl_hi._replace(
+            table=flat_hi, meta=tmpl_hi.meta._replace(min_corner=mch)
+        )
+        pl = tmpl_lo._replace(
+            table=flat_lo, meta=tmpl_lo.meta._replace(min_corner=mcl)
+        )
+        return _match_gn_3d_core(
+            ph, pl, bh, bl, hc, lc, ip, tt,
+            occupied_space_weight_0, occupied_space_weight_1,
+            translation_weight, rotation_weight,
+            num_iterations=num_iterations,
+        )
+
+    return jax.vmap(one)(
+        mc_hi[lane_d], mc_lo[lane_d], lane_d * r_hi, lane_d * r_lo,
+        high_clouds, low_clouds, initial_poses, target_translations,
+    )

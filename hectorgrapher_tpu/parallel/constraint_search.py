@@ -290,6 +290,40 @@ def build_candidate_arrays_2d(
     return arrays, slot_of_candidate
 
 
+def fm_launch_fn_args_2d(
+    packed: PackedSubmaps2D,
+    arrays: dict,
+    config: FastSearchConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+):
+    """(jitted_fn, args) of one round's collective 2D matcher launch —
+    the bench cost-analyzes the exact production program through this
+    (VERDICT r4 next #2)."""
+    sharding = NamedSharding(mesh, P(axis))
+    batch = CandidateBatch2D(
+        cloud_positions=_put_sharded(arrays["cloud_positions"], sharding),
+        cloud_mask=_put_sharded(arrays["cloud_mask"], sharding),
+        init_translation=_put_sharded(arrays["init_translation"], sharding),
+        init_angle=_put_sharded(arrays["init_angle"], sharding),
+        submap_slot=_put_sharded(arrays["submap_slot"], sharding),
+        valid=_put_sharded(arrays["valid"], sharding),
+    )
+    nx, ny = packed.dims
+    args = (
+        packed.levels,
+        packed.min_corners,
+        packed.resolution,
+        batch,
+        config,
+        mesh,
+        nx,
+        ny,
+        axis,
+    )
+    return _sharded_scores_2d, args
+
+
 def launch_fast_matches_2d(
     packed: PackedSubmaps2D,
     arrays: dict,
@@ -302,27 +336,8 @@ def launch_fast_matches_2d(
     solver plane) every follower of a multi-host mesh so all processes
     enter the same collective program. Returns device (scores, pose_t,
     pose_a) in padded-row order."""
-    sharding = NamedSharding(mesh, P(axis))
-    batch = CandidateBatch2D(
-        cloud_positions=_put_sharded(arrays["cloud_positions"], sharding),
-        cloud_mask=_put_sharded(arrays["cloud_mask"], sharding),
-        init_translation=_put_sharded(arrays["init_translation"], sharding),
-        init_angle=_put_sharded(arrays["init_angle"], sharding),
-        submap_slot=_put_sharded(arrays["submap_slot"], sharding),
-        valid=_put_sharded(arrays["valid"], sharding),
-    )
-    nx, ny = packed.dims
-    return _sharded_scores_2d(
-        packed.levels,
-        packed.min_corners,
-        packed.resolution,
-        batch,
-        config,
-        mesh,
-        nx,
-        ny,
-        axis,
-    )
+    fn, args = fm_launch_fn_args_2d(packed, arrays, config, mesh, axis)
+    return fn(*args)
 
 
 def sharded_fast_matches_2d_packed(
@@ -412,7 +427,7 @@ class CandidateBatch3D(NamedTuple):
     static_argnames=("config", "mesh", "grid_shape", "low_shape", "use_rotational", "axis"),
 )
 def _sharded_scores_3d(
-    pyramids: jax.Array,  # (S_pad, depth, F) sharded over submaps
+    pyramids,  # tuple per level: (S_pad, nz_l*nx_l+1, ny_l) sharded over submaps
     hi_min_corners: jax.Array,  # (S_pad, 3)
     low_fields: jax.Array,  # (S_pad, lx, ly, lz)
     lo_min_corners: jax.Array,  # (S_pad, 3)
@@ -431,16 +446,16 @@ def _sharded_scores_3d(
     yaws = (jnp.arange(n_yaw, dtype=jnp.float32) - config.num_yaw) * config.yaw_step
 
     def device_fn(pyr, hmc, low, lmc, hist, hp, hm, lp, lm, it, iq, sh, iy, cs, cv):
-        # One shared flat pyramid table per device; the candidate's submap
-        # is selected by a row offset folded into the gather index (a
-        # per-candidate operand under vmap batch-serializes the gather —
-        # see _match_fast_3d_core).
+        # One shared flat table PER PYRAMID LEVEL per device; the
+        # candidate's submap is selected by a row offset folded into the
+        # gather index (a per-candidate operand under vmap
+        # batch-serializes the gather — see _match_fast_3d_core).
         from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
             _match_fast_3d_core,
         )
 
-        rows_per_submap = pyr.shape[1] * pyr.shape[2]  # depth * (nz*nx+1)
-        flat_table = pyr.reshape(-1, pyr.shape[-1])  # (.., ny) y-minor rows
+        rows_per_submap = tuple(p.shape[1] for p in pyr)  # (nz_l*nx_l + 1,)
+        flat_tables = tuple(p.reshape(-1, p.shape[-1]) for p in pyr)
 
         def one(hp1, hm1, lp1, lm1, it1, iq1, sh1, iy1, s1):
             yaw_scores = match_histograms(hist[s1], sh1, yaws + iy1)
@@ -451,8 +466,8 @@ def _sharded_scores_3d(
                 kth = jnp.sort(yaw_scores)[-16]
                 yaw_scores = jnp.where(yaw_scores >= kth, yaw_scores, -1.0)
             score, low_score, rot_score, pose = _match_fast_3d_core(
-                flat_table,
-                s1 * rows_per_submap,
+                flat_tables,
+                tuple(s1 * r for r in rows_per_submap),
                 GridMeta(resolution=hi_resolution, min_corner=hmc[s1]),
                 grid_shape,
                 low[s1],
@@ -462,7 +477,6 @@ def _sharded_scores_3d(
                 Rigid3(translation=it1, rotation=iq1),
                 yaw_scores,
                 config,
-                n_levels=int(pyr.shape[1]),
             )
             return score, low_score, pose.translation, pose.rotation
 
@@ -493,7 +507,7 @@ class PackedSubmaps3D(NamedTuple):
     (see PackedSubmaps2D — the 3D pyramids are far larger, so per-round
     re-upload would be prohibitive)."""
 
-    pyramids: jax.Array  # (S_pad, depth, F) sharded
+    pyramids: Tuple[jax.Array, ...]  # per level: (S_pad, nz_l*nx_l+1, ny_l) sharded
     hi_min_corners: jax.Array  # (S_pad, 3)
     low_fields: jax.Array  # (S_pad,) + low_shape
     lo_min_corners: jax.Array  # (S_pad, 3)
@@ -509,10 +523,12 @@ class PackedSubmaps3D(NamedTuple):
 def matcher_host_arrays_3d(matcher) -> dict:
     """HOST copies of one FastCorrelativeScanMatcher3D's pack state —
     downloaded once per finished submap by the pose graph's pack cache and
-    shipped to multi-host followers (finished grids are immutable)."""
+    shipped to multi-host followers (finished grids are immutable).
+    "pyr" is a LIST of per-level decimated tables (see
+    fast_correlative_3d.precompute_pyramid_3d)."""
     hgrid = matcher._high_grid
     return {
-        "pyr": np.asarray(matcher._pyramid_flat),
+        "pyr": [np.asarray(t) for t in matcher._pyramid_levels],
         "hmc": np.asarray(hgrid.meta.min_corner, np.float32),
         "low": np.asarray(matcher._low_scores),
         "lmc": np.asarray(matcher._low_grid.meta.min_corner, np.float32),
@@ -525,6 +541,14 @@ def matcher_host_arrays_3d(matcher) -> dict:
     }
 
 
+def host_arrays_3d_nbytes(a: dict) -> int:
+    """HBM bytes one submap's packed matcher state will occupy (pyramid
+    levels + low field + corners/histogram are negligible)."""
+    return int(
+        sum(t.nbytes for t in a["pyr"]) + a["low"].nbytes + a["hist"].nbytes
+    )
+
+
 def pack_submaps_3d_from_arrays(
     host_arrays: Sequence[dict], mesh: Mesh, axis: str = "graph"
 ) -> PackedSubmaps3D:
@@ -534,28 +558,32 @@ def pack_submaps_3d_from_arrays(
     addressable shards)."""
     n_dev = mesh.devices.size
     a0 = host_arrays[0]
-    pshape = tuple(a0["pyr"].shape)  # (depth, nz*nx+1, ny) y-minor rows
+    pshapes = [tuple(t.shape) for t in a0["pyr"]]  # per level (rows+1, ny_l)
     lshape = tuple(a0["low"].shape)
     H = a0["hist"].shape[0]
 
     s_count = len(host_arrays)
     s_per_dev = _pow2_pad((s_count + n_dev - 1) // n_dev)
     s_pad = s_per_dev * n_dev
-    pyr = np.zeros((s_pad,) + pshape, a0["pyr"].dtype)  # bf16 on TPU
+    pyr_levels = [
+        np.zeros((s_pad,) + ps, a0["pyr"][li].dtype)  # bf16 on TPU
+        for li, ps in enumerate(pshapes)
+    ]
     hmc = np.zeros((s_pad, 3), np.float32)
     low = np.zeros((s_pad,) + lshape, np.float32)
     lmc = np.zeros((s_pad, 3), np.float32)
     hist = np.zeros((s_pad, H), np.float32)
     for i, a in enumerate(host_arrays):
-        assert tuple(a["pyr"].shape) == pshape, "mixed pyramid shapes"
-        pyr[i] = a["pyr"]
+        assert [tuple(t.shape) for t in a["pyr"]] == pshapes, "mixed pyramid shapes"
+        for li, t in enumerate(a["pyr"]):
+            pyr_levels[li][i] = t
         hmc[i] = a["hmc"]
         low[i] = a["low"]
         lmc[i] = a["lmc"]
         hist[i] = a["hist"]
     sharding = NamedSharding(mesh, P(axis))
     return PackedSubmaps3D(
-        pyramids=_put_sharded(pyr, sharding),
+        pyramids=tuple(_put_sharded(t, sharding) for t in pyr_levels),
         hi_min_corners=_put_sharded(hmc, sharding),
         low_fields=_put_sharded(low, sharding),
         lo_min_corners=_put_sharded(lmc, sharding),
@@ -664,7 +692,7 @@ def build_candidate_arrays_3d(
     return arrays, slot_of_candidate
 
 
-def launch_fast_matches_3d(
+def fm_launch_fn_args_3d(
     packed: PackedSubmaps3D,
     arrays: dict,
     config: FastSearch3DConfig,
@@ -672,9 +700,9 @@ def launch_fast_matches_3d(
     use_rotational: bool = True,
     axis: str = "graph",
 ):
-    """Upload one round's candidate arrays and enter the collective 3D
-    matcher launch (leader and every follower run this with identical
-    arrays). Returns device (scores, low_scores, pose_t, pose_q)."""
+    """(jitted_fn, args) of one round's collective 3D matcher launch —
+    the bench cost-analyzes the exact production program through this
+    (VERDICT r4 next #2: the dominant round stage had no roofline)."""
     sharding = NamedSharding(mesh, P(axis))
     batch = CandidateBatch3D(
         hi_positions=_put_sharded(arrays["hi_positions"], sharding),
@@ -688,7 +716,7 @@ def launch_fast_matches_3d(
         submap_slot=_put_sharded(arrays["submap_slot"], sharding),
         valid=_put_sharded(arrays["valid"], sharding),
     )
-    return _sharded_scores_3d(
+    args = (
         packed.pyramids,
         packed.hi_min_corners,
         packed.low_fields,
@@ -704,6 +732,22 @@ def launch_fast_matches_3d(
         use_rotational,
         axis,
     )
+    return _sharded_scores_3d, args
+
+
+def launch_fast_matches_3d(
+    packed: PackedSubmaps3D,
+    arrays: dict,
+    config: FastSearch3DConfig,
+    mesh: Mesh,
+    use_rotational: bool = True,
+    axis: str = "graph",
+):
+    """Upload one round's candidate arrays and enter the collective 3D
+    matcher launch (leader and every follower run this with identical
+    arrays). Returns device (scores, low_scores, pose_t, pose_q)."""
+    fn, args = fm_launch_fn_args_3d(packed, arrays, config, mesh, use_rotational, axis)
+    return fn(*args)
 
 
 def sharded_fast_matches_3d_packed(
@@ -714,27 +758,43 @@ def sharded_fast_matches_3d_packed(
     use_rotational: bool = True,
     axis: str = "graph",
     broadcast=None,
+    profile: dict = None,
 ):
     """One sharded launch for a round's 3D candidates (submaps partitioned
     by pack slot; candidates routed to their submap's owner). Returns
     [(score, low_score, Rigid3 pose)] in candidate order — the caller
     applies the min_score / low-resolution gates and GN refinement exactly
     as the single-device path does. `broadcast`, if given, receives the
-    round's host arrays before the collective launch (multi-host)."""
+    round's host arrays before the collective launch (multi-host).
+    `profile`, if given, receives per-stage wall times with forced device
+    syncs between stages (bench's constraint_round_3d breakdown)."""
     if not candidates:
         return []
+    t0 = _time.perf_counter()
     arrays, slot_of_candidate = build_candidate_arrays_3d(
         candidates, packed.s_per_dev, mesh.devices.size, int(packed.histograms.shape[-1])
     )
+    if profile is not None:
+        profile["cand_build"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
     if broadcast is not None:
         broadcast(arrays)
+        if profile is not None:
+            profile["broadcast"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
     scores, low_scores, pose_t, pose_q = launch_fast_matches_3d(
         packed, arrays, config, mesh, use_rotational, axis
     )
+    if profile is not None:
+        jax.device_get(scores.ravel()[:1])  # real completion, not enqueue
+        profile["fm_launch"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
     scores = np.asarray(scores)
     low_scores = np.asarray(low_scores)
     pose_t = np.asarray(pose_t)
     pose_q = np.asarray(pose_q)
+    if profile is not None:
+        profile["fm_readback"] = _time.perf_counter() - t0
     out = []
     for ci in range(len(candidates)):
         row = slot_of_candidate[ci]

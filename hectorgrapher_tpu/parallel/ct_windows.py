@@ -35,23 +35,28 @@ def solve_ct_windows_sharded(
     is_tsdf: bool,
     num_iterations: int = 12,
     axis: str = "graph",
+    per_point: bool = False,
+    directs=None,
 ):
     """Solve a batch of CT windows sharded over `mesh`'s `axis`.
 
-    All pytree leaves of high_grids/low_grids/problems/states0 carry a
-    leading batch dim divisible by the mesh axis size; weights are
-    replicated. Returns the same (CtState, final_cost, initial_cost)
-    pytree as solve_ct_window_batched.
-    """
+    All pytree leaves of high_grids/low_grids/problems/states0 (and
+    `directs`, batched DirectImuData, when given) carry a leading batch
+    dim divisible by the mesh axis size; weights are replicated. Returns
+    the same (CtState, final_cost, initial_cost) pytree as
+    solve_ct_window_batched. per_point=True shards the accuracy-flagship
+    per-point-unwarping mode the same way (ref:
+    optimizing_local_trajectory_builder.cc:513-926)."""
     sharded = P(axis)
     rep = P()
 
     fn = functools.partial(
-        solve_ct_window_batched, is_tsdf=is_tsdf, num_iterations=num_iterations
+        solve_ct_window_batched, is_tsdf=is_tsdf,
+        num_iterations=num_iterations, per_point=per_point,
     )
 
-    def shard_fn(h, l, p, s, w):
-        return fn(h, l, p, s, w)
+    def shard_fn(h, l, p, s, w, d):
+        return fn(h, l, p, s, w, directs=d)
 
     batched_spec = lambda tree: jax.tree.map(lambda _: sharded, tree)
     return shard_map(
@@ -63,6 +68,7 @@ def solve_ct_windows_sharded(
             batched_spec(problems),
             batched_spec(states0),
             jax.tree.map(lambda _: rep, weights),
+            batched_spec(directs),
         ),
         out_specs=(
             jax.tree.map(lambda _: sharded, states0),
@@ -72,4 +78,4 @@ def solve_ct_windows_sharded(
         # The LM while_loop's early-termination carry becomes device-varying
         # mid-loop; vma checking would reject it (it is genuinely per-shard).
         check_vma=False,
-    )(high_grids, low_grids, problems, states0, weights)
+    )(high_grids, low_grids, problems, states0, weights, directs)

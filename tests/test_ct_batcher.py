@@ -124,6 +124,40 @@ def test_batched_server_matches_serial_and_batches():
 
 
 @pytest.mark.slow
+def test_batched_server_per_point_mode_batches():
+    """The accuracy-flagship per-point-unwarping mode must BATCH on the
+    server (VERDICT r4 next #6 — it used to fall back to serial), with
+    results equal to the serial server in the same mode (ref:
+    optimizing_local_trajectory_builder.cc:513-926
+    AddPerPointMatchingResiduals)."""
+    global make_options
+    base = make_options
+
+    def pp_options():
+        return replace_deep(
+            base(),
+            {
+                "trajectory_builder_3d.optimizing_local_trajectory_builder.use_per_point_unwarping": True,
+            },
+        )
+
+    make_options = pp_options
+    try:
+        srv_b, res_b = run_server(batch=True)
+        assert srv_b.ct_batcher.batched_launches > 0, "per-point mode did not batch"
+        assert max(srv_b.ct_batcher.batch_sizes) >= 2, srv_b.ct_batcher.batch_sizes
+        srv_s, res_s = run_server(batch=False)
+    finally:
+        make_options = base
+    assert set(res_b) == set(res_s)
+    for tid in res_b:
+        assert len(res_b[tid]) == len(res_s[tid]) > 0
+        for (tb, pb), (ts, ps) in zip(res_b[tid], res_s[tid]):
+            assert tb == ts
+            np.testing.assert_allclose(pb.t, ps.t, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_mesh_sharded_batcher_matches_serial():
     """Sharded CT serving on the production server path: the batcher
     solves each drained batch via solve_ct_windows_sharded over the

@@ -114,6 +114,42 @@ class TestCtWindowSolver:
         aa = nq.quat_to_axis_angle(np.asarray(solved.rotation)[1].astype(np.float64))
         assert abs(aa[2]) < 0.03  # reduced from initial 0.04 perturbation
 
+    def test_recovers_perturbation_per_point(self):
+        """Per-point unwarping mode must also recover a perturbed control
+        point — end-to-end exercise of the split analytic Jacobian
+        (rotation-only jacfwd + closed-form translation columns)."""
+        grid = build_box_tsdf()
+        K, C, P = 4, 2, 1024
+        rng = np.random.default_rng(1)
+        pts = raycast_box_room_3d(np.zeros(3), nq.quat_identity(), num_azimuth=96, num_elevation=24)
+        pts = pts[~np.isnan(pts[:, 0])]
+        sel = rng.choice(len(pts), size=min(1024, len(pts)), replace=False)
+        pts = pts[sel]
+        cp_data = [
+            (np.zeros(3), nq.quat_identity(), np.zeros(3)),
+            (np.array([0.15, -0.1, 0.05]), nq.quat_from_axis_angle(np.array([0.0, 0.0, 0.04])), np.zeros(3)),
+        ]
+        clouds = [(0, 1, 1.0, pts)]
+        problem, state = make_problem(K, C, P, cp_data, clouds)
+        # Spread per-point times across the bracket so points interpolate
+        # at varied factors (truth is static, so world points are
+        # time-invariant but the Jacobian path sees varied brackets).
+        times = np.zeros((C, P), np.float32)
+        times[0] = np.linspace(0.0, 0.1, P)
+        problem = problem._replace(
+            hi_times=jnp.asarray(times), lo_times=jnp.asarray(times)
+        )
+        weights = CtWeights(*(jnp.asarray(w, jnp.float32) for w in (1.0, 1.0, 0.0, 0.0, 0.0)))
+        solved, final_cost, initial_cost = solve_ct_window(
+            grid, grid, problem, state, weights, is_tsdf=True,
+            num_iterations=25, per_point=True,
+        )
+        assert float(final_cost) < float(initial_cost)
+        t1 = np.asarray(solved.translation)[1]
+        np.testing.assert_allclose(t1, [0.0, 0.0, 0.0], atol=0.06)
+        aa = nq.quat_to_axis_angle(np.asarray(solved.rotation)[1].astype(np.float64))
+        assert abs(aa[2]) < 0.03
+
     def test_imu_and_odometry_constrain_unobserved(self):
         """A control point with no scan data must follow the odometry."""
         grid = build_box_tsdf()
@@ -169,3 +205,50 @@ def test_block_solver_cost_matches_dense_residual():
             per_point=per_point,
         )
         np.testing.assert_allclose(float(initial_cost), dense_cost, rtol=2e-3)
+
+
+def test_block_normal_equations_match_dense_jacfwd():
+    """The analytic split Jacobians (rotation-only jacfwd + closed-form
+    translation/velocity columns, window_solver.make_ct_block_families)
+    must assemble the SAME normal equations as jacfwd of the dense
+    residual stack — guards the hand-derived columns in both bracketing
+    modes (advisor round-4 finding: J itself was never exercised)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct import window_solver as ws
+
+    hi, lo, problem, state, weights = _build_ct_example(grid=32)
+    problem = problem._replace(
+        hi_times=jnp.linspace(-0.09, 0.0, problem.hi_times.shape[1], dtype=jnp.float32)[
+            None, :
+        ].repeat(problem.hi_times.shape[0], 0),
+        lo_times=jnp.linspace(-0.09, 0.0, problem.lo_times.shape[1], dtype=jnp.float32)[
+            None, :
+        ].repeat(problem.lo_times.shape[0], 0),
+    )
+    D = 9 * state.translation.shape[0]
+    for per_point in (False, True):
+        JtJ, g, cost = ws.ct_normal_equations(
+            hi, lo, problem, state, weights, True, per_point=per_point
+        )
+        dense = ws.make_ct_residual(hi, lo, problem, weights, True, per_point=per_point)
+        resid = lambda d: dense(ws.ct_retract(state, d))
+        J = jax.jacfwd(resid)(jnp.zeros(D, jnp.float32))
+        r = resid(jnp.zeros(D, jnp.float32))
+        JtJ_ref = np.asarray(J).T @ np.asarray(J)
+        g_ref = np.asarray(J).T @ np.asarray(r)
+        # Tolerance: the analytic path and AD-of-dense differ by design in
+        # how the pose chain is linearized (slerp/normalize formulation);
+        # measured deviation is ~0.22% of the max entry in BOTH modes (the
+        # per-scan mode is the long-trusted baseline). A real regression in
+        # the hand-derived columns produces O(10%+) errors.
+        scale = max(float(np.abs(JtJ_ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(JtJ), JtJ_ref, atol=1e-2 * scale)
+        gscale = max(float(np.abs(g_ref).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(g), g_ref, atol=5e-3 * gscale)
+        np.testing.assert_allclose(
+            float(cost), float(0.5 * jnp.sum(r * r)), rtol=2e-3
+        )
