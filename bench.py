@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the production-extent programs (256^3
+# grids) take minutes to compile over the tunnel's remote-compile path;
+# cached recompiles are near-instant across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hg_tpu_jax_cache_tpu")
+
 CPP_BASELINE_MATCHES_PER_S = 100.0
 # Measured stand-in baseline (VERDICT r2 #7): the reference's C++ tree
 # cannot be built offline (no Eigen/Ceres/absl/Lua/GMock on this machine —
@@ -470,7 +475,57 @@ def bench_constraint_round(num_submaps: int = 32):
         breakdown = {k2: round(v * 1e3, 1) for k2, v in pg_mod.LAST_ROUND_BREAKDOWN.items()}
     finally:
         pg_mod.ROUND_PROFILING = False
-    return float(np.median(times)), num_submaps, breakdown
+
+    # fm-launch roofline (VERDICT r4 weak #2): cost-analyze the EXACT
+    # production 2D launch program at the round's pack + candidate batch.
+    extras = {}
+    try:
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+            make_fast_search_config,
+        )
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            build_candidate_arrays_2d,
+            fm_launch_fn_args_2d,
+        )
+        from hectorgrapher_tpu.transform.rigid import Rigid2
+
+        import jax.numpy as jnp2
+
+        cb = options.constraint_builder
+        node = pg.nodes[-1]
+        depth = cb.fast_correlative_scan_matcher.branch_and_bound_depth
+        state = pg._packs2d[depth]
+        packed = state["packed"]
+        mesh = pg_mod.constraint_search_mesh()
+        config = make_fast_search_config(
+            cb.fast_correlative_scan_matcher.linear_search_window,
+            cb.fast_correlative_scan_matcher.angular_search_window,
+            0.05,
+            pg._scan_range_bucket(node),
+            depth,
+        )
+        candidates = [
+            (
+                state["slots"][sid],
+                node.cloud,
+                Rigid2(
+                    translation=np.zeros(2, np.float32),
+                    angle=np.float32(0.0),
+                ),
+            )
+            for sid in state["order"]
+        ]
+        arrays, _ = build_candidate_arrays_2d(
+            candidates, packed.s_per_dev, mesh.devices.size
+        )
+        fn, fargs = fm_launch_fn_args_2d(packed, arrays, config, mesh)
+        _sync(fn(*fargs))
+        fm_med, _ = _chain_time(lambda: fn(*fargs), iters=5, repeats=3)
+        f, b = _cost_analysis(fn, *fargs)
+        extras["roofline_fm2d_round"] = _roofline(f, b, fm_med)
+    except Exception as e:
+        extras["fm2d_roofline_error"] = str(e)
+    return float(np.median(times)), num_submaps, breakdown, extras
 
 
 def bench_ct_perpoint():
@@ -518,6 +573,349 @@ def bench_ct_perpoint():
         "ct_perpoint_perscan_ms": round(ps_med * 1e3, 3),
         "ct_perpoint_perscan_ms_p95": round(ps_p95 * 1e3, 3),
         "ct_perpoint_vs_perscan_ratio": round(pp_med / ps_med, 2),
+    }
+
+
+def bench_ct_window_production():
+    """CT window solve at the PRODUCTION submap extents — 256^3 hi-res /
+    128^3 lo-res TSDF cubes (SubmapsOptions3D.high_grid_size defaults,
+    submap_3d.py) — closing VERDICT r4 missing #2: every prior on-chip CT
+    number used <=96^3 toy grids. Includes the per-solve interpolation-
+    table build against the full-size active grids, exactly as the
+    front-end pays it. Returns extras dict."""
+    import functools
+
+    import jax
+
+    from __graft_entry__ import _build_ct_example
+    from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window
+
+    hi, lo, problem, state, weights = _build_ct_example(grid=256, cube=True)
+    extras = {}
+    for per_point, key in ((False, "ct_window_solve_production_ms"),
+                           (True, "ct_perpoint_solve_production_ms")):
+        step = jax.jit(
+            functools.partial(
+                solve_ct_window, is_tsdf=True, num_iterations=8,
+                per_point=per_point,
+            )
+        )
+        _sync(step(hi, lo, problem, state, weights))
+        med, p95 = _chain_time(
+            lambda: step(hi, lo, problem, state, weights), iters=32, repeats=3
+        )
+        extras[key] = round(med * 1e3, 3)
+        extras[key + "_p95"] = round(p95 * 1e3, 3)
+    extras["ct_production_rtr_10hz"] = round(
+        (1e3 / extras["ct_window_solve_production_ms"]) / 10.0, 1
+    )
+    return extras
+
+
+def _build_production_submap_3d():
+    """One finished production-extent 3D submap's content: 256^3 0.1 m hi /
+    128^3 0.45 m lo TSDF built by inserting raycast scans of a large box
+    room, quantized to the uint16 finished form (the reference stores
+    uint16 cells always, hybrid_grid.h)."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common.config import TSDFRangeDataInserterOptions3D
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+    from hectorgrapher_tpu.mapping.grids import (
+        grid_nbytes,
+        make_tsdf_grid,
+        quantize_tsdf_grid,
+    )
+    from hectorgrapher_tpu.mapping.inserters_3d import make_tsdf_inserter_3d
+    from hectorgrapher_tpu.mapping.scan_matching.rotational_histogram import (
+        compute_histogram,
+    )
+    from hectorgrapher_tpu.sensor.types import RangeData, pad_cloud
+    from hectorgrapher_tpu.sensor.voxel_filter import compact_cloud, voxel_filter
+    from hectorgrapher_tpu.transform import np_quat as nq
+
+    HIST = 120
+    hi = make_tsdf_grid(0.1, (256,) * 3, truncation_distance=0.3, max_weight=1000.0)
+    lo = make_tsdf_grid(0.45, (128,) * 3, truncation_distance=1.35, max_weight=1000.0)
+    opts = TSDFRangeDataInserterOptions3D(
+        normal_computation_method="NONE", min_range=0.4, max_range=60.0
+    )
+    ins_hi = make_tsdf_inserter_3d(opts, 0.1)
+    ins_lo = make_tsdf_inserter_3d(opts, 0.45)
+    hist = np.zeros(HIST, np.float32)
+    scan_pts = None
+    for pose_t in [np.zeros(3), np.array([1.5, 1.0, 0.0]), np.array([-1.2, 0.8, 0.0])]:
+        pts = raycast_box_room_3d(
+            pose_t, nq.quat_identity(), half_extents=(9.5, 7.5, 2.4),
+            num_azimuth=256, num_elevation=48,
+        )
+        pts = pts[~np.isnan(pts[:, 0])].astype(np.float32)
+        world = pts + pose_t.astype(np.float32)
+        rd = RangeData(
+            origin=jnp.asarray(pose_t, jnp.float32),
+            returns=pad_cloud(world, 16384),
+            misses=pad_cloud(np.zeros((0, 3), np.float32), 4),
+        )
+        hi = ins_hi(hi, rd)
+        lo = ins_lo(lo, rd)
+        hc = pad_cloud(world, 16384)
+        hist += np.asarray(compute_histogram(hc.positions, hc.mask, HIST))
+        if scan_pts is None:
+            scan_pts = pts
+    hi_q = quantize_tsdf_grid(hi)
+    lo_q = quantize_tsdf_grid(lo)
+    high_cloud = compact_cloud(voxel_filter(pad_cloud(scan_pts, 16384), 0.15), 1024)
+    low_cloud = compact_cloud(voxel_filter(pad_cloud(scan_pts, 16384), 0.45), 512)
+    grid_bytes = grid_nbytes(hi_q) + grid_nbytes(lo_q)
+    return hi_q, lo_q, hist, high_cloud, low_cloud, grid_bytes
+
+
+def bench_constraint_round_3d(num_submaps: int = 32):
+    """PRODUCTION 3D loop-closure round at the production submap extents:
+    `num_submaps` finished 256^3/128^3 uint16 submaps through the real
+    PoseGraph3D.add_node batched path (sharded fast-matcher launch over
+    decimated pyramids + packed GN refine), driver-captured with the
+    per-stage breakdown and the fm-launch roofline (VERDICT r4 next #1/#2).
+    Returns (median_round_s, extras)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common.config import MapBuilderOptions, replace_deep
+    import hectorgrapher_tpu.mapping.pose_graph.pose_graph as pg_mod
+    from hectorgrapher_tpu.mapping.pose_graph.pose_graph import PgNode, PoseGraph3D
+    from hectorgrapher_tpu.mapping.submap_3d import Submap3D
+    from hectorgrapher_tpu.parallel.constraint_search import host_arrays_3d_nbytes
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    hi_q, lo_q, hist, high_cloud, low_cloud, grid_bytes = _build_production_submap_3d()
+
+    options = replace_deep(
+        MapBuilderOptions(),
+        {
+            "pose_graph.optimize_every_n_nodes": 0,  # time the round, not SPA
+            "pose_graph.async_work_queue": False,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.max_constraint_distance": 1e6,
+            "pose_graph.constraint_builder.min_score": 0.3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_rotational_score": 0.1,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_low_resolution_score": 0.1,
+        },
+    ).pose_graph
+    pg = PoseGraph3D(options)
+
+    def mknode(t):
+        return PgNode(
+            time=t,
+            local_pose=NpRigid3(np.zeros(3)),
+            global_pose=NpRigid3.identity(),
+            high_cloud=high_cloud,
+            low_cloud=low_cloud,
+            histogram=hist,
+        )
+
+    active = Submap3D(
+        local_pose=NpRigid3(np.zeros(3)),
+        high_resolution_grid=hi_q,
+        low_resolution_grid=lo_q,
+        rotational_histogram=hist,
+        insertion_finished=False,
+    )
+    # Build phase: sampler gated OFF so the N INTRA adds don't run N
+    # growing warm rounds (each would compile its own pow2 bucket); the
+    # measured rounds then run at the full num_submaps candidate count.
+    pg._sampler = pg_mod._SamplerState(0.0)
+    extras = {"production_grid_bytes_per_submap": grid_bytes}
+    t_build0 = time.perf_counter()
+    for i in range(num_submaps):
+        # DISTINCT device grid copies per submap: the HBM residency being
+        # proven is num_submaps full production submaps, not one shared
+        # set of arrays.
+        sm = Submap3D(
+            local_pose=NpRigid3(np.zeros(3)),
+            high_resolution_grid=jax.tree.map(jnp.copy, hi_q),
+            low_resolution_grid=jax.tree.map(jnp.copy, lo_q),
+            rotational_histogram=hist,
+            insertion_finished=True,
+        )
+        pg.add_node(mknode(0.01 * i), [sm])
+    pg._sampler = pg_mod._SamplerState(1.0)
+    extras["production_build_s"] = round(time.perf_counter() - t_build0, 1)
+    pg.add_node(mknode(1.0), [active])  # warm: pack build + compiles
+    times = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        pg.add_node(mknode(2.0 + k), [active])
+        times.append(time.perf_counter() - t0)
+    pg_mod.ROUND_PROFILING = True
+    try:
+        pg.add_node(mknode(9.0), [active])  # warms the sync probes
+        pg.add_node(mknode(9.5), [active])
+        extras["constraint_round_3d_breakdown_ms"] = {
+            k2: round(v * 1e3, 1) for k2, v in pg_mod.LAST_ROUND_BREAKDOWN.items()
+        }
+    finally:
+        pg_mod.ROUND_PROFILING = False
+    extras["constraint_round_3d_candidates"] = num_submaps
+
+    # Pack HBM residency: measured bytes at the full pack + the per-submap
+    # cost (the BASELINE 8/32/64-submap table derives from these).
+    state = pg._pack3d
+    per_pack = host_arrays_3d_nbytes(next(iter(state["host"].values())))
+    extras["pack_bytes_per_submap_3d"] = per_pack
+    extras["pack_bytes_resident_3d"] = int(state["bytes"])
+    extras["pack_submaps_resident_3d"] = len(state["order"])
+
+    # fm-launch roofline: cost-analyze the EXACT production launch program
+    # with the pack + a full candidate batch (VERDICT r4 weak #2 — 84% of
+    # the round had no roofline).
+    try:
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+            make_fast_search_3d_config,
+        )
+        from hectorgrapher_tpu.parallel.constraint_search import (
+            build_candidate_arrays_3d,
+            fm_launch_fn_args_3d,
+        )
+        from hectorgrapher_tpu.transform.rigid import Rigid3
+
+        node = pg.nodes[-1]
+        fc = options.constraint_builder.fast_correlative_scan_matcher_3d
+        res = 0.1
+        config = make_fast_search_3d_config(
+            fc, res, pg._scan_range_bucket(node), False, 256
+        )
+        packed = state["packed"]
+        mesh = pg_mod.constraint_search_mesh()
+        candidates = [
+            (
+                state["slots"][sid],
+                node.high_cloud,
+                node.low_cloud,
+                np.asarray(node.histogram),
+                Rigid3(
+                    translation=np.zeros(3, np.float32),
+                    rotation=np.array([1, 0, 0, 0], np.float32),
+                ),
+                0.0,
+            )
+            for sid in state["order"]
+        ]
+        arrays, _ = build_candidate_arrays_3d(
+            candidates, packed.s_per_dev, mesh.devices.size,
+            int(packed.histograms.shape[-1]),
+        )
+        fn, fargs = fm_launch_fn_args_3d(packed, arrays, config, mesh)
+        _sync(fn(*fargs))
+        fm_med, _ = _chain_time(lambda: fn(*fargs), iters=4, repeats=3)
+        f, b = _cost_analysis(fn, *fargs)
+        extras["roofline_fm3d_production"] = _roofline(f, b, fm_med)
+    except Exception as e:
+        extras["fm3d_roofline_error"] = str(e)
+    return float(np.median(times)), extras
+
+
+def bench_pipeline_rtr(duration: float = 60.0, warmup: float = 5.0):
+    """Whole-pipeline real-time ratio (VERDICT r4 next #4): a DRZ-shaped
+    synthetic 3D sequence (10 Hz lidar with per-point sweep times, 100 Hz
+    IMU, 20 Hz odometry, a revisiting trajectory) through the CT front-end
+    with the ASYNC pose graph running loop-closure rounds + periodic SPA
+    concurrently — the reference's defining property is this pipeline at
+    10 Hz (local_trajectory_builder_2d.cc RTR gauges; pose_graph.lua:16
+    cadence). Reports mapped-seconds-per-wall-second (steady state, past
+    `warmup` mapped seconds), p50/p95 front-end latency, and proof that
+    loop closures + SPA fired DURING the run."""
+    import jax.numpy as jnp
+
+    from hectorgrapher_tpu.common import config as cfg
+    from hectorgrapher_tpu.evaluation.scan_generator import raycast_box_room_3d
+    from hectorgrapher_tpu.mapping.map_builder import MapBuilder
+    from hectorgrapher_tpu.sensor.types import TimedPointCloudData, pad_timed_cloud
+    from hectorgrapher_tpu.transform import np_quat as nq
+    from hectorgrapher_tpu.transform.np_quat import NpRigid3
+
+    options = cfg.replace_deep(
+        cfg.MapBuilderOptions(),
+        {
+            "use_trajectory_builder_3d": True,
+            "trajectory_builder_3d.min_range": 0.4,
+            "trajectory_builder_3d.submaps.grid_type": "TSDF",
+            "trajectory_builder_3d.submaps.high_grid_size": 96,
+            "trajectory_builder_3d.submaps.low_grid_size": 48,
+            "trajectory_builder_3d.submaps.num_range_data": 40,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.initialization_duration": 0.45,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.max_control_points": 12,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.max_clouds_in_window": 12,
+            "trajectory_builder_3d.optimizing_local_trajectory_builder.points_per_cloud": 256,
+            # Async back-end ON: constraint rounds + periodic SPA run on
+            # the work-queue thread while the front-end streams.
+            "pose_graph.async_work_queue": True,
+            "pose_graph.optimize_every_n_nodes": 40,
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.min_score": 0.35,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_rotational_score": 0.2,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.min_low_resolution_score": 0.3,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.linear_xy_search_window": 1.5,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher_3d.angular_search_window": float(np.radians(15.0)),
+        },
+    )
+    mb = MapBuilder(options)
+    tb = mb.get_trajectory_builder(mb.add_trajectory_builder())
+    GRAVITY = np.array([0.0, 0.0, 9.80665])
+    rng = np.random.default_rng(7)
+
+    def gt_x(t):
+        # Revisiting sweep: two full cycles over `duration` — the second
+        # pass closes loops against the first pass's finished submaps.
+        return 2.5 * np.sin(2.0 * np.pi * t / (duration / 2.0))
+
+    t, next_odom, next_scan = 0.0, 0.0, 0.05
+    latencies = []
+    t_steady = None
+    while t <= duration:
+        x = gt_x(t)
+        q = nq.quat_identity()
+        tb.add_imu_data(t, GRAVITY.copy(), np.zeros(3))
+        if t >= next_odom:
+            tb.add_odometry_data(
+                t, NpRigid3(np.array([x, 0, 0]) + rng.normal(0, 0.002, 3), q)
+            )
+            next_odom += 0.05
+        if t >= next_scan:
+            pts = raycast_box_room_3d(
+                np.array([x, 0, 0]), q, num_azimuth=96, num_elevation=24,
+                noise_std=0.004, rng=rng,
+            )
+            pts = pts[~np.isnan(pts[:, 0])]
+            times = np.linspace(-0.05, 0.049, len(pts)).astype(np.float32)
+            cloud = pad_timed_cloud(pts, times, 2560)
+            if t >= warmup and t_steady is None:
+                t_steady = time.perf_counter()
+            t0 = time.perf_counter()
+            tb.add_range_data(
+                TimedPointCloudData(
+                    time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                    ranges=cloud, width=96,
+                )
+            )
+            if t_steady is not None:
+                latencies.append(time.perf_counter() - t0)
+            next_scan += 0.1
+        t = round(t + 0.01, 6)
+    wall_steady = time.perf_counter() - t_steady
+    pg = mb.pose_graph
+    inter_during = sum(1 for c in pg.constraints if c.tag == "INTER")
+    opts_during = pg.num_optimizations
+    mb.finish_trajectory(0)
+    pg.wait_for_all_computations()
+    lat = np.asarray(latencies)
+    return {
+        "pipeline_rtr": round((duration - warmup) / wall_steady, 2),
+        "pipeline_frontend_latency_ms_p50": round(float(np.median(lat)) * 1e3, 1),
+        "pipeline_frontend_latency_ms_p95": round(float(np.percentile(lat, 95)) * 1e3, 1),
+        "pipeline_inter_constraints_during_run": int(inter_during),
+        "pipeline_spa_runs_during_run": int(opts_during),
+        "pipeline_nodes": len(pg.nodes),
+        "pipeline_submaps": len(pg.submaps),
     }
 
 
@@ -637,7 +1035,10 @@ def main() -> None:
     # Watchdog: if anything below hangs past the wall budget, emit the
     # partially-filled record and exit 0 so the driver records a parseable
     # result instead of killing an empty process.
-    budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1500"))
+    # Raised from 1500 in round 5: the production-extent sections move
+    # ~3 GB of submap state through the ~12 MB/s tunnel and compile 256^3
+    # programs (cached in JAX_COMPILATION_CACHE_DIR across runs).
+    budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "2600"))
 
     def _watchdog():
         _RECORD.setdefault("error", f"wall budget {budget:.0f}s exceeded (TPU tunnel hang)")
@@ -680,10 +1081,11 @@ def main() -> None:
     except Exception as e:
         _RECORD["ct_batched_error"] = str(e)
     try:
-        round_s, n_cands, breakdown = bench_constraint_round()
+        round_s, n_cands, breakdown, round_extras = bench_constraint_round()
         _RECORD["constraint_round_s"] = round(round_s, 4)
         _RECORD["constraint_round_candidates"] = n_cands
         _RECORD["constraint_round_breakdown_ms"] = breakdown
+        _RECORD.update(round_extras)
     except Exception as e:
         _RECORD["constraint_round_error"] = str(e)
     try:
@@ -700,6 +1102,23 @@ def main() -> None:
         _RECORD["spa_scale_5k_solve_s"] = round(bench_spa_scale(), 3)
     except Exception as e:
         _RECORD["spa_scale_error"] = str(e)
+    try:
+        _RECORD.update(bench_pipeline_rtr())
+    except Exception as e:
+        _RECORD["pipeline_rtr_error"] = str(e)
+    # Production-extent items last: they are the heaviest (256^3 grids, a
+    # 32-submap pack build over the tunnel) — if the wall budget fires
+    # mid-way, everything above still lands in the record.
+    try:
+        _RECORD.update(bench_ct_window_production())
+    except Exception as e:
+        _RECORD["ct_production_error"] = str(e)
+    try:
+        r3d_s, r3d_extras = bench_constraint_round_3d()
+        _RECORD["constraint_round_3d_s"] = round(r3d_s, 4)
+        _RECORD.update(r3d_extras)
+    except Exception as e:
+        _RECORD["constraint_round_3d_error"] = str(e)
 
     timer.cancel()
     _emit()

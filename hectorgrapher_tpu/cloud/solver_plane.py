@@ -42,6 +42,7 @@ launch order, or the meshes' program queues diverge and deadlock.
 from __future__ import annotations
 
 import threading
+import time
 from concurrent import futures
 from typing import List, Optional
 
@@ -223,12 +224,16 @@ class SolverPlaneLeader:
     sharded solve's inputs to every follower, then the caller runs the
     same solve locally — all processes meet inside the collective."""
 
-    def __init__(self, follower_addresses: List[str]):
+    def __init__(self, follower_addresses: List[str], collect_stats: bool = False):
         import grpc
 
         self._calls = []
         self._channels = []
         self._seq = 0
+        # Per-op overhead record (VERDICT r4 next #7): payload bytes +
+        # ship/ack wall times. Opt-in — measuring bytes re-serializes the
+        # payload, which doubles the host cost of multi-MB pack ops.
+        self.stats: Optional[dict] = {} if collect_stats else None
         for addr in follower_addresses:
             channel = grpc.insecure_channel(addr)
             self._channels.append(channel)
@@ -266,7 +271,22 @@ class SolverPlaneLeader:
                 still.append(f)
         seq = self._seq
         self._seq += 1
+        st = None
+        if self.stats is not None:
+            st = self.stats.setdefault(
+                op, {"count": 0, "bytes": 0, "ack_ms": []}
+            )
+            st["count"] += 1
+            st["bytes"] += len(wire.dumps((op, seq, payload)))
+        t0 = time.perf_counter()
         futures_now = [call.future((op, seq, payload)) for call in self._calls]
+        if st is not None:
+            for f in futures_now:
+                f.add_done_callback(
+                    lambda _f, st=st, t0=t0: st["ack_ms"].append(
+                        (time.perf_counter() - t0) * 1e3
+                    )
+                )
         if wait:
             for f in futures_now:
                 try:

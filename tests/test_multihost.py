@@ -13,6 +13,7 @@ Coverage (VERDICT r2 #5):
      collectives complete.
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -176,7 +177,7 @@ else:
         {"pose_graph.async_work_queue": False, "pose_graph.optimize_every_n_nodes": 0},
     ).pose_graph
     pg = PoseGraph3D(options, histogram_size=HIST)
-    leader = SolverPlaneLeader([f"127.0.0.1:{follower_port}"])
+    leader = SolverPlaneLeader([f"127.0.0.1:{follower_port}"], collect_stats=True)
     pg.set_solver_mesh(mesh, broadcast=leader)
 
     submap = Submap3D(
@@ -323,6 +324,20 @@ else:
     got3 = run_graph_3d(True)
     assert ref3, "reference 3D run found no INTER constraints"
     assert got3 == ref3, (got3, ref3)
+    # Solver-plane overhead record (VERDICT r4 next #7): per-op payload
+    # bytes + follower-ack latencies over DCN (localhost gRPC here; real
+    # DCN adds its RTT on top of the serialize/deserialize cost shown).
+    import json as _json
+    summary = {
+        op: {
+            "count": st["count"],
+            "bytes": st["bytes"],
+            "ack_ms_p50": round(float(np.median(st["ack_ms"])), 1) if st["ack_ms"] else None,
+            "ack_ms_max": round(float(np.max(st["ack_ms"])), 1) if st["ack_ms"] else None,
+        }
+        for op, st in leader.stats.items()
+    }
+    print("SOLVERPLANE_STATS " + _json.dumps(summary), flush=True)
     leader.shutdown()
     print(f"proc 0 PROD3D OK inter={len(got3)}")
 """
@@ -374,4 +389,13 @@ def test_two_process_global_mesh(tmp_path):
     assert "SOLVERPLANE OK" in outs[0][1]
     assert "PROD2D OK" in outs[0][1]
     assert "PROD3D OK" in outs[0][1]
+    # Overhead record present (numbers land in BASELINE.md's DCN table).
+    stats_line = next(
+        (l for l in outs[0][1].splitlines() if l.startswith("SOLVERPLANE_STATS ")),
+        None,
+    )
+    assert stats_line is not None, "leader did not report solver-plane stats"
+    stats = json.loads(stats_line[len("SOLVERPLANE_STATS "):])
+    assert "cs3d_pack" in stats and "cs3d" in stats, stats
+    print(stats_line)
     assert "FOLLOWER OK" in outs[1][1]

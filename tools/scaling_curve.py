@@ -52,6 +52,8 @@ def _child(n_devices: int) -> None:
     out = {"devices": n_devices}
 
     # --- SPA-3D at production scale (fixed size: strong scaling) --------
+    from hectorgrapher_tpu.parallel.sharded import spa_sharded_collective_ops
+
     problem, _, _ = make_scale_spa_problem(5000, 500, 20000, noise=0.5, seed=0)
     r = solve_spa_3d_sharded(problem, mesh, num_iterations=10)
     jax.block_until_ready(r)
@@ -62,6 +64,11 @@ def _child(n_devices: int) -> None:
         jax.block_until_ready(r)
         ts.append(time.perf_counter() - t0)
     out["spa3d_s"] = round(min(ts), 4)
+    # Static collective-op census of the compiled solve (VERDICT r4 #3:
+    # record psums-per-solve alongside the times).
+    out["spa3d_collectives"] = spa_sharded_collective_ops(
+        problem, mesh, num_iterations=10
+    )
 
     # --- sharded 3D constraint-search round ------------------------------
     from hectorgrapher_tpu.common.config import (
@@ -173,10 +180,15 @@ def main() -> None:
             print(f"devices={n} FAILED:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
             continue
         rows.append(json.loads(line[len("SCALING "):]))
-    print("\n| Virtual devices | SPA-3D 5k-node (s) | 3D constraint round, 32 cands (s) |")
-    print("|---|---|---|")
+    print("\n| Virtual devices | SPA-3D 5k-node (s) | SPA collective HLO ops | 3D constraint round, 32 cands (s) |")
+    print("|---|---|---|---|")
     for r in rows:
-        print(f"| {r['devices']} | {r['spa3d_s']} | {r['cs3d_round_s']} |")
+        coll = r.get("spa3d_collectives", {})
+        print(
+            f"| {r['devices']} | {r['spa3d_s']} | {coll.get('total', '?')} "
+            f"(ar={coll.get('all-reduce', '?')}, ag={coll.get('all-gather', '?')}) "
+            f"| {r['cs3d_round_s']} |"
+        )
 
 
 if __name__ == "__main__":
