@@ -54,6 +54,69 @@ from hectorgrapher_tpu.sensor.voxel_filter import (
 from hectorgrapher_tpu.transform import np_quat as nq
 from hectorgrapher_tpu.transform.interpolation import TransformInterpolationBuffer
 from hectorgrapher_tpu.transform.np_quat import NpRigid3
+from hectorgrapher_tpu.transform.rigid import Rigid3 as _Rigid3
+
+
+def _pack_two_clouds_jit():
+    import jax
+
+    global _PACK_TWO_CLOUDS
+    if _PACK_TWO_CLOUDS is None:
+
+        @jax.jit
+        def pack(h, l):
+            def one(c):
+                return jnp.concatenate(
+                    [
+                        c.positions,
+                        c.times[:, None],
+                        c.mask[:, None].astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+
+            return jnp.concatenate([one(h), one(l)], axis=0)
+
+        _PACK_TWO_CLOUDS = pack
+    return _PACK_TWO_CLOUDS
+
+
+_PACK_TWO_CLOUDS = None
+_PACK_STATE = None
+
+
+def _pack_state_jit():
+    import jax
+
+    global _PACK_STATE
+    if _PACK_STATE is None:
+
+        @jax.jit
+        def pack(s):
+            return jnp.concatenate(
+                [s.translation, s.rotation, s.velocity], axis=1
+            )
+
+        _PACK_STATE = pack
+    return _PACK_STATE
+
+
+def _filtered_clouds_to_host(hi, lo, capacity: int):
+    """One fused device readback for BOTH filtered clouds: positions,
+    times, and mask packed into a single (2*capacity, 5) f32 array (a
+    per-array np.asarray costs a full host<->device round-trip each —
+    over a tunneled chip ~26 ms apiece). The jitted packer is
+    module-level: a per-call jit would retrace every scan."""
+    packed = np.asarray(_pack_two_clouds_jit()(hi, lo))
+
+    def unpack(a):
+        return TimedPointCloud(
+            positions=np.ascontiguousarray(a[:, :3]),
+            times=np.ascontiguousarray(a[:, 3]),
+            mask=a[:, 4] > 0.5,
+        )
+
+    return unpack(packed[:capacity]), unpack(packed[capacity:])
 
 
 @dataclass
@@ -91,7 +154,9 @@ class PointCloudSet:
     points: np.ndarray  # (n, 3) range-filtered points, tracking frame
     times: np.ndarray  # (n,) per-point relative times (<= 0)
     width: int
-    high_res: TimedPointCloud  # adaptive-filtered, padded (device)
+    high_res: TimedPointCloud  # adaptive-filtered, padded (HOST numpy —
+    # demoted in one fused readback; the window solve re-uploads one
+    # stacked batch, see _filtered_clouds_to_host)
     low_res: TimedPointCloud
     min_point_time: float
     max_point_time: float
@@ -255,6 +320,13 @@ class OptimizingLocalTrajectoryBuilder:
             adaptive_voxel_filter_timed(cloud_dev, self._options.low_resolution_adaptive_voxel_filter),
             self._P,
         )
+        # Demote the filtered clouds to host in ONE packed readback: the
+        # window-solve assembly re-reads every window cloud's 6 arrays per
+        # solve (12-cloud window -> 72 device round-trips per scan, the
+        # dominant share of the 131/scan the round-5 pipeline audit
+        # found); host copies make the assembly readback-free and the
+        # solve re-uploads one stacked batch.
+        hi, lo = _filtered_clouds_to_host(hi, lo, self._P)
         self._clouds.append(
             PointCloudSet(
                 time=time,
@@ -299,7 +371,7 @@ class OptimizingLocalTrajectoryBuilder:
         odom(t0)^-1 * odom(t1); pose1 = pose0 * rel."""
         buf = TransformInterpolationBuffer()
         for t, p in self._odom:
-            buf.push(t, p.to_jax())
+            buf.push(t, _Rigid3(translation=p.t, rotation=p.q))
         def lookup(t):
             t = min(max(t, buf.earliest_time), buf.latest_time)
             return NpRigid3.from_jax(buf.lookup(t))
@@ -373,7 +445,7 @@ class OptimizingLocalTrajectoryBuilder:
         elif mode == "ADAPTIVE":
             buf = TransformInterpolationBuffer()
             for t, p in self._odom:
-                buf.push(t, p.to_jax())
+                buf.push(t, _Rigid3(translation=p.t, rotation=p.q))
             while len(self._control_points) < self._K:
                 start = self._control_points[-1].time
                 if start >= buf.latest_time:
@@ -477,7 +549,7 @@ class OptimizingLocalTrajectoryBuilder:
         imu_a = np.asarray(self._imu_acc)
         obuf = TransformInterpolationBuffer()
         for t, p in self._odom:
-            obuf.push(t, p.to_jax())
+            obuf.push(t, _Rigid3(translation=p.t, rotation=p.q))
 
         for i in range(1, k):
             t0, t1 = cp_times[i - 1], cp_times[i]
@@ -604,9 +676,17 @@ class OptimizingLocalTrajectoryBuilder:
 
     def _apply_window_solution(self, pending: "PendingWindowSolve", solved) -> None:
         self.num_optimizations += 1
-        new_trans = np.asarray(solved.translation)
-        new_rot = np.asarray(solved.rotation)
-        new_vel = np.asarray(solved.velocity)
+        if isinstance(solved.translation, np.ndarray):
+            new_trans, new_rot, new_vel = (
+                solved.translation, solved.rotation, solved.velocity
+            )
+        else:
+            # One fused readback for the solved state (3 per-leaf
+            # np.asarray calls = 3 device round-trips per solve).
+            packed = np.asarray(_pack_state_jit()(solved))
+            new_trans = packed[:, :3]
+            new_rot = packed[:, 3:7]
+            new_vel = packed[:, 7:10]
         for i, cp in enumerate(pending.cps[: pending.k]):
             cp.state = CpState(
                 new_trans[i].astype(np.float64),

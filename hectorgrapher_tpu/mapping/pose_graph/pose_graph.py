@@ -172,6 +172,12 @@ def _observe_batched_round(num_candidates: int) -> None:
 ROUND_PROFILING = False
 LAST_ROUND_BREAKDOWN: Dict[str, float] = {}
 
+# Max DISTINCT submaps per packed-GN refinement launch (3D): each distinct
+# entry holds ~193 MB of prepared interpolation table at the 256^3
+# production extent (plus comparable prepare transients), so rounds whose
+# survivors span more distinct submaps split into sequential blocks.
+_GN3D_MAX_DISTINCT = 8
+
 _GRAPH_MESH = None
 
 
@@ -2237,7 +2243,6 @@ class PoseGraph3D(PoseGraphBase):
                 LAST_ROUND_BREAKDOWN.update(prof)
             return results
 
-        pad = _pow2(len(survivors))
         # Refine with the PACKED GN path: each DISTINCT surviving submap's
         # grids (in their storage form — dequantization is deterministic,
         # so quantized and f32 submaps give values identical to the serial
@@ -2246,7 +2251,11 @@ class PoseGraph3D(PoseGraphBase):
         # index. At the production 256^3 extent a per-lane prepared table
         # is ~168 MB, so per-lane duplication (the old vmap-of-prepare)
         # cannot fit the chip; per-distinct transients can (ref:
-        # constraint_builder_3d.cc ComputeConstraint:258-269).
+        # constraint_builder_3d.cc ComputeConstraint:258-269). Rounds
+        # whose survivors span many distinct submaps split into blocks of
+        # <= _GN3D_MAX_DISTINCT distinct submaps — at 256^3 each distinct
+        # entry costs ~193 MB of prepared table + comparable prepare
+        # transients, so an unbounded stack OOMs a 16 GB chip at ~16.
         import jax
 
         from hectorgrapher_tpu.mapping.scan_matching.gn_3d import (
@@ -2254,103 +2263,127 @@ class PoseGraph3D(PoseGraphBase):
             prepare_gn_pack_3d,
         )
 
-        if prof is not None:
-            t0 = time_mod.perf_counter()
-        distinct_sids: List[int] = []
-        for i, _ in survivors:
-            sid = gated[i][1]
-            if sid not in distinct_sids:
-                distinct_sids.append(sid)
-        d_pad = _pow2(len(distinct_sids))
-        d_list = (distinct_sids + [distinct_sids[0]] * d_pad)[:d_pad]
         with self._lock:
-            submap_by_sid = {
-                s.submap_id: s.submap for s in self.submaps
-            }
-        hi_d = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[submap_by_sid[sid].high_resolution_grid for sid in d_list],
-        )
-        lo_d = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[submap_by_sid[sid].low_resolution_grid for sid in d_list],
-        )
-        flat_hi, tmpl_hi, mc_hi, r_hi = prepare_gn_pack_3d(hi_d)
-        flat_lo, tmpl_lo, mc_lo, r_lo = prepare_gn_pack_3d(lo_d)
-
+            submap_by_sid = {s.submap_id: s.submap for s in self.submaps}
+        cm = cb.ceres_scan_matcher_3d
         if prof is not None:
-            import jax as jax_mod
+            prof["gn_prepare"] = 0.0
+            prof["gn_launch"] = 0.0
+            prof["gn_readback"] = 0.0
 
-            jax_mod.device_get(flat_hi.ravel()[:1])
-            prof["gn_prepare"] = time_mod.perf_counter() - t0
-        lane_d = np.zeros(pad, np.int32)
-        pose_t = np.zeros((pad, 3), np.float32)
-        pose_q = np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))
-        for k, (i, pose) in enumerate(survivors):
-            lane_d[k] = distinct_sids.index(gated[i][1])
-            pose_t[k] = np.asarray(pose.translation)
-            pose_q[k] = np.asarray(pose.rotation)
-        for k in range(len(survivors), pad):  # pad lanes repeat lane 0
-            lane_d[k] = lane_d[0]
-            pose_t[k] = pose_t[0]
-            pose_q[k] = pose_q[0]
+        # Group survivors into blocks of <= _GN3D_MAX_DISTINCT distinct
+        # submaps (sorted by sid so one submap never straddles blocks).
+        by_sid: Dict[int, list] = {}
+        for i, pose in survivors:
+            by_sid.setdefault(gated[i][1], []).append((i, pose))
+        groups: List[list] = []
+        cur: list = []
+        for sid in sorted(by_sid):
+            if len({gated[i][1] for i, _ in cur}) >= _GN3D_MAX_DISTINCT:
+                groups.append(cur)
+                cur = []
+            cur.extend(by_sid[sid])
+        if cur:
+            groups.append(cur)
 
-        def bcast_or_stack(items):
+        def bcast_or_stack(items, pad):
             if len({id(c) for c in items}) == 1:
                 return jax.tree.map(
                     lambda x: jnp.broadcast_to(x[None], (pad,) + x.shape), items[0]
                 )
             return _stack_trees(items, pad)
 
-        hi_clouds = bcast_or_stack([gated[i][2].high_cloud for i, _ in survivors])
-        lo_clouds = bcast_or_stack([gated[i][2].low_cloud for i, _ in survivors])
-        poses = Rigid3(translation=pose_t, rotation=pose_q)
-        t_gn = time_mod.perf_counter() if prof is not None else 0.0
-        cm = cb.ceres_scan_matcher_3d
-        refined, _ = match_gn_3d_packed(
-            flat_hi,
-            flat_lo,
-            tmpl_hi,
-            tmpl_lo,
-            mc_hi,
-            mc_lo,
-            jnp.asarray(lane_d),
-            hi_clouds,
-            lo_clouds,
-            poses,
-            poses.translation,
-            cm.occupied_space_weight_0,
-            cm.occupied_space_weight_1,
-            cm.translation_weight,
-            cm.rotation_weight,
-            r_hi=r_hi,
-            r_lo=r_lo,
-            num_iterations=cm.ceres_solver_options.max_num_iterations,
-        )
-        if prof is not None:
-            import jax as jax_mod
+        for group in groups:
+            if prof is not None:
+                t0 = time_mod.perf_counter()
+            pad = _pow2(len(group))
+            distinct_sids: List[int] = []
+            for i, _ in group:
+                sid = gated[i][1]
+                if sid not in distinct_sids:
+                    distinct_sids.append(sid)
+            d_pad = _pow2(len(distinct_sids))
+            d_list = (distinct_sids + [distinct_sids[0]] * d_pad)[:d_pad]
+            hi_d = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[submap_by_sid[sid].high_resolution_grid for sid in d_list],
+            )
+            lo_d = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[submap_by_sid[sid].low_resolution_grid for sid in d_list],
+            )
+            flat_hi, tmpl_hi, mc_hi, r_hi = prepare_gn_pack_3d(hi_d)
+            flat_lo, tmpl_lo, mc_lo, r_lo = prepare_gn_pack_3d(lo_d)
+            if prof is not None:
+                import jax as jax_mod
 
-            jax_mod.device_get(refined.translation.ravel()[:1])
-            prof["gn_launch"] = time_mod.perf_counter() - t_gn
-            t0 = time_mod.perf_counter()
-        rt = np.asarray(refined.translation)
-        rq = np.asarray(refined.rotation)
+                jax_mod.device_get(flat_hi.ravel()[:1])
+                prof["gn_prepare"] += time_mod.perf_counter() - t0
+            lane_d = np.zeros(pad, np.int32)
+            pose_t = np.zeros((pad, 3), np.float32)
+            pose_q = np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))
+            for k, (i, pose) in enumerate(group):
+                lane_d[k] = distinct_sids.index(gated[i][1])
+                pose_t[k] = np.asarray(pose.translation)
+                pose_q[k] = np.asarray(pose.rotation)
+            for k in range(len(group), pad):  # pad lanes repeat lane 0
+                lane_d[k] = lane_d[0]
+                pose_t[k] = pose_t[0]
+                pose_q[k] = pose_q[0]
+
+            hi_clouds = bcast_or_stack(
+                [gated[i][2].high_cloud for i, _ in group], pad
+            )
+            lo_clouds = bcast_or_stack(
+                [gated[i][2].low_cloud for i, _ in group], pad
+            )
+            poses = Rigid3(translation=pose_t, rotation=pose_q)
+            t_gn = time_mod.perf_counter() if prof is not None else 0.0
+            refined, _ = match_gn_3d_packed(
+                flat_hi,
+                flat_lo,
+                tmpl_hi,
+                tmpl_lo,
+                mc_hi,
+                mc_lo,
+                jnp.asarray(lane_d),
+                hi_clouds,
+                lo_clouds,
+                poses,
+                poses.translation,
+                cm.occupied_space_weight_0,
+                cm.occupied_space_weight_1,
+                cm.translation_weight,
+                cm.rotation_weight,
+                r_hi=r_hi,
+                r_lo=r_lo,
+                num_iterations=cm.ceres_solver_options.max_num_iterations,
+            )
+            if prof is not None:
+                import jax as jax_mod
+
+                jax_mod.device_get(refined.translation.ravel()[:1])
+                prof["gn_launch"] += time_mod.perf_counter() - t_gn
+                t0 = time_mod.perf_counter()
+            rt = np.asarray(refined.translation)
+            rq = np.asarray(refined.rotation)
+            if prof is not None:
+                prof["gn_readback"] += time_mod.perf_counter() - t0
+            for k, (i, _) in enumerate(group):
+                _, sid, node, p = gated[i]
+                refined_np = NpRigid3(rt[k].astype(np.float64), rq[k].astype(np.float64))
+                zbar = p.submap.local_pose.inverse().compose(refined_np)
+                results[i] = Constraint(
+                    submap_index=-1,  # resolved by _append_constraint under the lock
+                    node_index=-1,
+                    zbar=zbar,
+                    translation_weight=cb.loop_closure_translation_weight,
+                    rotation_weight=cb.loop_closure_rotation_weight,
+                    tag="INTER",
+                )
         if prof is not None:
-            prof["gn_readback"] = time_mod.perf_counter() - t0
             LAST_ROUND_BREAKDOWN.clear()
             LAST_ROUND_BREAKDOWN.update(prof)
-        for k, (i, _) in enumerate(survivors):
-            _, sid, node, p = gated[i]
-            refined_np = NpRigid3(rt[k].astype(np.float64), rq[k].astype(np.float64))
-            zbar = p.submap.local_pose.inverse().compose(refined_np)
-            results[i] = Constraint(
-                submap_index=-1,  # resolved by _append_constraint under the lock
-                node_index=-1,
-                zbar=zbar,
-                translation_weight=cb.loop_closure_translation_weight,
-                rotation_weight=cb.loop_closure_rotation_weight,
-                tag="INTER",
-            )
         return results
 
     def _run_optimization(self, num_iterations: int) -> None:

@@ -480,7 +480,37 @@ def _sharded_scores_3d(
             )
             return score, low_score, pose.translation, pose.rotation
 
-        sc, lsc, pt, pq = jax.vmap(one)(hp, hm, lp, lm, it, iq, sh, iy, cs)
+        # Candidate chunking: one candidate's expansion-stage gather
+        # transient is ~top_k * point_chunk * 4 * ny0 bf16 bytes (~268 MB
+        # at the 256^3 production extent) — a full-width vmap at 32
+        # candidates needs >20 GB and cannot compile on a 16 GB chip.
+        # lax.map over pow2 candidate blocks bounds the live set; the
+        # per-candidate work already saturates the chip, so serializing
+        # blocks costs only the lost (small) cross-candidate overlap.
+        from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import (
+            _point_chunk,
+        )
+
+        c_loc = hp.shape[0]
+        ny0 = int(pyr[0].shape[-1])
+        per_cand = int(config.top_k) * _point_chunk() * 4 * ny0 * 2
+        chunk = c_loc
+        while chunk > 1 and chunk * per_cand > int(1.5e9):
+            chunk //= 2
+        args = (hp, hm, lp, lm, it, iq, sh, iy, cs)
+        if chunk >= c_loc:
+            sc, lsc, pt, pq = jax.vmap(one)(*args)
+        else:
+            n_blocks = c_loc // chunk
+            blocked = tuple(
+                a.reshape((n_blocks, chunk) + a.shape[1:]) for a in args
+            )
+            sc, lsc, pt, pq = jax.lax.map(
+                lambda ab: jax.vmap(one)(*ab), blocked
+            )
+            sc, lsc, pt, pq = (
+                x.reshape((c_loc,) + x.shape[2:]) for x in (sc, lsc, pt, pq)
+            )
         sc = jnp.where(cv, sc, -jnp.inf)
         # Replicated outputs for multi-host fetchability (see the 2D
         # variant).

@@ -136,6 +136,12 @@ def pad_cloud(points: np.ndarray, capacity: int) -> PointCloud:
 
 
 def pad_timed_cloud(points: np.ndarray, times: np.ndarray, capacity: int) -> TimedPointCloud:
+    """HOST-side padded container: leaves stay numpy — the front-end's
+    range gating / bookkeeping reads them on host, and the device upload
+    happens implicitly at the first jit dispatch that consumes them.
+    (Uploading here cost a device round-trip per ingest field when the
+    CT builder read them back: ~5 of the 131 readbacks/scan the round-5
+    pipeline audit found.)"""
     n = min(len(points), capacity)
     positions = np.zeros((capacity, 3), dtype=np.float32)
     positions[:n] = points[:n]
@@ -143,7 +149,7 @@ def pad_timed_cloud(points: np.ndarray, times: np.ndarray, capacity: int) -> Tim
     t[:n] = times[:n]
     mask = np.zeros((capacity,), dtype=bool)
     mask[:n] = True
-    return TimedPointCloud(positions=jnp.asarray(positions), times=jnp.asarray(t), mask=jnp.asarray(mask))
+    return TimedPointCloud(positions=positions, times=t, mask=mask)
 
 
 def transform_point_cloud(cloud: PointCloud, pose: Rigid3) -> PointCloud:

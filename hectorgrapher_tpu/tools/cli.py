@@ -435,7 +435,7 @@ def _run_sequence_evaluation(args) -> int:
             cloud = pad_timed_cloud(pts, np.asarray(times, np.float32), capacity)
             tb.add_range_data(
                 TimedPointCloudData(
-                    time=jnp.asarray(e.time), origin=jnp.zeros(3, jnp.float32), ranges=cloud
+                    time=e.time, origin=np.zeros(3, np.float32), ranges=cloud
                 )
             )
     pg = mb.pose_graph
@@ -535,7 +535,7 @@ def cmd_mapping_evaluation(args) -> int:
                                           noise_std=args.noise, rng=rng if args.noise else None)
                 pts = pts[~np.isnan(pts[:, 0])]
                 cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), 2560)
-                tb.add_range_data(TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                tb.add_range_data(TimedPointCloudData(time=t, origin=np.zeros(3, np.float32),
                                                       ranges=cloud, width=96))
                 gt_times.append(t)
                 gt_poses.append(NpRigid3(np.array([x, 0.0, 0.0]), q))
@@ -572,7 +572,7 @@ def cmd_mapping_evaluation(args) -> int:
             pts = raycast_rect_room_2d(xy, yaw, num_rays=1440, noise_std=args.noise, rng=rng)
             pts = pts[~np.isnan(pts[:, 0])]
             cloud = pad_timed_cloud(pts.astype(np.float32), np.zeros(len(pts), np.float32), 2048)
-            tb.add_range_data(TimedPointCloudData(time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+            tb.add_range_data(TimedPointCloudData(time=t, origin=np.zeros(3, np.float32),
                                                   ranges=cloud))
             gt_times.append(t)
             gt_poses.append(pose)
@@ -661,7 +661,7 @@ def cmd_trajectory_builder_evaluation(args) -> int:
                 cloud = pad_timed_cloud(pts, np.zeros(len(pts), np.float32), 2560)
                 result = builder.add_range_data(
                     TimedPointCloudData(
-                        time=jnp.asarray(t), origin=jnp.zeros(3, jnp.float32),
+                        time=t, origin=np.zeros(3, np.float32),
                         ranges=cloud, width=96,
                     )
                 )
