@@ -568,16 +568,23 @@ def bench_ct_perpoint():
     from hectorgrapher_tpu.mapping.ct.window_solver import solve_ct_window
 
     hi, lo, problem, state, weights = _build_ct_example()
-    step_pp = jax.jit(
-        functools.partial(
-            solve_ct_window, is_tsdf=True, num_iterations=8, per_point=True
-        )
-    )
-    step_ps = jax.jit(
-        functools.partial(
-            solve_ct_window, is_tsdf=True, num_iterations=8, per_point=False
-        )
-    )
+
+    # Both modes time the SAME output signature as bench_ct_window's
+    # entry() step (solved state + final cost; the separate initial-cost
+    # assembly DCEs away) so the recorded per-scan denominator is the
+    # identical program, not a near-twin (VERDICT r4 next #5).
+    def mk(per_point):
+        def step(hi, lo, problem, state, weights):
+            solved, final_cost, _ = solve_ct_window(
+                hi, lo, problem, state, weights, is_tsdf=True,
+                num_iterations=8, per_point=per_point,
+            )
+            return solved.translation, solved.rotation, final_cost
+
+        return jax.jit(step)
+
+    step_pp = mk(True)
+    step_ps = mk(False)
     _sync(step_pp(hi, lo, problem, state, weights))
     _sync(step_ps(hi, lo, problem, state, weights))
     # SAME chain length/repeats as bench_ct_window's per-scan measurement
@@ -811,6 +818,10 @@ def bench_constraint_round_3d(num_submaps: int = 32):
         )
         packed = state["packed"]
         mesh = pg_mod.constraint_search_mesh()
+        # Roofline over ONE un-chunked candidate block (4 candidates):
+        # XLA cost analysis counts a lax.map body once, so a chunked
+        # full-round launch under-reports flops/bytes by the block count;
+        # the full round is n_blocks x this program.
         candidates = [
             (
                 state["slots"][sid],
@@ -823,7 +834,7 @@ def bench_constraint_round_3d(num_submaps: int = 32):
                 ),
                 0.0,
             )
-            for sid in state["order"]
+            for sid in state["order"][:4]
         ]
         arrays, _ = build_candidate_arrays_3d(
             candidates, packed.s_per_dev, mesh.devices.size,
@@ -833,7 +844,9 @@ def bench_constraint_round_3d(num_submaps: int = 32):
         _sync(fn(*fargs))
         fm_med, _ = _chain_time(lambda: fn(*fargs), iters=4, repeats=3)
         f, b = _cost_analysis(fn, *fargs)
-        extras["roofline_fm3d_production"] = _roofline(f, b, fm_med)
+        roof = _roofline(f, b, fm_med)
+        roof["candidates"] = len(candidates)
+        extras["roofline_fm3d_production"] = roof
     except Exception as e:
         extras["fm3d_roofline_error"] = str(e)
     return float(np.median(times)), extras

@@ -47,21 +47,42 @@ def grid_match_scores(grid) -> jax.Array:
     return jnp.where(w > 1e-6, jnp.clip(s, 0.1, 0.9), 0.1)
 
 
+_Y_MIN_LANES = 64  # lane floor: gathers of narrower rows waste the
+# TPU's ~512 B memory transactions (measured round 5: 8-lane coarse rows
+# made the production fm launch gather-transaction-bound)
+
+
+def _y_shift(ny: int, level: int) -> int:
+    """y-axis decimation exponent at `level`: halve only while the lane
+    count stays >= _Y_MIN_LANES (x/z always halve)."""
+    m, cur = 0, ny
+    while m < level and -(-cur // 2) >= _Y_MIN_LANES:
+        cur = -(-cur // 2)
+        m += 1
+    return m
+
+
 def precompute_pyramid_3d(values, depth: int):
     """DECIMATED admissible max pyramid (list of per-level fields).
 
-    Level 0 is the exact score field. Level l >= 1 stores, at stride 2^l
-    per axis, the max over the DOUBLE-WIDTH aligned window
-    [2^l X, 2^l X + 2^(l+1)): the value at cell floor(q / 2^l) then
-    upper-bounds every exact score in [q, q + 2^l)^3 for ANY query q —
-    the branch-and-bound invariant — while total storage is ~1.14x the
-    base field instead of depth x. (The reference's PrecomputationGrid3D
-    stack, precomputation_grid_3d.h:37, keeps every level at full
-    resolution — affordable in robot RAM, but at the production 256^3
-    extent a full-res 8-level bf16 stack is ~268 MB/submap of HBM vs
-    ~38 MB decimated.) Out-of-grid window parts contribute the floor
-    score 0.1, matching the dense edge semantics."""
+    Level 0 is the exact score field. Level l >= 1 stores cells at stride
+    2^l in x/z and 2^m in y (m = _y_shift: y stops halving at the
+    _Y_MIN_LANES lane floor so row gathers keep full memory
+    transactions), each holding the max over a window that covers
+    [q, q + 2^l) on every axis for ANY query q landing in the cell —
+    x/z: the double-width aligned window [2^l X, 2^l X + 2^(l+1));
+    y: the (2^(l-m) + 1)-cell aligned window. The value at
+    (floor(qx/2^l), floor(qy/2^m), floor(qz/2^l)) therefore upper-bounds
+    every exact score in [q, q + 2^l)^3 — the branch-and-bound invariant
+    — while total storage is ~1.2x the base field instead of depth x.
+    (The reference's PrecomputationGrid3D stack,
+    precomputation_grid_3d.h:37, keeps every level at full resolution —
+    affordable in robot RAM, but at the production 256^3 extent a
+    full-res 8-level bf16 stack is ~268 MB/submap of HBM vs ~40 MB
+    decimated.) Out-of-grid window parts contribute the floor score 0.1,
+    matching the dense edge semantics."""
     out = [values]
+    ny = values.shape[1]
 
     def pool2(m, axis):
         # Stride-2 aligned max-reduce; odd extents pad with the floor.
@@ -76,26 +97,41 @@ def precompute_pyramid_3d(values, depth: int):
         b = jax.lax.slice_in_dim(m, 1, m.shape[axis], 2, axis=axis)
         return jnp.maximum(a, b)
 
-    def widen(m, axis):
-        # max(P(X), P(X+1)): double-width window, high edge pads floor.
-        pad_shape = list(m.shape)
-        pad_shape[axis] = 1
-        shifted = jnp.concatenate(
-            [
-                jax.lax.slice_in_dim(m, 1, m.shape[axis], axis=axis),
-                jnp.full(pad_shape, 0.1, m.dtype),
-            ],
-            axis=axis,
-        )
-        return jnp.maximum(m, shifted)
+    def widen(m, axis, window: int):
+        # Running max over `window` adjacent cells (aligned, high edge
+        # pads floor): doubling shift-maxes, then one final shift.
+        def shifted_by(x, s):
+            s = min(s, x.shape[axis])
+            pad_shape = list(x.shape)
+            pad_shape[axis] = s
+            return jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(x, s, x.shape[axis], axis=axis),
+                    jnp.full(pad_shape, 0.1, x.dtype),
+                ],
+                axis=axis,
+            )
+
+        cov = 1  # cells covered so far
+        cur = m
+        while cov < window:
+            s = min(cov, window - cov)
+            cur = jnp.maximum(cur, shifted_by(cur, s))
+            cov += s
+        return cur
 
     aligned = values
-    for _ in range(1, depth):
-        for axis in range(3):
-            aligned = pool2(aligned, axis)
-        m = aligned
-        for axis in range(3):
-            m = widen(m, axis)
+    prev_my = 0
+    for level in range(1, depth):
+        my = _y_shift(ny, level)
+        aligned = pool2(aligned, 0)
+        aligned = pool2(aligned, 2)
+        if my > prev_my:
+            aligned = pool2(aligned, 1)
+            prev_my = my
+        m = widen(aligned, 0, 2)
+        m = widen(m, 2, 2)
+        m = widen(m, 1, (1 << (level - my)) + 1)
         out.append(m)
     return out
 
@@ -157,7 +193,7 @@ def make_fast_search_3d_config(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "grid_shape"))
 def match_fast_3d(
     pyramid_levels,  # tuple of per-level (rows_l + 1, ny_l) flat tables
     grid_shape_meta: GridMeta,
@@ -276,8 +312,10 @@ def _match_fast_3d_core(
         flat_table = tables[level]
         base_row = row_bases[level]
         span = 2 ** level
+        my = _y_shift(ny, level)
+        y_span = 1 << my
         nx_l = _level_cells(nx, level)
-        ny_l = _level_cells(ny, level)
+        ny_l = _level_cells(ny, my)
         nz_l = _level_cells(nz, level)
 
         def body(acc, args):
@@ -295,7 +333,7 @@ def _match_fast_3d_core(
             )  # (..., CH, X, Z)
             y_in = (iyc > -span) & (iyc < ny)
             iyg = jnp.where(
-                y_in & bvc[:, None], jnp.clip(iyc, 0, ny - 1) // span, -1
+                y_in & bvc[:, None], jnp.clip(iyc, 0, ny - 1) // y_span, -1
             )
             if on_tpu:
                 rows = flat_table[base_row + rowidx]  # (..., CH, X, Z, ny_l)

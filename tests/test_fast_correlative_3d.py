@@ -84,30 +84,39 @@ def test_decimated_pyramid_admissible_bound():
     precomputation_grid_3d.h:37; our stride-2^l storage relies on the
     double-width construction window)."""
     from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_3d import (
+        _y_shift,
         precompute_pyramid_3d,
     )
 
     rng = np.random.default_rng(3)
-    values = jnp.asarray(
-        rng.uniform(0.1, 0.9, (13, 10, 9)).astype(np.float32)
-    )  # deliberately non-power-of-two extents
-    depth = 4
-    levels = [np.asarray(l) for l in precompute_pyramid_3d(values, depth)]
-    v = np.asarray(values)
-    np.testing.assert_allclose(levels[0], v)  # level 0 exact
-    nx, ny, nz = v.shape
-    for level in range(1, depth):
-        span = 1 << level
-        for _ in range(200):
-            q = rng.integers(-span + 1, [nx, ny, nz])  # incl. negative edge
-            # Exact max over the query window, clipped to the grid; empty
-            # intersections contribute the floor score 0.1.
-            sl = tuple(
-                slice(max(int(q[a]), 0), min(int(q[a]) + span, v.shape[a]))
-                for a in range(3)
-            )
-            block = v[sl]
-            exact = float(block.max()) if block.size else 0.1
-            cell = [max(int(q[a]), 0) // span for a in range(3)]
-            bound = float(levels[level][tuple(cell)])
-            assert bound >= exact - 1e-6, (level, q.tolist(), bound, exact)
+    # Deliberately non-power-of-two extents; a second case with y large
+    # enough to exercise the _Y_MIN_LANES-floored y decimation.
+    for shape in ((13, 10, 9), (12, 300, 9)):
+        values = jnp.asarray(
+            rng.uniform(0.1, 0.9, shape).astype(np.float32)
+        )
+        depth = 4
+        levels = [np.asarray(l) for l in precompute_pyramid_3d(values, depth)]
+        v = np.asarray(values)
+        np.testing.assert_allclose(levels[0], v)  # level 0 exact
+        nx, ny, nz = v.shape
+        for level in range(1, depth):
+            span = 1 << level
+            my = _y_shift(ny, level)
+            for _ in range(200):
+                q = rng.integers(-span + 1, [nx, ny, nz])  # incl. negative edge
+                # Exact max over the query window, clipped to the grid;
+                # empty intersections contribute the floor score 0.1.
+                sl = tuple(
+                    slice(max(int(q[a]), 0), min(int(q[a]) + span, v.shape[a]))
+                    for a in range(3)
+                )
+                block = v[sl]
+                exact = float(block.max()) if block.size else 0.1
+                cell = (
+                    max(int(q[0]), 0) // span,
+                    max(int(q[1]), 0) // (1 << my),
+                    max(int(q[2]), 0) // span,
+                )
+                bound = float(levels[level][cell])
+                assert bound >= exact - 1e-6, (shape, level, q.tolist(), bound, exact)
