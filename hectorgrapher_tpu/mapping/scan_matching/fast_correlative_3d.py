@@ -141,6 +141,29 @@ def _level_cells(n: int, level: int) -> int:
     return -(-n // (1 << level))
 
 
+def _fc2_on_tpu() -> bool:
+    from hectorgrapher_tpu.mapping.scan_matching.fast_correlative_2d import _on_tpu
+
+    return _on_tpu()
+
+
+def _level_flat_table(pl, dtype, paired: bool):
+    """One decimated level field (nx_l, ny_l, nz_l) -> its flat row table:
+    value-0.1 y-minor rows in (z, x) order plus one zero OOB row.
+    paired=True (TPU): each row carries cells (x, x+1) as 2*ny_l lanes
+    (x+1 beyond the grid contributes 0)."""
+    r = jnp.transpose(pl - 0.1, (2, 0, 1))  # (nz_l, nx_l, ny_l)
+    if paired:
+        r_next = jnp.concatenate(
+            [r[:, 1:], jnp.zeros_like(r[:, :1])], axis=1
+        )
+        r = jnp.concatenate([r, r_next], axis=2)  # (nz_l, nx_l, 2*ny_l)
+    rows = r.reshape(-1, r.shape[-1])
+    return jnp.concatenate(
+        [rows, jnp.zeros((1, rows.shape[-1]), rows.dtype)]
+    ).astype(dtype)
+
+
 class FastSearch3DConfig(NamedTuple):
     linear_xy_cells: int
     linear_z_cells: int
@@ -336,12 +359,55 @@ def _match_fast_3d_core(
                 y_in & bvc[:, None], jnp.clip(iyc, 0, ny - 1) // y_span, -1
             )
             if on_tpu:
-                rows = flat_table[base_row + rowidx]  # (..., CH, X, Z, ny_l)
+                # X-PAIRED rows (see _level_flat_table): both callers pass
+                # x offsets that are CONSECUTIVE level cells in (even, odd)
+                # pairs — the coarse stage's stride-step offsets and the
+                # expansion's {o, o+2^level} children — so ONE gather of
+                # the (x, x+1) pair row serves both. Halves the row-gather
+                # count the kernel is bound by.
+                xn = ixc.shape[-1]
+                p2 = (xn + 1) // 2
+                if 2 * p2 != xn:  # pad odd X with a duplicate (sliced off)
+                    ix_p = jnp.concatenate([ixc, ixc[..., -1:]], axis=-1)
+                    x_in_p = jnp.concatenate(
+                        [x_in, jnp.zeros_like(x_in[..., -1:])], axis=-1
+                    )
+                else:
+                    ix_p, x_in_p = ixc, x_in
+                cells = jnp.maximum(ix_p, 0) // span  # (..., CH, Xp)
+                base_c = cells[..., 0::2]  # (..., CH, P2)
+                sel = jnp.clip(
+                    cells - jnp.repeat(base_c, 2, axis=-1), 0, 1
+                )  # (..., CH, Xp) in {0, 1}: which half of the pair row
+                pair_in = x_in_p[..., 0::2] | x_in_p[..., 1::2]
+                rowidx2 = jnp.where(
+                    pair_in[..., :, None] & z_in[..., None, :],
+                    izg[..., None, :] * nx_l + base_c[..., :, None],
+                    nz_l * nx_l,
+                )  # (..., CH, P2, Z)
+                rows = flat_table[base_row + rowidx2]  # (..., CH, P2, Z, 2*ny_l)
+                rows2 = rows.reshape(rows.shape[:-1] + (2, ny_l))
+                # Cheap 2-way half select -> per-child rows.
+                xs = sel.reshape(sel.shape[:-1] + (p2, 2))
+                xeq = xs[..., None] == jnp.arange(2, dtype=sel.dtype)
+                prod_h = jnp.where(
+                    xeq[..., :, :, None, :, None],  # (..., CH, P2, 2c, 1, 2h, 1)
+                    rows2[..., :, None, :, :, :],  # (..., CH, P2, 1, Z, 2h, ny)
+                    flat_table.dtype.type(0),
+                )
+                rows_child = jnp.sum(prod_h, axis=-2)  # (..., CH, P2, 2c, Z, ny)
+                rows_child = rows_child.reshape(
+                    rows_child.shape[:-4] + (2 * p2,) + rows_child.shape[-2:]
+                )[..., :xn, :, :]  # (..., CH, X, Z, ny)
+                # A child may be x-OOB while its pair row is valid.
+                rows_child = jnp.where(
+                    x_in[..., :, None, None], rows_child, flat_table.dtype.type(0)
+                )
                 lanes = jnp.arange(ny_l, dtype=iyg.dtype)
                 eq = iyg[..., None] == lanes  # (..., CH, Y, ny_l) — virtual
                 prod = jnp.where(
                     eq[..., None, None, :, :],
-                    rows[..., :, :, None, :],
+                    rows_child[..., :, :, None, :],
                     flat_table.dtype.type(0),
                 )  # (..., CH, X, Z, Y, ny_l) — virtual
                 c = jnp.sum(prod, axis=(-1, -5), dtype=jnp.float32)  # (..., X, Z, Y)
@@ -486,16 +552,16 @@ class FastCorrelativeScanMatcher3D:
         )
 
         dt = _level_dtype()
-        levels = []
-        for pl in pyr:
-            rows = jnp.transpose(pl - 0.1, (2, 0, 1)).reshape(-1, pl.shape[1])
-            levels.append(
-                jnp.concatenate(
-                    [rows, jnp.zeros((1, pl.shape[1]), rows.dtype)]
-                ).astype(dt)
-            )
         # Per-level flat tables (decimated levels have different shapes).
-        self._pyramid_levels = tuple(levels)  # each (nz_l*nx_l + 1, ny_l)
+        # TPU: X-PAIRED rows — row (z, x) carries the y-rows of cells x
+        # AND x+1 (2*ny_l lanes, overlapping, 2x memory), so ONE gather
+        # serves both x-children of an expansion / both members of a
+        # consecutive coarse x pair; the kernel is row-gather-COUNT bound
+        # (measured round 5, BASELINE.md headroom note), so halving row
+        # count buys more than the doubled lane width costs.
+        self._pyramid_levels = tuple(
+            _level_flat_table(pl, dt, paired=_fc2_on_tpu()) for pl in pyr
+        )
         self._low_scores = grid_match_scores(low_grid)
 
     def to_host(self):
